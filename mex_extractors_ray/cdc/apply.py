@@ -1,0 +1,311 @@
+"""The Ray-Data CDC apply: change log → hash-partitioned keyed MERGE upsert.
+
+Pipeline shape (SURVEY.md §7.1/§7.3):
+
+    read_parquet(change_log)
+      → map_batches(ResolveAndPartition)     stateless, zero-copy Arrow:
+                                             schema-resolve to registry latest
+                                             + assign pid = hash(doc_id) % P
+      → groupby("pid")                       THE one wide op (all-to-all
+                                             shuffle keyed on doc_id hash)
+      → map_groups(apply_partition)          per-partition merge:
+                                             watermark filter → LSN-order
+                                             last-wins reduce → COW merge with
+                                             the existing partition file →
+                                             atomic manifest commit
+      → (metrics rows, one per partition)    → lineage table + drift checks
+
+Semantics match the single-process replayer (cdc/replayer.py) exactly; the
+equality (including per-row token arrays) is asserted in tests.
+
+Scale notes (100 TB design):
+- ``num_partitions`` is the unit of parallelism *and* of state: each
+  partition owns its files + manifest + LSN watermark, so a cluster of any
+  size can process partitions independently and a failed run resumes by
+  re-reading manifests (late events ≤ watermark are dropped idempotently).
+- hot doc_ids (skewed update streams) collapse inside the last-wins reduce,
+  so skew costs shuffle bandwidth but not apply time; partition counts are
+  sized so partition state ≪ worker heap (split P, not salt — key locality
+  must be preserved for the keyed merge, SURVEY.md §4).
+- the per-batch resolve stage is zero-copy Arrow (``batch_format="pyarrow"``)
+  and all kernels are pyarrow.compute / numpy — no per-row Python.
+
+Reference parity: keyed first-seen/last-wins dedup families
+(``mex/extractors/synopse/transform.py:286-289``), ordered apply
+(``mex/extractors/sorters.py:12-49``), manifest commit
+(``mex/extractors/sinks/s3.py:85-133``).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from mex_extractors_ray.cdc.manifest import (
+    PartitionManifest,
+    commit_manifest,
+    partition_dir,
+    read_manifest,
+    sha256_file,
+)
+from mex_extractors_ray.hashing import assign_partitions
+from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
+
+SYSTEM_COLS = ("lsn", "op", "schema_version", "pid")
+
+
+class ResolveAndPartition:
+    """Stateless-per-batch, stateful-per-actor resolve + partition stage.
+
+    The registry is parsed once per actor in ``__init__`` (the reference's
+    lru_cache-service discipline, ``mex/extractors/primary_source/helpers.py:12-36``)
+    and applied per batch in ``__call__`` — zero-copy Arrow in/out.
+    """
+
+    def __init__(self, registry_json: str, num_partitions: int):
+        self.registry = SchemaRegistry.from_json(registry_json)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.registry.resolve_table(batch)
+        pid = assign_partitions(batch["doc_id"], self.num_partitions)
+        return batch.append_column("pid", pa.array(pid))
+
+
+def _last_wins(group: pa.Table) -> pa.Table:
+    """LSN-order the group and keep the last event per doc_id (vectorized)."""
+    t = group.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
+    n = t.num_rows
+    if n <= 1:
+        return t
+    d = t["doc_id"].combine_chunks()
+    neq = pc.not_equal(d.slice(1), d.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    mask = np.append(neq.astype(bool), True)
+    return t.filter(pa.array(mask))
+
+
+def _read_tombstones(pdir: Path, manifest: PartitionManifest | None) -> dict[str, int]:
+    if manifest is None or not manifest.tombstone_file:
+        return {}
+    t = pq.read_table(pdir / manifest.tombstone_file)
+    return dict(zip(t["doc_id"].to_pylist(), t["lsn"].to_pylist()))
+
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("rows_in", pa.int64()),
+        ("late_dropped", pa.int64()),
+        ("upserts", pa.int64()),
+        ("deletes", pa.int64()),
+        ("row_count", pa.int64()),
+        ("tombstone_count", pa.int64()),
+        ("last_lsn", pa.int64()),
+        ("schema_version", pa.int32()),
+        ("noop", pa.bool_()),
+    ]
+)
+
+
+def _metrics_row(pid: int, **kw) -> pa.Table:
+    row = {
+        "partition": pid,
+        "rows_in": 0,
+        "late_dropped": 0,
+        "upserts": 0,
+        "deletes": 0,
+        "row_count": 0,
+        "tombstone_count": 0,
+        "last_lsn": -1,
+        "schema_version": 0,
+        "noop": False,
+    }
+    row.update(kw)
+    return pa.Table.from_pylist([row], schema=METRICS_SCHEMA)
+
+
+def apply_partition(group: pa.Table, lake_dir: str, registry_json: str) -> pa.Table:
+    """Merge one partition's change events into its lake state (one call per
+    pid per run; returns a one-row metrics table).
+
+    Exactly-once: events ≤ the committed watermark are dropped; file names
+    are deterministic in (pid, last_lsn) and the manifest commit is an atomic
+    rename, so task retries and whole-run replays are idempotent no-ops.
+    """
+    registry = SchemaRegistry.from_json(registry_json)
+    latest = registry.latest
+    pid = int(group["pid"][0].as_py())
+    pdir = partition_dir(lake_dir, pid)
+    pdir.mkdir(parents=True, exist_ok=True)
+    manifest = read_manifest(lake_dir, pid)
+    watermark = manifest.last_lsn if manifest else -1
+
+    rows_in = group.num_rows
+    fresh = group.filter(pc.greater(group["lsn"], pa.scalar(watermark, pa.int64())))
+    late_dropped = rows_in - fresh.num_rows
+    if fresh.num_rows == 0:
+        old_rows = manifest.row_count if manifest else 0
+        old_tomb = manifest.tombstone_count if manifest else 0
+        return _metrics_row(
+            pid, rows_in=rows_in, late_dropped=late_dropped, noop=True,
+            row_count=old_rows, tombstone_count=old_tomb, last_lsn=watermark,
+            schema_version=manifest.schema_version if manifest else 0,
+        )
+
+    winners = _last_wins(fresh)
+    is_delete = pc.equal(winners["op"], "delete")
+    deletes = winners.filter(is_delete)
+    upserts = winners.filter(pc.invert(is_delete))
+    last_lsn = int(pc.max(fresh["lsn"]).as_py())
+
+    lake_cols = [n for n, _ in latest.fields] + ["lsn"]
+    upsert_data = upserts.select(lake_cols)
+
+    # current state (COW read of exactly the manifest's files)
+    if manifest and manifest.files:
+        current = pa.concat_tables(
+            registry.resolve_table(pq.read_table(pdir / f)) for f in manifest.files
+        ).select(lake_cols)
+    else:
+        current = registry.resolve_table(
+            pa.schema([*latest.to_arrow(), pa.field("lsn", pa.int64())]).empty_table()
+        ).select(lake_cols)
+
+    touched = winners["doc_id"].combine_chunks()
+    keep_mask = pc.invert(pc.is_in(current["doc_id"], value_set=touched))
+    survivors = current.filter(keep_mask)
+    merged = pa.concat_tables([survivors, upsert_data]).sort_by([("doc_id", "ascending")])
+
+    # tombstones: deletes add; resurrecting upserts remove
+    tombstones = _read_tombstones(pdir, manifest)
+    for d, l in zip(deletes["doc_id"].to_pylist(), deletes["lsn"].to_pylist()):
+        tombstones[d] = l
+    for d in upsert_data["doc_id"].to_pylist():
+        tombstones.pop(d, None)
+
+    data_name = f"part-{pid:05d}-{last_lsn:020d}.parquet"
+    tomb_name = f"tombstones-{pid:05d}-{last_lsn:020d}.parquet"
+    tomb_ids = sorted(tombstones)
+    tomb_table = pa.table(
+        {
+            "doc_id": pa.array(tomb_ids, pa.string()),
+            "lsn": pa.array([tombstones[k] for k in tomb_ids], pa.int64()),
+        }
+    )
+    # phase 1: deterministic files (tmp + atomic rename to tolerate concurrent retries)
+    import os
+    import uuid
+
+    for name, tbl in ((data_name, merged), (tomb_name, tomb_table)):
+        tmp = pdir / f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp, compression="snappy")
+        os.replace(tmp, pdir / name)
+    # phase 2: atomic manifest commit (+ GC of superseded files)
+    commit_manifest(
+        lake_dir,
+        PartitionManifest(
+            partition=pid,
+            last_lsn=last_lsn,
+            files=[data_name],
+            tombstone_file=tomb_name,
+            schema_version=latest.version,
+            sha256_checksum=sha256_file(pdir / data_name),
+            row_count=merged.num_rows,
+            tombstone_count=tomb_table.num_rows,
+        ),
+    )
+    return _metrics_row(
+        pid,
+        rows_in=rows_in,
+        late_dropped=late_dropped,
+        upserts=upserts.num_rows,
+        deletes=deletes.num_rows,
+        row_count=merged.num_rows,
+        tombstone_count=tomb_table.num_rows,
+        last_lsn=last_lsn,
+        schema_version=latest.version,
+    )
+
+
+def ingest_change_log(
+    log_paths: str | list[str],
+    lake_dir: str | Path,
+    num_partitions: int = 32,
+    registry: SchemaRegistry | None = None,
+    batch_size: int = 65_536,
+    resolve_concurrency: int | None = None,
+) -> pa.Table:
+    """Run one ingest over a change log; returns per-partition metrics.
+
+    Streams: read → resolve/partition → shuffle-by-pid → per-partition apply.
+    Never materializes the log on the driver; the only driver-side data is
+    the P-row metrics table. Ray must already be initialized by the caller.
+    """
+    import ray.data
+
+    registry = registry or sequence_registry()
+    registry_json = registry.to_json()
+    Path(lake_dir).mkdir(parents=True, exist_ok=True)
+    Path(lake_dir, "_registry.json").write_text(registry_json)
+
+    ds = ray.data.read_parquet(log_paths)
+    kwargs = {}
+    if resolve_concurrency:
+        kwargs["concurrency"] = resolve_concurrency
+    ds = ds.map_batches(
+        ResolveAndPartition,
+        fn_constructor_args=(registry_json, num_partitions),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **(kwargs or {"concurrency": (1, 8)}),
+    )
+    fn = functools.partial(apply_partition, lake_dir=str(lake_dir), registry_json=registry_json)
+    metrics_ds = ds.groupby("pid").map_groups(fn, batch_format="pyarrow")
+    out = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
+    return out.sort_by([("partition", "ascending")])
+
+
+def lake_files(lake_dir: str | Path) -> list[str]:
+    """All committed data files (manifest-listed only — orphans are invisible)."""
+    files: list[str] = []
+    for mpath in sorted(Path(lake_dir).glob("partition=*/manifest.json")):
+        pid = int(mpath.parent.name.split("=")[1])
+        m = read_manifest(lake_dir, pid)
+        if m:
+            files.extend(str(mpath.parent / f) for f in m.files)
+    return files
+
+
+def read_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None):
+    """The committed lake state as a ray.data.Dataset (schema-resolved)."""
+    import ray.data
+
+    registry = registry or sequence_registry()
+    registry_json = registry.to_json()
+    files = lake_files(lake_dir)
+    if not files:
+        schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
+        return ray.data.from_arrow(schema.empty_table())
+
+    def _resolve(batch: pa.Table) -> pa.Table:
+        return SchemaRegistry.from_json(registry_json).resolve_table(batch)
+
+    return ray.data.read_parquet(files).map_batches(_resolve, batch_format="pyarrow")
+
+
+def read_lake_arrow(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> pa.Table:
+    """Driver-side materialized lake state, sorted by doc_id (tests/oracles)."""
+    registry = registry or sequence_registry()
+    files = lake_files(lake_dir)
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    if not files:
+        return pa.schema(
+            [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table()
+    parts = [registry.resolve_table(pq.read_table(f)).select(cols) for f in files]
+    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])

@@ -1,0 +1,93 @@
+"""Per-partition manifests: the exactly-once commit protocol.
+
+Generalizes the reference's S3 sink commit (``mex/extractors/sinks/s3.py:85-133``:
+stream data → sha256 checksum → put data object → write ``metadata.json``
+manifest with versions/checksum/``write_completed_at``) into a per-partition
+two-phase commit:
+
+1. write the partition's data + tombstone files under deterministic names
+   derived from (partition, last_lsn) — a retried task rewrites identical
+   bytes, so duplicated work is a no-op;
+2. atomically ``os.replace`` the manifest JSON into place. The manifest is
+   the *only* source of truth: readers open exactly the files it lists, so a
+   crash between (1) and (2) leaves ignorable orphans and replay resumes
+   from the previous watermark.
+
+``last_lsn`` is the partition's LSN watermark (the analog of the reference's
+run-timestamp sensor watermark, ``mex/extractors/pipeline/base.py:51-105``):
+events at or below it are dropped idempotently on replay.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+
+
+@dataclass
+class PartitionManifest:
+    partition: int
+    last_lsn: int
+    files: list[str] = field(default_factory=list)
+    tombstone_file: str | None = None
+    schema_version: int = 1
+    sha256_checksum: str = ""
+    row_count: int = 0
+    tombstone_count: int = 0
+    write_completed_at: str = ""  # informational only; excluded from equality checks
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=1, sort_keys=True)
+
+
+def partition_dir(lake_dir: str | Path, pid: int) -> Path:
+    return Path(lake_dir) / f"partition={pid:05d}"
+
+
+def manifest_path(lake_dir: str | Path, pid: int) -> Path:
+    return partition_dir(lake_dir, pid) / "manifest.json"
+
+
+def read_manifest(lake_dir: str | Path, pid: int) -> PartitionManifest | None:
+    p = manifest_path(lake_dir, pid)
+    try:
+        doc = json.loads(p.read_text())
+    except FileNotFoundError:
+        return None
+    return PartitionManifest(**doc)
+
+
+def sha256_file(path: str | Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def atomic_write_bytes(path: Path, data: bytes) -> None:
+    tmp = path.parent / f".tmp-{uuid.uuid4().hex}-{path.name}"
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def commit_manifest(lake_dir: str | Path, manifest: PartitionManifest) -> None:
+    """Phase 2: atomic manifest replace; then best-effort GC of superseded files."""
+    pdir = partition_dir(lake_dir, manifest.partition)
+    pdir.mkdir(parents=True, exist_ok=True)
+    old = read_manifest(lake_dir, manifest.partition)
+    manifest.write_completed_at = datetime.now(timezone.utc).isoformat()
+    atomic_write_bytes(manifest_path(lake_dir, manifest.partition), manifest.to_json().encode())
+    if old is not None:
+        keep = set(manifest.files) | {manifest.tombstone_file}
+        for name in [*old.files, old.tombstone_file]:
+            if name and name not in keep:
+                try:
+                    os.unlink(pdir / name)
+                except FileNotFoundError:
+                    pass

@@ -1,0 +1,682 @@
+"""The query catalog: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB-equivalent oracle where SQL can express
+the semantics.
+
+Catalog discipline (driver contract):
+- every callable takes ``sf_dir`` and returns a pyarrow Table / pandas
+  DataFrame / ray Dataset;
+- computed columns carry the SAME name in the Ray result and the oracle SQL;
+- monetary/quantity aggregates are emitted as scaled int64 (``*_c100`` =
+  value×100 rounded half-up) so distributed float summation order can never
+  flip a hash comparison — both sides do ``floor(x*100 + 0.5)`` per row and
+  sum exact integers;
+- the CDC queries run the REAL engine (change log → partitioned ingest →
+  manifest-committed lake → read back); the oracle replays the same
+  closed-form log in pure SQL (see gen.change_log_from_events).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from mex_extractors_ray.cdc.apply import ingest_change_log, read_lake_arrow
+from mex_extractors_ray.cdc.manifest import read_manifest
+from mex_extractors_ray.gen import change_log_from_events
+from mex_extractors_ray.stages import aggregates, dedup, filters, joins, similarity, text
+
+WORK_ROOT = Path("/tmp/mex_ray_work")
+CDC_PARTITIONS = 16
+
+EVENT_RULES = [
+    {"name": "blocked_type", "column": "event_type", "op": "in", "values": ["error"]},
+    {"name": "low_value", "column": "value", "op": "<", "value": 5.0},
+    {"name": "null_props", "column": "props", "op": "null"},
+]
+
+STOPWORDS_SQL = "['the','a','and','of','to','in','is','on','for','with']"
+
+
+def _rd():
+    import ray.data
+
+    return ray.data
+
+
+def _cents(col, scale: int = 100) -> pa.Array:
+    """floor(x*scale + 0.5) as int64 — matches the SQL side bit-for-bit."""
+    v = np.asarray(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, dtype=np.float64)
+    return pa.array(np.floor(v * scale + 0.5).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# CDC flagship: events-derived change log through the real engine
+# ---------------------------------------------------------------------------
+
+_LAKE_CACHE: dict[str, Path] = {}
+
+
+def build_cdc_lake(sf_dir: str) -> Path:
+    """Derive the closed-form change log from ``events``, ingest it through
+    the full engine (resolve → shuffle → per-partition merge → manifest
+    commit). Cached per sf_dir within a process."""
+    if sf_dir in _LAKE_CACHE:
+        return _LAKE_CACHE[sf_dir]
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = WORK_ROOT / f"cdc-{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir, lake_dir = base / "log", base / "lake"
+    log_dir.mkdir(parents=True)
+    events = pq.read_table(f"{sf_dir}/events.parquet")
+    log = change_log_from_events(events)
+    paths = []
+    shard_rows = 100_000
+    for i, start in enumerate(range(0, log.num_rows, shard_rows)):
+        p = log_dir / f"log-{i:05d}.parquet"
+        pq.write_table(log.slice(start, shard_rows), p, compression="snappy")
+        paths.append(str(p))
+    metrics = ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS)
+    from mex_extractors_ray.state.checks import append_lineage
+
+    append_lineage(lake_dir, metrics, run_id=f"{int(pc.max(metrics['last_lsn']).as_py()):020d}")
+    _LAKE_CACHE[sf_dir] = lake_dir
+    return lake_dir
+
+
+def _tok_sums(tokens: pa.ChunkedArray) -> pa.Array:
+    col = tokens.combine_chunks()
+    values = np.asarray(col.flatten(), dtype=np.int64)
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    sums = np.add.reduceat(values, offsets[:-1]) if len(values) else np.zeros(len(col), np.int64)
+    sums = np.where(offsets[1:] > offsets[:-1], sums, 0)
+    return pa.array(sums.astype(np.int64))
+
+
+def q_cdc_final_state(sf_dir: str) -> pa.Table:
+    """Full-engine CDC replay; per-row token payload verified via tok_sum."""
+    lake = read_lake_arrow(build_cdc_lake(sf_dir))
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
+def q_cdc_live_counts(sf_dir: str) -> pa.Table:
+    lake = read_lake_arrow(build_cdc_lake(sf_dir))
+    t = pa.table({"source": lake["source"], "n_tok": lake["n_tok"].cast(pa.int64())})
+    out = t.group_by("source").aggregate([("n_tok", "sum"), ("source", "count")])
+    return pa.table(
+        {
+            "source": out["source"],
+            "n_docs": out["source_count"].cast(pa.int64()),
+            "sum_n_tok": out["n_tok_sum"].cast(pa.int64()),
+        }
+    )
+
+
+def q_cdc_tombstones(sf_dir: str) -> pa.Table:
+    lake_dir = build_cdc_lake(sf_dir)
+    ids, lsns = [], []
+    for pid in range(CDC_PARTITIONS):
+        m = read_manifest(lake_dir, pid)
+        if m and m.tombstone_file:
+            t = pq.read_table(lake_dir / f"partition={pid:05d}" / m.tombstone_file)
+            ids.extend(t["doc_id"].to_pylist())
+            lsns.extend(t["lsn"].to_pylist())
+    order = np.argsort(np.array(ids, dtype=object), kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(ids, dtype=object)[order].tolist(), pa.string()),
+            "last_lsn": pa.array(np.array(lsns)[order].astype(np.int64)),
+        }
+    )
+
+
+_CDC_LOG_SQL = """
+  SELECT event_id AS lsn,
+         'doc-' || CAST(user_id AS VARCHAR) AS doc_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'signup' THEN 'insert' ELSE 'update' END AS op,
+         user_id
+  FROM events
+"""
+
+_CDC_RANKED_SQL = f"""
+WITH log AS ({_CDC_LOG_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM log
+)
+"""
+
+_CDC_FINAL_SQL = (
+    _CDC_RANKED_SQL
+    + """
+SELECT doc_id,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CASE WHEN lsn % 10 IN (8, 9)
+            THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+            ELSE 'de' END AS lang,
+       8 + (lsn % 120) AS n_tok,
+       lsn AS last_lsn,
+       CAST(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+            i -> (user_id * 2654435761 + i * 40503) % 50000)) AS BIGINT) AS tok_sum
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# relational operator family (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """Grouped aggregate with per-batch partial combining (SURVEY.md §2.6)."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = _cents(b["l_quantity"])
+        price = _cents(b["l_extendedprice"])
+        disc = np.floor(
+            np.asarray(b["l_extendedprice"].combine_chunks(), dtype=np.float64)
+            * (1 - np.asarray(b["l_discount"].combine_chunks(), dtype=np.float64))
+            * 10000
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty_c100": qty,
+                "sum_base_price_c100": price,
+                "sum_disc_price_c10k": pa.array(disc),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty_c100", "sum"), ("sum_base_price_c100", "sum"),
+             ("sum_disc_price_c10k", "sum"), ([], "count_all")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c100", "sum_base_price_c100",
+             "sum_disc_price_c10k", "count_order"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c100", alias_name="sum_qty_c100"),
+            Sum("sum_base_price_c100", alias_name="sum_base_price_c100"),
+            Sum("sum_disc_price_c10k", alias_name="sum_disc_price_c10k"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    return out.to_pandas()
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast hash join (dims shipped once per actor — SURVEY.md §2.5)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": b["o_custkey"], "revenue_c100": _cents(b["o_totalprice"])}
+        )
+
+    joined = joins.broadcast_join(orders.map_batches(prep, batch_format="pyarrow"), dim, on="c_custkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n_name", as_index=False).agg(
+            revenue_c100=("revenue_c100", "sum"), n_orders=("revenue_c100", "size")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_c100", alias_name="revenue_c100"), Sum("n_orders", alias_name="n_orders"))
+    )
+    return out.to_pandas()
+
+
+def q_parts_semi_join(sf_dir: str):
+    """Semi join + regex predicate (ifsg shape, ``ifsg/filter.py:10-30``)."""
+    part = _rd().read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"])
+    econ = part.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["p_type"], r"^ECONOMY")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keys = econ["p_partkey"].tolist()
+    brand_of = dict(zip(econ["p_partkey"], econ["p_brand"]))
+    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    semi = joins.semi_join(line, "l_partkey", keys)
+
+    def to_brand(b: pa.Table) -> pa.Table:
+        brands = pd.Series(b["l_partkey"].to_pylist()).map(brand_of)
+        return pa.table({"p_brand": pa.array(brands), "sum_qty_c100": _cents(b["l_quantity"])})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        semi.map_batches(to_brand, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_items"), Sum("sum_qty_c100", alias_name="sum_qty_c100"))
+    )
+    return out.to_pandas()
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join (obsolete-assets shape, ``system/main.py:118-128``)."""
+    custkeys = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique("o_custkey")
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    out = joins.anti_join(cust, "c_custkey", custkeys)
+    return out.to_pandas()
+
+
+def q_first_event_per_user(sf_dir: str):
+    """First-seen dedup (``synopse/transform.py:286-289`` family)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+        return pd.DataFrame(
+            {"user_id": g["user_id"], "first_event_id": g["event_id"], "first_event_type": g["event_type"]}
+        )
+
+    return ev.groupby("user_id").map_groups(first, batch_format="pandas").to_pandas()
+
+
+def q_single_order_customers(sf_dir: str):
+    """Drop-ALL-duplicates (``ff_projects/filter.py:144-157``): keep orders
+    whose customer placed exactly one order."""
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return dedup.drop_all_duplicates(orders, "o_custkey").to_pandas()
+
+
+def q_event_type_sets(sf_dir: str):
+    """Collect-distinct-sorted valueSet (``synopse/transform.py:200-202``)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return aggregates.collect_distinct_sorted(ev, "user_id", "event_type", out="value_set").to_pandas()
+
+
+def q_signup_violations(sf_dir: str):
+    """Uniqueness assertion (``publisher/filter.py:40-52``): users with >1 signup."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    signups = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")), batch_format="pyarrow"
+    )
+    return dedup.uniqueness_violations(signups, "user_id").to_pandas()
+
+
+def q_rule_filter_kept(sf_dir: str):
+    """Declarative rule filter — kept stream (``filters.py:18-84`` analog)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value", "props"])
+    kept = filters.apply_rule_filter(ev, EVENT_RULES)
+    return kept.select_columns(["event_id", "user_id", "event_type", "value"]).to_pandas()
+
+
+def q_rule_filter_rejects(sf_dir: str):
+    """Rejection lineage: count per firing rule (``logging.py:13-32`` analog)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value", "props"])
+    tagged = ev.map_batches(
+        filters.RuleFilter, fn_constructor_args=(EVENT_RULES,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(filters.rejected, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    out = tagged.groupby("_reject_reason").aggregate(Count(alias_name="n"))
+    df = out.to_pandas().rename(columns={"_reject_reason": "reason"})
+    return df
+
+
+def q_top_orders(sf_dir: str):
+    """Sort + limit (top-k, SURVEY.md §2.7)."""
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    top = orders.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+    return top.to_pandas()
+
+
+def q_union_streams(sf_dir: str):
+    """Union of filtered streams + grouped count (``publisher/main.py:155-160``)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    a = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow")
+    b = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "signup")), batch_format="pyarrow")
+    return aggregates.grouped_count(a.union(b), "event_type", alias="n").to_pandas()
+
+
+def q_events_per_day(sf_dir: str):
+    """Temporal grouped aggregate (daily rollup)."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].dt.strftime("%Y-%m-%d")
+        vc = np.floor(b["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"day": day, "value_c100": vc}).groupby("day", as_index=False).agg(
+            value_c100=("value_c100", "sum"), n=("value_c100", "size")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("value_c100", alias_name="value_c100"), Sum("n", alias_name="n"))
+    )
+    return out.to_pandas()
+
+
+def q_source_dimension(sf_dir: str):
+    """Get-or-create dimension (``grippeweb/transform.py:191-223`` family):
+    deterministic ids for the distinct natural keys."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    uniq = sorted(docs.unique("source"))
+    return pa.table(
+        {"source": pa.array(uniq), "org_id": pa.array(np.arange(1, len(uniq) + 1, dtype=np.int64))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data / text family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_docs(sf_dir: str):
+    """Exact dedup by content hash (md5 for oracle parity)."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_md5(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(h=b["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()))
+        return b[["doc_id", "h"]]
+
+    def keeper(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"keeper": [int(g["doc_id"].min())], "n_copies": [len(g)]})
+
+    out = (
+        docs.map_batches(add_md5, batch_format="pandas")
+        .groupby("h")
+        .map_groups(keeper, batch_format="pandas")
+    )
+    return out.to_pandas()
+
+
+def q_token_counts(sf_dir: str):
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text.token_counts, batch_format="pyarrow").select_columns(["doc_id", "n_words"])
+    return out.to_pandas()
+
+
+def q_quality_counts(sf_dir: str):
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = docs.map_batches(text.QualityScore, batch_format="pandas", concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "n_chars", "n_words", "n_stop"]).to_pandas()
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic n-gram language ID (no SQL equivalent — rows-only check)."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text.LangId, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf"]).to_pandas()
+
+
+def q_doc_fingerprints(sf_dir: str):
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text.fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"]).to_pandas()
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH candidates verified with true Jaccard (rows-only)."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id", k=3, num_perm=64, bands=16)
+    pairs = cand.to_pandas()
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    by_key = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    return dedup.jaccard_verify_pairs(pairs, by_key, k=3, threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sim = dedup.simhash64(docs["text"], k=2)
+    return dedup.hamming_candidates(sim, np.asarray(docs["doc_id"]), max_dist=6, n_tables=4)
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 (broadcast query matrix)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = pc.less(emb["vec_id"], 4)
+    q = emb.filter(qmask)
+    qmat = similarity._to_matrix(q["embedding"])
+    qids = np.asarray(q["vec_id"], dtype=np.int64)
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(
+        expr="vec_id >= 4"
+    )
+    out = similarity.ann_topk(ds, qmat, qids, k=10)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(dtype=np.int64)),
+            "vec_id": pa.array(out["vec_id"].to_numpy(dtype=np.int64)),
+            "rank": pa.array(out["rank"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_embedding_near_dups(sf_dir: str):
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])["embedding"][0])
+    out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.9, n_bits=8)
+    return out.to_pandas()
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (decode stubbed — rows-only check)."""
+    from mex_extractors_ray.stages.multimodal import extract_media_features
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pc.cast(b["doc_id"], pa.string()),
+                "media_type": pa.array(["image/png"] * b.num_rows),
+                "payload": pc.cast(b["text"], pa.binary()),
+            }
+        )
+
+    out = extract_media_features(docs.map_batches(to_media, batch_format="pyarrow"))
+    return out.to_pandas()
+
+
+def q_cdc_partition_metrics(sf_dir: str):
+    """Per-partition lineage/metrics of the CDC run (rows-only)."""
+    lake_dir = build_cdc_lake(sf_dir)
+    from mex_extractors_ray.state.checks import read_lineage
+
+    t = read_lineage(lake_dir)
+    return t.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_live_counts": q_cdc_live_counts,
+        "cdc_tombstones": q_cdc_tombstones,
+        "cdc_partition_metrics": q_cdc_partition_metrics,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "parts_semi_join": q_parts_semi_join,
+        "customers_without_orders": q_customers_without_orders,
+        "first_event_per_user": q_first_event_per_user,
+        "single_order_customers": q_single_order_customers,
+        "event_type_sets": q_event_type_sets,
+        "signup_violations": q_signup_violations,
+        "rule_filter_kept": q_rule_filter_kept,
+        "rule_filter_rejects": q_rule_filter_rejects,
+        "top_orders": q_top_orders,
+        "union_streams": q_union_streams,
+        "events_per_day": q_events_per_day,
+        "source_dimension": q_source_dimension,
+        "exact_dup_docs": q_exact_dup_docs,
+        "token_counts": q_token_counts,
+        "quality_counts": q_quality_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql():
+    return {
+        "cdc_final_state": _CDC_FINAL_SQL,
+        "cdc_live_counts": _CDC_RANKED_SQL
+        + """
+SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(8 + (lsn % 120)) AS BIGINT) AS sum_n_tok
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY 1
+""",
+        "cdc_tombstones": _CDC_RANKED_SQL
+        + """
+SELECT doc_id, lsn AS last_lsn FROM ranked WHERE rn = 1 AND op = 'delete'
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c100,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c10k,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c100,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "parts_semi_join": """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE regexp_matches(p_type, '^ECONOMY')
+GROUP BY p_brand
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+        "first_event_per_user": """
+SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+""",
+        "single_order_customers": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) = 1
+""",
+        "event_type_sets": """
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS value_set
+FROM events GROUP BY user_id
+""",
+        "signup_violations": """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE event_type = 'signup' GROUP BY user_id HAVING COUNT(*) > 1
+""",
+        "rule_filter_kept": """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE NOT (event_type IN ('error'))
+  AND NOT (value < 5.0)
+  AND props IS NOT NULL
+""",
+        "rule_filter_rejects": """
+SELECT CASE WHEN event_type IN ('error') THEN 'blocked_type'
+            WHEN value < 5.0 THEN 'low_value'
+            WHEN props IS NULL THEN 'null_props' END AS reason,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('error') OR value < 5.0 OR props IS NULL
+GROUP BY 1
+""",
+        "top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "union_streams": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT event_type FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_type FROM events WHERE event_type = 'signup'
+) GROUP BY event_type
+""",
+        "events_per_day": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+        "source_dimension": """
+SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS org_id
+FROM (SELECT DISTINCT source FROM documents)
+""",
+        "exact_dup_docs": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        "token_counts": r"""
+SELECT doc_id, CAST(len(str_split_regex(text, '\s+')) AS BIGINT) AS n_words
+FROM documents
+""",
+        "quality_counts": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                            w -> list_contains({STOPWORDS_SQL}, w))) AS BIGINT) AS n_stop
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+scored AS (
+  SELECT query_id, vec_id, list_cosine_similarity(qe, embedding) AS cos
+  FROM q CROSS JOIN c
+)
+SELECT query_id, vec_id, CAST(row_number() OVER
+       (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+""",
+    }

@@ -1,0 +1,204 @@
+"""Versioned Arrow schema registry with per-batch resolution.
+
+The reference handles schema change *socially*: fixed pydantic models with
+column aliases (``mex/extractors/synopse/models/project.py:18-31``) plus
+mapping YAMLs that translate source values
+(``assets/mappings/synopse/resource.yaml``), edited by humans when sources
+change. This module makes that discipline a runtime feature (north_rule:
+"schema evolution ... resolved per-batch against a versioned Arrow schema
+registry"): every change-log batch carries a ``schema_version`` column and is
+upgraded to the registry's latest version before the keyed apply —
+
+- **additive columns** appear with a declared default (v2 adds
+  ``lang: string`` defaulting to ``"de"``, echoing the reference's
+  ``Text{value, language}`` default-language idea,
+  ``mex/extractors/synopse/transform.py:190``),
+- **type widening** casts up (v3 widens ``n_tok`` int32 → int64); data
+  written under an older version is up-cast at scan time and rewritten on
+  compaction.
+
+The registry itself is a JSON document (the runtime analog of the mapping
+YAMLs) so deployments can ship new versions without code changes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pyarrow as pa
+
+_TYPE_NAMES: dict[str, pa.DataType] = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+    "timestamp[us]": pa.timestamp("us"),
+    "list<int32>": pa.list_(pa.int32()),
+    "list<int64>": pa.list_(pa.int64()),
+    "list<float>": pa.list_(pa.float32()),
+    "list<double>": pa.list_(pa.float64()),
+    "list<string>": pa.list_(pa.string()),
+}
+_NAME_OF_TYPE = {v: k for k, v in _TYPE_NAMES.items()}
+
+# widenings we accept silently (anything else is a registry error)
+_WIDENINGS = {
+    (pa.int32(), pa.int64()),
+    (pa.float32(), pa.float64()),
+    (pa.list_(pa.int32()), pa.list_(pa.int64())),
+    (pa.list_(pa.float32()), pa.list_(pa.float64())),
+}
+
+
+@dataclass(frozen=True)
+class SchemaVersion:
+    version: int
+    fields: tuple[tuple[str, pa.DataType], ...]  # ordered (name, type)
+    defaults: dict[str, object] = field(default_factory=dict)  # name -> fill value (None = null)
+
+    def to_arrow(self) -> pa.Schema:
+        return pa.schema([pa.field(n, t) for n, t in self.fields])
+
+
+class SchemaRegistry:
+    """Ordered set of schema versions; resolves any batch to any version."""
+
+    def __init__(self, versions: list[SchemaVersion]):
+        if not versions:
+            raise ValueError("registry needs at least one version")
+        self._by_version = {v.version: v for v in sorted(versions, key=lambda v: v.version)}
+        self.latest_version = max(self._by_version)
+        self._validate()
+
+    def _validate(self) -> None:
+        prev: SchemaVersion | None = None
+        for v in self._by_version.values():
+            if prev is not None:
+                prev_types = dict(prev.fields)
+                for name, typ in v.fields:
+                    if name in prev_types and prev_types[name] != typ:
+                        if (prev_types[name], typ) not in _WIDENINGS:
+                            raise ValueError(
+                                f"illegal type change {name}: {prev_types[name]} -> {typ} "
+                                f"(v{prev.version} -> v{v.version}); only widening is allowed"
+                            )
+                dropped = set(prev_types) - {n for n, _ in v.fields}
+                if dropped:
+                    raise ValueError(f"columns may not be dropped (v{v.version} drops {dropped})")
+            prev = v
+
+    def __getitem__(self, version: int) -> SchemaVersion:
+        return self._by_version[version]
+
+    @property
+    def latest(self) -> SchemaVersion:
+        return self._by_version[self.latest_version]
+
+    def resolve_table(self, table: pa.Table, to_version: int | None = None) -> pa.Table:
+        """Upgrade ``table`` (written under any registered version) to
+        ``to_version`` (default latest): add missing columns with their
+        declared default, up-cast widened types, order columns canonically.
+        Extra columns not in the target schema are passed through at the end
+        (the engine's system columns ``lsn``/``op``/``schema_version`` ride
+        along).
+        """
+        target = self[to_version if to_version is not None else self.latest_version]
+        n = table.num_rows
+        cols: list[pa.ChunkedArray | pa.Array] = []
+        names: list[str] = []
+        have = {name: i for i, name in enumerate(table.column_names)}
+        for name, typ in target.fields:
+            if name in have:
+                col = table.column(have[name])
+                if col.type != typ:
+                    col = col.cast(typ)
+                default = target.defaults.get(name)
+                if default is not None and col.null_count:
+                    # rows written under a version that lacked the column
+                    # carry nulls; the declared default applies to them too
+                    import pyarrow.compute as pc
+
+                    col = pc.fill_null(col, default)
+                cols.append(col)
+            else:
+                default = target.defaults.get(name)
+                if default is None:
+                    cols.append(pa.nulls(n, typ))
+                else:
+                    cols.append(pa.chunked_array([pa.array([default] * n, typ)]))
+            names.append(name)
+        target_names = {n for n, _ in target.fields}
+        for name in table.column_names:
+            if name not in target_names:
+                cols.append(table.column(have[name]))
+                names.append(name)
+        return pa.table(dict(zip(names, cols)))
+
+    # -- persistence (the runtime mapping-YAML analog) ------------------------
+
+    def to_json(self) -> str:
+        doc = [
+            {
+                "version": v.version,
+                "fields": [[n, _NAME_OF_TYPE[t]] for n, t in v.fields],
+                "defaults": {k: val for k, val in v.defaults.items()},
+            }
+            for v in self._by_version.values()
+        ]
+        return json.dumps(doc, indent=2)
+
+    def dump(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def from_json(cls, text: str) -> "SchemaRegistry":
+        doc = json.loads(text)
+        versions = [
+            SchemaVersion(
+                version=e["version"],
+                fields=tuple((n, _TYPE_NAMES[t]) for n, t in e["fields"]),
+                defaults=dict(e.get("defaults", {})),
+            )
+            for e in doc
+        ]
+        return cls(versions)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "SchemaRegistry":
+        return cls.from_json(Path(path).read_text())
+
+
+def sequence_registry() -> SchemaRegistry:
+    """The engine's stock registry for the tokenized-sequence table
+    (BASELINE.json input_hint; evolution fixtures per FIXTURES.md §2):
+
+    v1: doc_id:string, tokens:list<int32>, n_tok:int32, source:string
+    v2: + lang:string (default "de")
+    v3: n_tok widened int32 → int64
+    """
+    base = (
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    )
+    v1 = SchemaVersion(1, base)
+    v2 = SchemaVersion(2, base + (("lang", pa.string()),), {"lang": "de"})
+    v3 = SchemaVersion(
+        3,
+        (
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int64()),
+            ("source", pa.string()),
+            ("lang", pa.string()),
+        ),
+        {"lang": "de"},
+    )
+    return SchemaRegistry([v1, v2, v3])

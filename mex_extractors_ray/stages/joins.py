@@ -1,0 +1,137 @@
+"""Join / lookup operators.
+
+All of the reference's joins are hash joins with a small build side held as
+a Python dict (SURVEY.md §2.5 — e.g. the composite-key study⋈overview join,
+``mex/extractors/synopse/transform.py:91-119``; the semi-join + regex
+predicate, ``mex/extractors/ifsg/filter.py:10-30``; the anti-join of
+obsolete assets, ``mex/extractors/system/main.py:118-128``). The Ray-Data
+re-expression:
+
+- **broadcast hash join**: materialize the (small) build side ONCE on the
+  driver, ``ray.put`` it, and probe per batch inside a map_batches actor —
+  the small side is shipped to each actor once, never per batch, and there
+  is no shuffle.
+- **semi/anti join**: broadcast the key set and mask with ``pc.is_in``.
+- **large-large join**: co-partition both sides on a shared bucket column
+  (``hash(key) % B``) and join per bucket inside ``map_groups`` — one
+  explicit shuffle per side, skew handled by raising B.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mex_extractors_ray.hashing import assign_partitions
+
+
+class BroadcastJoin:
+    """map_batches actor: probe-side stream ⋈ broadcast build side.
+
+    ``build_ref`` is a ``ray.ObjectRef`` to a pandas DataFrame (or the
+    DataFrame itself for tests). De-referenced ONCE per actor in __init__ —
+    the reference's build-a-dict-then-probe shape, distributed.
+    """
+
+    def __init__(self, build_ref, on: str | list[str], how: str = "inner",
+                 suffix: str = "_r"):
+        import ray
+
+        build = ray.get(build_ref) if hasattr(build_ref, "hex") else build_ref
+        self.build = build
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.build, on=self.on, how=self.how, suffixes=("", self.suffix))
+
+
+def broadcast_join(ds, build_df: pd.DataFrame, on, how: str = "inner"):
+    """Probe `ds` against a small dimension table, broadcast once."""
+    import ray
+
+    ref = ray.put(build_df)
+    return ds.map_batches(
+        BroadcastJoin,
+        fn_constructor_args=(ref, on, how),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def semi_join_mask(batch: pa.Table, column: str, keys: Iterable) -> pa.Table:
+    return batch.filter(pc.is_in(batch[column], value_set=pa.array(list(keys))))
+
+
+def anti_join_mask(batch: pa.Table, column: str, keys: Iterable) -> pa.Table:
+    return batch.filter(pc.invert(pc.is_in(batch[column], value_set=pa.array(list(keys)))))
+
+
+def semi_join(ds, column: str, keys: Iterable):
+    """Keep rows whose key is in the broadcast set (ifsg filter shape)."""
+    keys = list(keys)
+    return ds.map_batches(lambda t: semi_join_mask(t, column, keys), batch_format="pyarrow")
+
+
+def anti_join(ds, column: str, keys: Iterable):
+    """Drop rows whose key is in the broadcast set (obsolete-assets shape)."""
+    keys = list(keys)
+    return ds.map_batches(lambda t: anti_join_mask(t, column, keys), batch_format="pyarrow")
+
+
+def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner"):
+    """Large-large hash join: co-partition both sides on hash(key) % B, then
+    pandas-merge per bucket. Two shuffles total; raise ``num_buckets`` for
+    skewed keys. Key column must be string-typed (hash is over bytes)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(assign_partitions(t[on], num_buckets))
+        )
+
+    lt = left.map_batches(tag, batch_format="pyarrow")
+    rt = right.map_batches(tag, batch_format="pyarrow")
+
+    # union with a side marker, one shuffle, merge within bucket groups
+    def mark(side: str):
+        def _m(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+        return _m
+
+    both = lt.map_batches(mark("l"), batch_format="pyarrow").union(
+        rt.map_batches(mark("r"), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"].drop(columns=["_side", "_bucket"]).dropna(axis=1, how="all")
+        r = g[g["_side"] == "r"].drop(columns=["_side", "_bucket"]).dropna(axis=1, how="all")
+        return l.merge(r, on=on, how=how, suffixes=("", "_r"))
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+class GetOrCreateDimension:
+    """Keyed get-or-create (upsert-into-dimension) — the reference's
+    probe-dict-then-``load([org])`` pattern
+    (``mex/extractors/grippeweb/transform.py:191-223`` and 4 clones).
+
+    Deterministic distributed form: the id IS a pure function of the natural
+    key (stable hash), so every partition can mint ids independently without
+    coordination — the distributed analog of the reference's deterministic
+    ``stableTargetId``. A later ``groupby(key).map_groups(head(1))`` yields
+    the dimension table itself.
+    """
+
+    def __init__(self, key_col: str, id_col: str = "dim_id", prefix: str = "dim"):
+        self.key_col, self.id_col, self.prefix = key_col, id_col, prefix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from mex_extractors_ray.hashing import hash_string_array
+
+        h = hash_string_array(batch[self.key_col])
+        ids = pa.array([f"{self.prefix}-{int(v):016x}" for v in h])
+        return batch.append_column(self.id_col, ids)

@@ -1,0 +1,60 @@
+import numpy as np
+import pyarrow as pa
+
+from mex_extractors_ray.hashing import (
+    assign_partitions,
+    hash_string_array,
+    rolling_fingerprints,
+)
+
+
+def _scalar_ref(s: str) -> int:
+    h = 0
+    for i, b in enumerate(s.encode()):
+        h = (h + b * pow(31, i, 1 << 64)) % (1 << 64)
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) % (1 << 64)
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) % (1 << 64)
+    h ^= h >> 31
+    return h
+
+
+def test_matches_scalar_reference():
+    vals = ["hello", "", "a", "doc-123", "x" * 3000]
+    h = hash_string_array(pa.array(vals))
+    for v, got in zip(vals, h):
+        assert int(got) == _scalar_ref(v)
+
+
+def test_slices_and_chunks_consistent():
+    a = pa.array([f"k{i}" for i in range(100)])
+    h = hash_string_array(a)
+    assert list(hash_string_array(a.slice(10, 20))) == list(h[10:30])
+    ch = pa.chunked_array([a.slice(0, 37), a.slice(37)])
+    assert list(hash_string_array(ch)) == list(h)
+
+
+def test_nulls_and_empty():
+    h = hash_string_array(pa.array(["x", None, ""]))
+    assert h[1] == h[2]  # null hashes like empty
+    assert h[0] != h[1]
+    assert len(hash_string_array(pa.array([], pa.string()))) == 0
+
+
+def test_partition_balance_and_determinism():
+    ids = pa.array([f"doc-{i}" for i in range(20000)])
+    p1 = assign_partitions(ids, 16)
+    p2 = assign_partitions(ids, 16)
+    assert (p1 == p2).all()
+    counts = np.bincount(p1, minlength=16)
+    assert counts.min() > 0.7 * counts.mean()
+    assert counts.max() < 1.3 * counts.mean()
+
+
+def test_rolling_fingerprint_shift_invariant():
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    f = rolling_fingerprints(pa.array([base, "PREFIX " + base, "unrelated text"]), window=16)
+    # winnowing-style min over window hashes survives a prefix edit
+    assert f[0] == f[1]
+    assert f[0] != f[2]
