@@ -1,0 +1,154 @@
+"""Benchmark driver.
+
+Headline: CDC apply throughput — a seeded synthetic change log (sized from
+the sf's events table ×20) ingested through the full engine (read → schema
+resolve → hash-partition shuffle → per-partition merge → manifest commit)
+into a fresh lake. Prints ONE JSON line:
+
+  {"metric": "cdc_ingest_sf_headline", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "events": N, "events_per_sec": N}
+
+`--scaling`: the same job in fresh processes at num_cpus=8 and 32 on the
+same input; reports both throughputs + scaling efficiency (the sandbox
+substitute for the N→4N-node rule; see BASELINE.md).
+
+Environment: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32). A warm-up ingest runs first (untimed) so we measure compute +
+shuffle, not first-touch page faults / cold page cache (this sandbox's
+dominant cold-start cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = Path("/tmp/mex_ray_bench")
+
+# catalog queries included in the per-query section (a cross-section of the
+# operator families; each timed on its own)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "parts_semi_join",
+    "first_event_per_user",
+    "event_type_sets",
+    "rule_filter_kept",
+    "exact_dup_docs",
+    "token_counts",
+    "minhash_near_dups",
+    "ann_topk",
+]
+
+
+def log_events_for_sf(sf_dir: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    n_events_tbl = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_events = n_events_tbl * 20
+    return n_events, max(1000, n_events // 10)
+
+
+def ensure_log(n_events: int, n_docs: int, seed: int = 42) -> list[str]:
+    from mex_extractors_ray.gen import synth_change_log
+
+    d = BENCH_ROOT / f"log-{n_events}-{n_docs}-{seed}"
+    marker = d / "_COMPLETE"
+    if marker.exists():
+        return sorted(str(p) for p in d.glob("log-*.parquet"))
+    shutil.rmtree(d, ignore_errors=True)
+    paths = synth_change_log(d, n_events=n_events, n_docs=n_docs, seed=seed, shard_rows=250_000)
+    marker.write_text("ok")
+    return paths
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from mex_extractors_ray.cdc import ingest_change_log
+
+    n_events, n_docs = log_events_for_sf(SF_DIR)
+    paths = ensure_log(n_events, n_docs)
+    num_partitions = max(32, NUM_CPUS)
+
+    # warm-up: small untimed ingest (page cache + worker heaps)
+    warm_paths = ensure_log(100_000, 10_000, seed=7)
+    shutil.rmtree(BENCH_ROOT / "warm_lake", ignore_errors=True)
+    ingest_change_log(warm_paths, BENCH_ROOT / "warm_lake", num_partitions=num_partitions)
+
+    lake = BENCH_ROOT / f"lake-{NUM_CPUS}"
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.time()
+    metrics = ingest_change_log(paths, lake, num_partitions=num_partitions)
+    headline = time.time() - t0
+    assert metrics.num_rows == num_partitions
+
+    from mex_extractors_ray.pipelines import catalog
+
+    qtimes: dict[str, float] = {}
+    qfns = catalog.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        try:
+            qfns[name](SF_DIR)
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failed query shows as -1, not a crash
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            qtimes[name] = -1.0
+    return {
+        "metric": "cdc_ingest_sf_headline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "cdc_ingest_scaling",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "events": lo["events"],
+        "events_per_sec_8": lo["events_per_sec"],
+        "events_per_sec_32": hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

@@ -1,0 +1,164 @@
+"""CLI drivers — the ``@entrypoint()``-per-pipeline analog
+(``mex/extractors/main.py:5-8``), submitted standalone or via
+``ray job submit``. These OWN a Ray session (guarded init + shutdown);
+library code never does.
+
+    python -m mex_extractors_ray.cli ingest  --log DIR --lake DIR [-p N]
+    python -m mex_extractors_ray.cli gen     --out DIR --events N --docs N
+    python -m mex_extractors_ray.cli replay  --log DIR --lake DIR   (oracle diff)
+    python -m mex_extractors_ray.cli verify  --lake DIR             (audit)
+    python -m mex_extractors_ray.cli compact --lake DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _log_paths(log: str) -> list[str]:
+    p = Path(log)
+    return sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [log]
+
+
+def cmd_gen(args) -> int:
+    from mex_extractors_ray.gen import synth_change_log
+
+    paths = synth_change_log(args.out, n_events=args.events, n_docs=args.docs, seed=args.seed)
+    print(json.dumps({"files": len(paths), "out": args.out}))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc import ingest_change_log
+    from mex_extractors_ray.state.checks import append_lineage, evaluate_checks
+
+    import pyarrow.compute as pc
+
+    metrics = ingest_change_log(_log_paths(args.log), args.lake, num_partitions=args.partitions)
+    run_id = f"{int(pc.max(metrics['last_lsn']).as_py() or 0):020d}"
+    append_lineage(args.lake, metrics, run_id=run_id)
+    violations = evaluate_checks(args.lake, json.loads(args.checks)) if args.checks else []
+    print(
+        json.dumps(
+            {
+                "partitions": metrics.num_rows,
+                "rows_in": int(pc.sum(metrics["rows_in"]).as_py() or 0),
+                "upserts": int(pc.sum(metrics["upserts"]).as_py() or 0),
+                "deletes": int(pc.sum(metrics["deletes"]).as_py() or 0),
+                "late_dropped": int(pc.sum(metrics["late_dropped"]).as_py() or 0),
+                "row_count": int(pc.sum(metrics["row_count"]).as_py() or 0),
+                "check_violations": violations,
+            }
+        )
+    )
+    ray.shutdown()
+    return 1 if violations else 0
+
+
+def cmd_replay(args) -> int:
+    """Single-process oracle replay + byte-compare against the lake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mex_extractors_ray.cdc import replay_reference
+    from mex_extractors_ray.cdc.apply import read_lake_arrow
+
+    log = pa.concat_tables(pq.read_table(p) for p in _log_paths(args.log))
+    expected, tombs = replay_reference(log)
+    lake = read_lake_arrow(args.lake)
+    identical = lake.equals(expected)
+    print(
+        json.dumps(
+            {
+                "identical": identical,
+                "lake_rows": lake.num_rows,
+                "expected_rows": expected.num_rows,
+                "tombstones": len(tombs),
+            }
+        )
+    )
+    return 0 if identical else 1
+
+
+def cmd_verify(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.compact import verify_lake
+
+    reports = verify_lake(args.lake)
+    bad = [r for r in reports if not r["ok"]]
+    print(json.dumps({"partitions": len(reports), "failed": bad}))
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+def cmd_compact(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.compact import compact
+
+    out = compact(args.lake)
+    actions = {}
+    for r in out:
+        actions[r["action"]] = actions.get(r["action"], 0) + 1
+    print(json.dumps({"partitions": len(out), "actions": actions}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mex_extractors_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("--log", required=True)
+    i.add_argument("--lake", required=True)
+    i.add_argument("-p", "--partitions", type=int, default=32)
+    i.add_argument("--checks", default="", help="JSON list of drift rules")
+    i.set_defaults(fn=cmd_ingest)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--log", required=True)
+    r.add_argument("--lake", required=True)
+    r.set_defaults(fn=cmd_replay)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--lake", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--lake", required=True)
+    c.set_defaults(fn=cmd_compact)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

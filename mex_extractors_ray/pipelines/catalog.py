@@ -288,8 +288,10 @@ def q_parts_semi_join(sf_dir: str):
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti join (obsolete-assets shape, ``system/main.py:118-128``)."""
-    custkeys = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique("o_custkey")
+    """Anti join (obsolete-assets shape, ``system/main.py:118-128``):
+    customers with no big (>350k) order."""
+    big = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    custkeys = big.filter(expr="o_totalprice > 350000").unique("o_custkey")
     cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     out = joins.anti_join(cust, "c_custkey", custkeys)
     return out.to_pandas()
@@ -308,11 +310,14 @@ def q_first_event_per_user(sf_dir: str):
     return ev.groupby("user_id").map_groups(first, batch_format="pandas").to_pandas()
 
 
-def q_single_order_customers(sf_dir: str):
-    """Drop-ALL-duplicates (``ff_projects/filter.py:144-157``): keep orders
-    whose customer placed exactly one order."""
-    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return dedup.drop_all_duplicates(orders, "o_custkey").to_pandas()
+def q_single_line_orders(sf_dir: str):
+    """Drop-ALL-duplicates (``ff_projects/filter.py:144-157``): keep
+    lineitem rows whose order has exactly one line — a duplicated key drops
+    ALL its rows, not all-but-first."""
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_linenumber"]
+    )
+    return dedup.drop_all_duplicates(line, "l_orderkey").to_pandas()
 
 
 def q_event_type_sets(sf_dir: str):
@@ -354,7 +359,7 @@ def q_rule_filter_rejects(sf_dir: str):
 def q_top_orders(sf_dir: str):
     """Sort + limit (top-k, SURVEY.md §2.7)."""
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
-    top = orders.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
     return top.to_pandas()
 
 
@@ -486,7 +491,7 @@ def q_ann_topk(sf_dir: str):
 def q_embedding_near_dups(sf_dir: str):
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])["embedding"][0])
-    out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.9, n_bits=8)
+    out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.4, n_bits=6)
     return out.to_pandas()
 
 
@@ -534,7 +539,7 @@ def queries():
         "parts_semi_join": q_parts_semi_join,
         "customers_without_orders": q_customers_without_orders,
         "first_event_per_user": q_first_event_per_user,
-        "single_order_customers": q_single_order_customers,
+        "single_line_orders": q_single_line_orders,
         "event_type_sets": q_event_type_sets,
         "signup_violations": q_signup_violations,
         "rule_filter_kept": q_rule_filter_kept,
@@ -597,16 +602,16 @@ GROUP BY p_brand
 """,
         "customers_without_orders": """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
 """,
         "first_event_per_user": """
 SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
 """,
-        "single_order_customers": """
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) = 1
+        "single_line_orders": """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) = 1
 """,
         "event_type_sets": """
 SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS value_set

@@ -175,19 +175,23 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(g[key_col].to_numpy())
-        ks = pd.unique(ks)
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=g[key_col].dtype),
+             "b": pd.Series([], dtype=g[key_col].dtype),
+             "pair": pd.Series([], dtype="string")}
+        )
+        ks = pd.unique(np.sort(g[key_col].to_numpy()))
         if len(ks) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return empty
         ia, ib = np.triu_indices(len(ks), 1)
-        return pd.DataFrame({"a": ks[ia], "b": ks[ib]})
+        a, b = ks[ia], ks[ib]
+        return pd.DataFrame(
+            {"a": a, "b": b,
+             "pair": pd.Series([f"{x}|{y}" for x, y in zip(a, b)], dtype="string")}
+        )
 
     cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return exact_dedup(cand.map_batches(
-        lambda t: t.append_column(
-            "pair", pc.binary_join_element_wise(
-                pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()), "|")),
-        batch_format="pyarrow"), key="pair")
+    return exact_dedup(cand, key="pair")
 
 
 def jaccard_verify_pairs(pairs_df: pd.DataFrame, texts_by_key: dict, k: int = 3,

@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 
 from mex_extractors_ray.hashing import rolling_fingerprints
 
-_BPEISH = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+# RE2-compatible (pyarrow's regex engine has no lookahead)
+_BPEISH = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 DEFAULT_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 

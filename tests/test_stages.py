@@ -1,0 +1,240 @@
+"""Operator-stage unit tests on tiny Arrow tables (SURVEY.md §5 model:
+one hermetic test per operator family)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mex_extractors_ray.stages import aggregates, dedup, filters, joins, similarity, text
+
+
+# -- filters -----------------------------------------------------------------
+
+
+def test_rule_filter_first_match_and_lineage():
+    rules = [
+        {"name": "bad_type", "column": "t", "op": "in", "values": ["x"]},
+        {"name": "low", "column": "v", "op": "<", "value": 5},
+    ]
+    rf = filters.RuleFilter(rules)
+    batch = pa.table({"t": ["x", "a", "b", "x"], "v": [1, 2, 9, 9]})
+    out = rf(batch)
+    # first matching rule wins (row 0 is bad_type, not low)
+    assert out["_reject_reason"].to_pylist() == ["bad_type", "low", None, "bad_type"]
+    assert filters.kept(out)["t"].to_pylist() == ["b"]
+    assert filters.rejected(out).num_rows == 3
+
+
+def test_rule_filter_null_and_regex():
+    rules = [
+        {"name": "nul", "column": "s", "op": "null"},
+        {"name": "rx", "column": "s", "op": "regex", "pattern": "^bad"},
+    ]
+    out = filters.RuleFilter(rules)(pa.table({"s": [None, "badx", "ok"]}))
+    assert out["_reject_reason"].to_pylist() == ["nul", "rx", None]
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_first_seen(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"k": "a", "v": 2}, {"k": "a", "v": 1}, {"k": "b", "v": 3}]
+    )
+    out = dedup.exact_dedup(ds, "k", order_by="v").to_pandas().sort_values("k")
+    assert out["v"].tolist() == [1, 3]
+
+
+def test_drop_all_duplicates(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": 1}, {"k": 1}, {"k": 2}, {"k": 3}, {"k": 3}])
+    out = dedup.drop_all_duplicates(ds, "k").to_pandas()
+    assert out["k"].tolist() == [2]
+
+
+def test_uniqueness_violations(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": "p1"}, {"k": "p1"}, {"k": "p2"}])
+    out = dedup.uniqueness_violations(ds, "k").to_pandas()
+    assert out.to_dict("records") == [{"k": "p1", "n": 2}]
+
+
+def test_minhash_detects_near_duplicates():
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about ray data pipelines at scale " * 3
+    texts = pa.array([base, near, other])
+    sig = dedup.minhash_signatures(texts, k=3, num_perm=64)
+    sim_near = (sig[0] == sig[1]).mean()
+    sim_far = (sig[0] == sig[2]).mean()
+    assert sim_near > 0.6 > sim_far
+
+
+def test_minhash_pipeline(ray_session):
+    import ray.data
+
+    sent = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi "
+    rows = [
+        {"doc_id": 1, "text": sent * 4},
+        {"doc_id": 2, "text": (sent * 4).replace("omicron", "rho")},
+        {"doc_id": 3, "text": "one two three four five six seven eight nine ten " * 6},
+    ]
+    ds = ray.data.from_items(rows)
+    # r=2 rows/band → candidate probability ≈ 1 at jaccard ≈ 0.85
+    cand = dedup.minhash_candidate_pairs(ds, "text", "doc_id", num_perm=64, bands=32).to_pandas()
+    pairs = set(zip(cand["a"], cand["b"]))
+    assert (1, 2) in pairs
+    verified = dedup.jaccard_verify_pairs(
+        cand, {r["doc_id"]: r["text"] for r in rows}, threshold=0.5
+    )
+    assert set(zip(verified["a"], verified["b"])) == {(1, 2)}
+
+
+def test_simhash_hamming():
+    base = "the quick brown fox jumps over the lazy dog and keeps running onwards " * 3
+    near = base.replace("dog", "cat")
+    far = "orthogonal subject matter entirely unrelated to the preceding text corpus " * 3
+    sim = dedup.simhash64(pa.array([base, near, far]), k=2)
+    pairs = dedup.hamming_candidates(sim, np.array([10, 20, 30]), max_dist=12)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (10, 20) in got
+    assert (10, 30) not in got
+
+
+# -- joins -------------------------------------------------------------------
+
+
+def test_broadcast_join(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": 1, "x": "a"}, {"k": 2, "x": "b"}, {"k": 9, "x": "c"}])
+    dim = pd.DataFrame({"k": [1, 2], "name": ["one", "two"]})
+    out = joins.broadcast_join(ds, dim, on="k").to_pandas().sort_values("k")
+    assert out["name"].tolist() == ["one", "two"]
+
+
+def test_semi_and_anti_join(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": "a"}, {"k": "b"}, {"k": "c"}])
+    assert sorted(joins.semi_join(ds, "k", ["a", "c"]).to_pandas()["k"]) == ["a", "c"]
+    assert joins.anti_join(ds, "k", ["a", "c"]).to_pandas()["k"].tolist() == ["b"]
+
+
+def test_bucketed_join(ray_session):
+    import ray.data
+
+    left = ray.data.from_items([{"k": f"k{i}", "l": i} for i in range(20)])
+    right = ray.data.from_items([{"k": f"k{i}", "r": i * 10} for i in range(0, 20, 2)])
+    out = joins.bucketed_join(left, right, on="k", num_buckets=4).to_pandas()
+    assert len(out) == 10
+    assert (out["r"] == out["l"] * 10).all()
+
+
+def test_get_or_create_dimension_deterministic():
+    g = joins.GetOrCreateDimension("name", prefix="org")
+    t = pa.table({"name": ["rki", "who", "rki"]})
+    out1, out2 = g(t), g(t)
+    assert out1["dim_id"].to_pylist() == out2["dim_id"].to_pylist()
+    ids = out1["dim_id"].to_pylist()
+    assert ids[0] == ids[2] != ids[1]
+    assert ids[0].startswith("org-")
+
+
+# -- aggregates --------------------------------------------------------------
+
+
+def test_collect_distinct_sorted(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"k": 1, "v": "b"}, {"k": 1, "v": "a"}, {"k": 1, "v": "b"}, {"k": 2, "v": "z"}]
+    )
+    out = (
+        aggregates.collect_distinct_sorted(ds, "k", "v").to_pandas().sort_values("k")
+    )
+    assert out["value_set"].tolist() == ["a,b", "z"]
+
+
+def test_grouped_count_partial(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": "a"}] * 5 + [{"k": "b"}] * 3)
+    out = aggregates.grouped_count(ds, "k").to_pandas().sort_values("k")
+    assert out["n"].tolist() == [5, 3]
+
+
+# -- text --------------------------------------------------------------------
+
+
+def test_token_counts_vectorized():
+    out = text.token_counts(pa.table({"text": ["one two three", "solo"]}))
+    assert out["n_words"].to_pylist() == [3, 1]
+    assert out["n_bpe_tokens"].to_pylist()[0] >= 3
+
+
+def test_quality_score():
+    qs = text.QualityScore()
+    out = qs(pd.DataFrame({"text": ["the cat sat on the mat!", "zzz"]}))
+    assert out["n_stop"].tolist()[0] == 3  # the, on, the
+    assert 0 <= out["quality"].iloc[0] <= 1
+
+
+def test_lang_id_separates_en_de():
+    li = text.LangId()
+    out = li(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the quick brown fox jumps over the lazy dog with great speed",
+                    "der schnelle braune fuchs springt über den faulen hund und rennt",
+                ]
+            }
+        )
+    )
+    assert out["lang_pred"].tolist() == ["en", "de"]
+
+
+def test_clean_strings():
+    out = text.clean_strings(pa.table({"s": ['  a   b ""c""  ']}), "s")
+    assert out["s"].to_pylist() == ['a b "c"']
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def test_ann_topk_exact(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((100, 8)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+    ds = ray.data.from_items(items)
+    q = vecs[:2].astype(np.float64)
+    out = similarity.ann_topk(ds, q, np.array([0, 1]), k=5, key_col="vec_id")
+    # brute-force oracle
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = m @ m[qi]
+        expect = set(np.argsort(-sims)[:5].tolist())
+        got = set(out[out["query_id"] == qi]["vec_id"].tolist())
+        assert got == expect
+
+
+def test_embedding_near_duplicates(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16).astype(np.float32)
+    near = base + rng.standard_normal(16).astype(np.float32) * 0.01
+    items = [{"vec_id": 0, "embedding": base.tolist()}, {"vec_id": 1, "embedding": near.tolist()}]
+    items += [{"vec_id": i, "embedding": rng.standard_normal(16).astype(np.float32).tolist()} for i in range(2, 30)]
+    ds = ray.data.from_items(items)
+    out = similarity.embedding_near_duplicates(ds, dim=16, threshold=0.95, n_bits=4).to_pandas()
+    assert (0, 1) in set(zip(out["a"], out["b"]))
