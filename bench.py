@@ -65,7 +65,7 @@ def ensure_log(n_events: int, n_docs: int, seed: int = 42) -> list[str]:
     if marker.exists():
         return sorted(str(p) for p in d.glob("log-*.parquet"))
     shutil.rmtree(d, ignore_errors=True)
-    paths = synth_change_log(d, n_events=n_events, n_docs=n_docs, seed=seed, shard_rows=250_000)
+    paths = synth_change_log(d, n_events=n_events, n_docs=n_docs, seed=seed, shard_rows=50_000)
     marker.write_text("ok")
     return paths
 
@@ -84,7 +84,7 @@ def run_bench() -> dict:
 
     n_events, n_docs = log_events_for_sf(SF_DIR)
     paths = ensure_log(n_events, n_docs)
-    num_partitions = max(32, NUM_CPUS)
+    num_partitions = 64  # fixed across CPU levels so the scaling runs do identical work
 
     # warm-up: small untimed ingest (page cache + worker heaps)
     warm_paths = ensure_log(100_000, 10_000, seed=7)

