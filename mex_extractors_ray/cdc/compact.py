@@ -165,3 +165,123 @@ def verify_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None) ->
 
     out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="numpy")
     return out.take_all()
+
+
+def repartition_lake(
+    lake_dir: str | Path,
+    new_num_partitions: int,
+    registry: SchemaRegistry | None = None,
+) -> dict:
+    """Re-shard the lake to a different partition count — the scale-out /
+    skew remedy (SURVEY.md §4: split partitions rather than salt keys, so
+    key-locality of the merge is preserved).
+
+    Distributed: reads the committed state as a Dataset, re-assigns
+    pid = hash(doc_id) % P', and rewrites per-partition files + manifests
+    (same two-phase commit). The global LSN watermark is preserved as the
+    max of the old per-partition watermarks: after repartitioning, replaying
+    any suffix of the log (lsn > watermark) remains correct because every
+    partition inherits that watermark.
+    """
+    import functools
+
+    import ray.data
+
+    from mex_extractors_ray.cdc.apply import read_lake, resolve_and_partition
+
+    registry = registry or sequence_registry()
+    rj = registry.to_json()
+    old = Path(lake_dir)
+    pids = _partition_ids(old)
+    watermark = max(
+        (read_manifest(old, p).last_lsn for p in pids if read_manifest(old, p)),
+        default=-1,
+    )
+    tomb: dict[str, int] = {}
+    for p in pids:
+        m = read_manifest(old, p)
+        if m and m.tombstone_file and (partition_dir(old, p) / m.tombstone_file).exists():
+            t = pq.read_table(partition_dir(old, p) / m.tombstone_file)
+            tomb.update(zip(t["doc_id"].to_pylist(), t["lsn"].to_pylist()))
+
+    new = Path(str(lake_dir) + f".repart-{new_num_partitions}")
+    if new.exists():
+        import shutil
+
+        shutil.rmtree(new)
+    new.mkdir(parents=True)
+    (new / "_registry.json").write_text(rj)
+
+    ds = read_lake(old, registry).map_batches(
+        functools.partial(resolve_and_partition, registry_json=rj, num_partitions=new_num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        pid = int(group["pid"][0].as_py())
+        pdir = partition_dir(new, pid)
+        pdir.mkdir(parents=True, exist_ok=True)
+        cols = [n for n, _ in SchemaRegistry.from_json(rj).latest.fields] + ["lsn"]
+        t = group.select(cols).sort_by([("doc_id", "ascending")])
+        name = f"part-{pid:05d}-{watermark:020d}.parquet"
+        tmp = pdir / f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(t, tmp, compression="snappy")
+        os.replace(tmp, pdir / name)
+        commit_manifest(
+            new,
+            PartitionManifest(
+                partition=pid,
+                last_lsn=watermark,
+                files=[name],
+                tombstone_file=None,
+                schema_version=SchemaRegistry.from_json(rj).latest_version,
+                sha256_checksum=sha256_file(pdir / name),
+                row_count=t.num_rows,
+            ),
+        )
+        return pa.table({"partition": pa.array([pid], pa.int32()), "rows": pa.array([t.num_rows], pa.int64())})
+
+    try:
+        grouped = ds.groupby("pid", num_partitions=new_num_partitions)
+    except TypeError:
+        grouped = ds.groupby("pid")
+    out = grouped.map_groups(write_partition, batch_format="pyarrow").take_all()
+
+    # redistribute tombstones to their new partitions
+    if tomb:
+        ids = pa.array(sorted(tomb))
+        from mex_extractors_ray.hashing import assign_partitions as _ap
+
+        npid = _ap(ids, new_num_partitions)
+        for pid in set(npid.tolist()):
+            sel = [i for i, p in enumerate(npid) if p == pid]
+            tt = pa.table(
+                {
+                    "doc_id": ids.take(pa.array(sel)),
+                    "lsn": pa.array([tomb[ids[i].as_py()] for i in sel], pa.int64()),
+                }
+            )
+            pdir = partition_dir(new, pid)
+            pdir.mkdir(parents=True, exist_ok=True)
+            name = f"tombstones-{pid:05d}-{watermark:020d}.parquet"
+            tmp = pdir / f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(tt, tmp, compression="snappy")
+            os.replace(tmp, pdir / name)
+            m = read_manifest(new, pid) or PartitionManifest(
+                partition=pid, last_lsn=watermark, files=[],
+                schema_version=SchemaRegistry.from_json(rj).latest_version,
+            )
+            m.tombstone_file = name
+            m.tombstone_count = tt.num_rows
+            commit_manifest(new, m)
+
+    # atomic swap: retire the old layout, promote the new one
+    import shutil
+
+    backup = Path(str(lake_dir) + ".old")
+    if backup.exists():
+        shutil.rmtree(backup)
+    os.replace(old, backup)
+    os.replace(new, old)
+    shutil.rmtree(backup)
+    return {"partitions": len(out), "rows": sum(r["rows"] for r in out), "watermark": watermark}

@@ -18,6 +18,16 @@ import os
 import sys
 from pathlib import Path
 
+# force glibc heap reuse (see bench.py): without this, steady-state large
+# allocations pay this sandbox's first-touch fault cost on every buffer
+_TUNABLES = {"MALLOC_MMAP_THRESHOLD_": "2147483648", "MALLOC_TRIM_THRESHOLD_": "2147483648"}
+if (
+    __name__ == "__main__"
+    and os.environ.get("MALLOC_MMAP_THRESHOLD_") != _TUNABLES["MALLOC_MMAP_THRESHOLD_"]
+):
+    os.environ.update(_TUNABLES)
+    os.execv(sys.executable, [sys.executable, "-m", "mex_extractors_ray.cli"] + sys.argv[1:])
+
 
 def _ray():
     import ray
@@ -112,6 +122,16 @@ def cmd_verify(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_repartition(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.compact import repartition_lake
+
+    out = repartition_lake(args.lake, args.partitions)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.compact import compact
@@ -155,6 +175,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--lake", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    rp = sub.add_parser("repartition")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("-p", "--partitions", type=int, required=True)
+    rp.set_defaults(fn=cmd_repartition)
 
     args = ap.parse_args(argv)
     return args.fn(args)

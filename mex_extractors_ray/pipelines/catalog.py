@@ -297,6 +297,47 @@ def q_customers_without_orders(sf_dir: str):
     return out.to_pandas()
 
 
+def q_order_priority_revenue(sf_dir: str):
+    """Large-large bucketed hash join (both sides streamed, co-partitioned
+    on hash(key) % B — no broadcast): orders ⋈ lineitem on orderkey,
+    revenue per order priority."""
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(b["o_orderkey"], pa.string()), "o_orderpriority": b["o_orderpriority"]})
+
+    def prep_l(b: pa.Table) -> pa.Table:
+        disc = np.floor(
+            np.asarray(b["l_extendedprice"].combine_chunks(), dtype=np.float64)
+            * (1 - np.asarray(b["l_discount"].combine_chunks(), dtype=np.float64))
+            * 10000
+            + 0.5
+        ).astype(np.int64)
+        return pa.table({"k": pc.cast(b["l_orderkey"], pa.string()), "rev_c10k": pa.array(disc)})
+
+    joined = joins.bucketed_join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        line.map_batches(prep_l, batch_format="pyarrow"),
+        on="k",
+        num_buckets=16,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            revenue_c10k=("rev_c10k", "sum"), n_lines=("rev_c10k", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_c10k", alias_name="revenue_c10k"), Sum("n_lines", alias_name="n_lines"))
+    )
+    return out.to_pandas()
+
+
 def q_first_event_per_user(sf_dir: str):
     """First-seen dedup (``synopse/transform.py:286-289`` family)."""
     ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"])
@@ -409,7 +450,12 @@ def q_source_dimension(sf_dir: str):
 
 
 def q_exact_dup_docs(sf_dir: str):
-    """Exact dedup by content hash (md5 for oracle parity)."""
+    """Exact dedup by content hash.
+
+    Uses md5 ONLY because the DuckDB oracle must compute the identical key;
+    the engine's native path is the vectorized uint64 content hash
+    (``stages.dedup.add_content_hash`` — no per-row Python) and is what the
+    100 TB pipeline would use."""
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_md5(b: pd.DataFrame) -> pd.DataFrame:
@@ -465,7 +511,7 @@ def q_minhash_near_dups(sf_dir: str):
 def q_simhash_near_dups(sf_dir: str):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sim = dedup.simhash64(docs["text"], k=2)
-    return dedup.hamming_candidates(sim, np.asarray(docs["doc_id"]), max_dist=6, n_tables=4)
+    return dedup.hamming_candidates(sim, np.asarray(docs["doc_id"]), max_dist=6, n_tables=8)
 
 
 def q_ann_topk(sf_dir: str):
@@ -538,6 +584,7 @@ def queries():
         "revenue_by_nation": q_revenue_by_nation,
         "parts_semi_join": q_parts_semi_join,
         "customers_without_orders": q_customers_without_orders,
+        "order_priority_revenue": q_order_priority_revenue,
         "first_event_per_user": q_first_event_per_user,
         "single_line_orders": q_single_line_orders,
         "event_type_sets": q_event_type_sets,
@@ -603,6 +650,13 @@ GROUP BY p_brand
         "customers_without_orders": """
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+""",
+        "order_priority_revenue": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c10k,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
 """,
         "first_event_per_user": """
 SELECT user_id, event_id AS first_event_id, event_type AS first_event_type

@@ -237,8 +237,10 @@ def simhash64(texts: pa.ChunkedArray | pa.Array, k: int = 2) -> np.ndarray:
 def hamming_candidates(sim: np.ndarray, keys: np.ndarray, max_dist: int = 3,
                        n_tables: int = 4) -> pd.DataFrame:
     """Near-dup candidates by banding the 64-bit simhash into ``n_tables``
-    16-bit prefixes (docs within Hamming distance d<=n_tables-1 share ≥1
-    band). Returns verified pairs with hamming <= max_dist."""
+    bands of 64/n_tables bits. Pigeonhole guarantee: docs within Hamming
+    distance d < n_tables ALWAYS share ≥1 band; beyond that recall decays,
+    so pick n_tables > the max_dist you care about (more tables = more
+    candidates to verify). Returns verified pairs with hamming <= max_dist."""
     shift = 64 // n_tables
     buckets: dict[tuple[int, int], list[int]] = {}
     for t in range(n_tables):

@@ -84,11 +84,34 @@ def rejected(batch: pa.Table) -> pa.Table:
 def apply_rule_filter(ds, rules: list[dict], reject_sink_dir: str | None = None):
     """Dataset helper: tag → optionally persist the reject stream (lineage)
     → return the kept stream. Both streams stay distributed; nothing
-    materializes on the driver."""
+    materializes on the driver.
+
+    With ``reject_sink_dir`` the reject stream is written *inside the same
+    pass* (per-batch side-write of rejected rows to one parquet per block),
+    so the input is not recomputed for the second output — Ray Data has no
+    native multi-output operator, and re-executing the upstream would double
+    the read at scale."""
     tagged = ds.map_batches(
         RuleFilter, fn_constructor_args=(rules,), batch_format="pyarrow",
         concurrency=(1, 8),
     )
     if reject_sink_dir:
-        tagged.map_batches(rejected, batch_format="pyarrow").write_parquet(reject_sink_dir)
+        import os
+        import uuid
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        out = Path(reject_sink_dir)
+        out.mkdir(parents=True, exist_ok=True)
+
+        def split_and_sink(batch: pa.Table) -> pa.Table:
+            rej = rejected(batch)
+            if rej.num_rows:
+                tmp = out / f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(rej, tmp, compression="snappy")
+                os.replace(tmp, out / f"rejects-{uuid.uuid4().hex}.parquet")
+            return kept(batch)
+
+        return tagged.map_batches(split_and_sink, batch_format="pyarrow")
     return tagged.map_batches(kept, batch_format="pyarrow")

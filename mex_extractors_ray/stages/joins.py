@@ -87,28 +87,36 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner
     """Large-large hash join: co-partition both sides on hash(key) % B, then
     pandas-merge per bucket. Two shuffles total; raise ``num_buckets`` for
     skewed keys. Key column must be string-typed (hash is over bytes)."""
+    l_schema, r_schema = left.schema(), right.schema()
+    left_cols = list(l_schema.names)
+    right_cols = list(r_schema.names)
+    # union requires one schema: null-pad each side with the other's
+    # exclusive columns (correct types), in one canonical column order
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    all_cols = left_cols + [c for c in right_cols if c not in l_types]
+    all_types = {**r_types, **l_types}
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_bucket", pa.array(assign_partitions(t[on], num_buckets))
-        )
+    def prepare(side: str):
+        def _p(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                c: (t[c] if c in t.column_names else pa.nulls(n, all_types[c]))
+                for c in all_cols
+            }
+            out = pa.table(cols)
+            out = out.append_column("_bucket", pa.array(assign_partitions(t[on], num_buckets)))
+            return out.append_column("_side", pa.array([side] * n))
 
-    lt = left.map_batches(tag, batch_format="pyarrow")
-    rt = right.map_batches(tag, batch_format="pyarrow")
+        return _p
 
-    # union with a side marker, one shuffle, merge within bucket groups
-    def mark(side: str):
-        def _m(t: pa.Table) -> pa.Table:
-            return t.append_column("_side", pa.array([side] * t.num_rows))
-        return _m
-
-    both = lt.map_batches(mark("l"), batch_format="pyarrow").union(
-        rt.map_batches(mark("r"), batch_format="pyarrow")
+    both = left.map_batches(prepare("l"), batch_format="pyarrow").union(
+        right.map_batches(prepare("r"), batch_format="pyarrow")
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == "l"].drop(columns=["_side", "_bucket"]).dropna(axis=1, how="all")
-        r = g[g["_side"] == "r"].drop(columns=["_side", "_bucket"]).dropna(axis=1, how="all")
+        l = g.loc[g["_side"] == "l", left_cols]
+        r = g.loc[g["_side"] == "r", right_cols]
         return l.merge(r, on=on, how=how, suffixes=("", "_r"))
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

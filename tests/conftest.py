@@ -10,6 +10,13 @@ import pytest
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import os
+
+    # Ray workers inherit these via raylet; forces glibc heap reuse so large
+    # Arrow/numpy buffers don't pay this sandbox's first-touch fault cost on
+    # every allocation (see bench.py)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483648")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483648")
     import ray
 
     ray.init(

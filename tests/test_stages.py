@@ -100,7 +100,8 @@ def test_simhash_hamming():
     near = base.replace("dog", "cat")
     far = "orthogonal subject matter entirely unrelated to the preceding text corpus " * 3
     sim = dedup.simhash64(pa.array([base, near, far]), k=2)
-    pairs = dedup.hamming_candidates(sim, np.array([10, 20, 30]), max_dist=12)
+    # 16 tables of 4 bits: pigeonhole-guaranteed recall up to distance 15
+    pairs = dedup.hamming_candidates(sim, np.array([10, 20, 30]), max_dist=12, n_tables=16)
     got = set(zip(pairs["a"], pairs["b"]))
     assert (10, 20) in got
     assert (10, 30) not in got
