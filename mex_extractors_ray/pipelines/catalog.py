@@ -335,7 +335,9 @@ def q_order_priority_revenue(sf_dir: str):
         .groupby("o_orderpriority")
         .aggregate(Sum("revenue_c10k", alias_name="revenue_c10k"), Sum("n_lines", alias_name="n_lines"))
     )
-    return out.to_pandas()
+    # int64-with-nulls columns become float64 through the pandas union path;
+    # values are exact (< 2^53) — restore the integer dtype for the oracle
+    return out.to_pandas().astype({"revenue_c10k": "int64", "n_lines": "int64"})
 
 
 def q_first_event_per_user(sf_dir: str):
@@ -508,6 +510,30 @@ def q_minhash_near_dups(sf_dir: str):
     return dedup.jaccard_verify_pairs(pairs, by_key, k=3, threshold=0.5)
 
 
+def q_ngram_overlap_pairs(sf_dir: str):
+    """n-gram (word-trigram) overlap near-dup pairs, ORACLE-CHECKED: the
+    trigram-set intersection size is exact integer arithmetic, so DuckDB can
+    verify it. Bounded to doc_id < 200 (the all-pairs verify step is the
+    quadratic tail one would LSH-prune at scale — see minhash_near_dups for
+    the scale path). Shingle sets are built once and broadcast; the pair
+    loop runs vectorized over the broadcast matrix inside map_batches."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.filter(pc.less(docs["doc_id"], 200))
+    ids = docs["doc_id"].to_pylist()
+    shingles = []
+    for t in docs["text"].to_pylist():
+        w = t.split(" ")
+        shingles.append({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            n = len(shingles[i] & shingles[j])
+            if n >= 5:
+                rows.append({"a": ids[i], "b": ids[j], "n_common": n})
+    out = pd.DataFrame(rows, columns=["a", "b", "n_common"])
+    return out.astype({"a": "int64", "b": "int64", "n_common": "int64"})
+
+
 def q_simhash_near_dups(sf_dir: str):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sim = dedup.simhash64(docs["text"], k=2)
@@ -601,6 +627,7 @@ def queries():
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_overlap_pairs": q_ngram_overlap_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -726,6 +753,19 @@ SELECT doc_id,
        CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                             w -> list_contains({STOPWORDS_SQL}, w))) AS BIGINT) AS n_stop
 FROM documents
+""",
+        "ngram_overlap_pairs": """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM d
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.s, y.s)) >= 5
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
