@@ -174,24 +174,35 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
         concurrency=(1, 8),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series([], dtype=g[key_col].dtype),
-             "b": pd.Series([], dtype=g[key_col].dtype),
-             "pair": pd.Series([], dtype="string")}
-        )
-        ks = pd.unique(np.sort(g[key_col].to_numpy()))
-        if len(ks) < 2:
-            return empty
-        ia, ib = np.triu_indices(len(ks), 1)
-        a, b = ks[ia], ks[ib]
-        return pd.DataFrame(
-            {"a": a, "b": b,
-             "pair": pd.Series([f"{x}|{y}" for x, y in zip(a, b)], dtype="string")}
-        )
+    # ONE coarse group per band (bands are few) — inside, a C-speed pandas
+    # groupby over band_hash emits pairs per bucket. A per-(band,band_hash)
+    # map_groups would pay Ray's per-group dispatch for every near-singleton
+    # bucket (tens of thousands at corpus scale).
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        sizes = g.groupby("band_hash")[key_col].nunique()
+        hot = set(sizes[sizes >= 2].index)
+        for bh, sub in g[g["band_hash"].isin(hot)].groupby("band_hash"):
+            ks = pd.unique(np.sort(sub[key_col].to_numpy()))
+            ia, ib = np.triu_indices(len(ks), 1)
+            out_a.append(ks[ia])
+            out_b.append(ks[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=g[key_col].dtype),
+                 "b": pd.Series([], dtype=g[key_col].dtype)}
+            )
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return exact_dedup(cand, key="pair")
+    cand = exploded.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+    # candidate pairs are tiny relative to the corpus (LSH's whole point);
+    # cross-band duplicates are dropped on the driver
+    import ray.data
+
+    df = cand.to_pandas().drop_duplicates(["a", "b"]).reset_index(drop=True)
+    df["pair"] = df["a"].astype(str) + "|" + df["b"].astype(str)
+    return ray.data.from_pandas(df)
 
 
 def jaccard_verify_pairs(pairs_df: pd.DataFrame, texts_by_key: dict, k: int = 3,
