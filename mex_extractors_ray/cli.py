@@ -122,6 +122,18 @@ def cmd_verify(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_tail(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.tail import tail_loop
+
+    tail_loop(
+        args.log, args.lake, poll_seconds=args.poll,
+        max_polls=args.max_polls, num_partitions=args.partitions,
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_repartition(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.compact import repartition_lake
@@ -175,6 +187,14 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--lake", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    tl = sub.add_parser("tail")
+    tl.add_argument("--log", required=True)
+    tl.add_argument("--lake", required=True)
+    tl.add_argument("--poll", type=float, default=5.0)
+    tl.add_argument("--max-polls", type=int, default=None)
+    tl.add_argument("-p", "--partitions", type=int, default=32)
+    tl.set_defaults(fn=cmd_tail)
 
     rp = sub.add_parser("repartition")
     rp.add_argument("--lake", required=True)

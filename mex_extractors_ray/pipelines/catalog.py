@@ -451,6 +451,22 @@ def q_source_dimension(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_enriched_users(sf_dir: str):
+    """Stateful enrichment actor pool (the LDAP/wikidata lru_cache family,
+    ``mex/extractors/ldap/helpers.py:32-123``): per-actor LRU, deterministic
+    resolver, distinct output — hash-checked because the resolver is a pure
+    function of the key."""
+    from mex_extractors_ray.stages import enrich
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def resolve(uid) -> str:
+        return f"user-{int(uid):06d}"
+
+    enriched = enrich.enrich(ev, resolve, "user_id", "resolved", concurrency=(1, 4))
+    return dedup.exact_dedup(enriched, "user_id").to_pandas()
+
+
 def q_exact_dup_docs(sf_dir: str):
     """Exact dedup by content hash.
 
@@ -621,6 +637,7 @@ def queries():
         "union_streams": q_union_streams,
         "events_per_day": q_events_per_day,
         "source_dimension": q_source_dimension,
+        "enriched_users": q_enriched_users,
         "exact_dup_docs": q_exact_dup_docs,
         "token_counts": q_token_counts,
         "quality_counts": q_quality_counts,
@@ -737,6 +754,10 @@ FROM events GROUP BY 1
         "source_dimension": """
 SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS org_id
 FROM (SELECT DISTINCT source FROM documents)
+""",
+        "enriched_users": """
+SELECT DISTINCT user_id, 'user-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS resolved
+FROM events
 """,
         "exact_dup_docs": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies

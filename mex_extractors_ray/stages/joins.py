@@ -143,3 +143,14 @@ class GetOrCreateDimension:
         h = hash_string_array(batch[self.key_col])
         ids = pa.array([f"{self.prefix}-{int(v):016x}" for v in h])
         return batch.append_column(self.id_col, ids)
+
+
+def composite_key(batch: pa.Table, cols: list[str], out: str = "_key", sep: str = "-") -> pa.Table:
+    """The reference's composite join keys (``f"{studien_id}-{titel_datenset}-
+    {dstyp_id}"``, ``mex/extractors/synopse/transform.py:91-119``), built
+    vectorized: casts each part to string and joins with ``sep``; null parts
+    become empty strings (the f-string analog)."""
+    import pyarrow.compute as _pc
+
+    parts = [_pc.fill_null(_pc.cast(batch[c], pa.string()), "") for c in cols]
+    return batch.append_column(out, _pc.binary_join_element_wise(*parts, sep))
