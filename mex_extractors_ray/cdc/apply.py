@@ -262,6 +262,27 @@ def ingest_change_log(
     Path(lake_dir).mkdir(parents=True, exist_ok=True)
     Path(lake_dir, "_registry.json").write_text(registry_json)
 
+    # partition-count guard: pid = hash(doc_id) % P is part of the lake's
+    # identity — ingesting an existing lake with a different P would route
+    # keys to the WRONG partition state and silently fork doc histories.
+    # P changes go through compact.repartition_lake, which rewrites state
+    # and this metadata together.
+    import json as _json
+
+    meta_path = Path(lake_dir, "_lake_meta.json")
+    if meta_path.exists():
+        meta = _json.loads(meta_path.read_text())
+        if meta.get("num_partitions") != num_partitions:
+            raise ValueError(
+                f"lake at {lake_dir} was built with num_partitions="
+                f"{meta.get('num_partitions')}, got {num_partitions}; "
+                "use cdc.compact.repartition_lake to change the layout"
+            )
+    else:
+        from mex_extractors_ray.cdc.manifest import atomic_write_bytes
+
+        atomic_write_bytes(meta_path, _json.dumps({"num_partitions": num_partitions}).encode())
+
     ctx = ray.data.DataContext.get_current()
     # NOTE: DataContext is process-global and execution is lazy, but this
     # function fully materializes its (tiny) metrics output before

@@ -16,6 +16,7 @@ Runs distributed — one task per partition via a Dataset over partition ids.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from pathlib import Path
@@ -275,9 +276,22 @@ def repartition_lake(
             m.tombstone_count = tt.num_rows
             commit_manifest(new, m)
 
-    # atomic swap: retire the old layout, promote the new one
+    # carry lake-level state over: lineage history, tail sensor state, and
+    # the (new) partition-count metadata
     import shutil
 
+    from mex_extractors_ray.cdc.manifest import atomic_write_bytes
+
+    atomic_write_bytes(
+        new / "_lake_meta.json",
+        json.dumps({"num_partitions": new_num_partitions}).encode(),
+    )
+    if (old / "_lineage").exists():
+        shutil.copytree(old / "_lineage", new / "_lineage", dirs_exist_ok=True)
+    if (old / "_tail_state.json").exists():
+        shutil.copy(old / "_tail_state.json", new / "_tail_state.json")
+
+    # atomic swap: retire the old layout, promote the new one
     backup = Path(str(lake_dir) + ".old")
     if backup.exists():
         shutil.rmtree(backup)

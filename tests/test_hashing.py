@@ -58,3 +58,16 @@ def test_rolling_fingerprint_shift_invariant():
     # winnowing-style min over window hashes survives a prefix edit
     assert f[0] == f[1]
     assert f[0] != f[2]
+
+
+def test_hash_matches_scalar_reference_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(max_size=80), min_size=1, max_size=20))
+    def check(strings):
+        h = hash_string_array(pa.array(strings, pa.string()))
+        for s, got in zip(strings, h):
+            assert int(got) == _scalar_ref(s)
+
+    check()

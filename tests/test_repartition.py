@@ -38,3 +38,17 @@ def test_repartition_then_resume(ray_session, small_log, tmp_lake):
     # late events from the prefix were dropped by the inherited watermark
     metrics = ingest_change_log(paths, tmp_lake, num_partitions=8)
     assert pc.all(metrics["noop"]).as_py()
+
+
+def test_partition_count_guard(ray_session, small_log, tmp_lake):
+    """Ingesting an existing lake with a different P must raise, not
+    silently fork doc histories."""
+    import pytest
+
+    paths, _ = small_log
+    ingest_change_log(paths[:1], tmp_lake, num_partitions=4)
+    with pytest.raises(ValueError, match="num_partitions"):
+        ingest_change_log(paths, tmp_lake, num_partitions=8)
+    # repartition is the sanctioned path; afterwards P=8 ingest works
+    repartition_lake(tmp_lake, 8)
+    ingest_change_log(paths, tmp_lake, num_partitions=8)
