@@ -602,6 +602,17 @@ def q_media_features(sf_dir: str):
     return out.to_pandas()
 
 
+def q_lake_verify_report(sf_dir: str):
+    """Distributed lake audit over the CDC lake (checksums, row counts,
+    sort/uniqueness, n_tok==len(tokens), tombstone disjointness) — the
+    checked-load discipline (rows-only)."""
+    from mex_extractors_ray.cdc.compact import verify_lake
+
+    lake_dir = build_cdc_lake(sf_dir)
+    rows = verify_lake(lake_dir)
+    return pd.DataFrame(rows, columns=["partition", "ok", "errors"])
+
+
 def q_cdc_partition_metrics(sf_dir: str):
     """Per-partition lineage/metrics of the CDC run (rows-only)."""
     lake_dir = build_cdc_lake(sf_dir)
@@ -622,6 +633,7 @@ def queries():
         "cdc_live_counts": q_cdc_live_counts,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_partition_metrics": q_cdc_partition_metrics,
+        "lake_verify_report": q_lake_verify_report,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "parts_semi_join": q_parts_semi_join,
