@@ -77,10 +77,20 @@ class ResolveAndPartition:
         return batch.append_column("pid", pa.array(pid))
 
 
-def resolve_and_partition(batch: pa.Table, registry_json: str, num_partitions: int) -> pa.Table:
-    """Stateless-task form of ResolveAndPartition (same semantics)."""
+def resolve_and_partition(
+    batch: pa.Table, registry_json: str, num_partitions: int, prereduce: bool = True
+) -> pa.Table:
+    """Stateless-task form of ResolveAndPartition (same semantics).
+
+    ``prereduce`` applies last-LSN-wins *within the batch* before the
+    shuffle — the map-side combiner: an event superseded inside its own
+    batch can never win at the apply (which replays last-wins over the
+    union), so dropping it early is semantics-preserving and trims shuffle
+    bytes exactly where hot keys concentrate (skewed update streams)."""
     registry = SchemaRegistry.from_json(registry_json)
     batch = registry.resolve_table(batch)
+    if prereduce and batch.num_rows > 1:
+        batch = _last_wins(batch)
     pid = assign_partitions(batch["doc_id"], num_partitions)
     return batch.append_column("pid", pa.array(pid))
 
