@@ -576,6 +576,18 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate top-k (coarse quantizer + nprobe bucket pruning) —
+    the ANN scale path; approximate, so rows-only."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(pc.less(emb["vec_id"], 4))
+    qmat = similarity._to_matrix(q["embedding"])
+    qids = np.asarray(q["vec_id"], dtype=np.int64)
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
+    out = similarity.ivf_topk(ds, qmat, qids, k=10, n_centroids=16, nprobe=4)
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
 def q_embedding_near_dups(sf_dir: str):
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])["embedding"][0])
@@ -659,6 +671,7 @@ def queries():
         "ngram_overlap_pairs": q_ngram_overlap_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
     }

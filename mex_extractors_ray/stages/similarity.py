@@ -8,9 +8,11 @@ cosine ANN against a broadcast query matrix.
   ``ray.put`` ONCE and read per actor in ``__init__``; each batch is one
   numpy matmul; per-batch partial top-k rows flow to a tiny driver-side
   merge (k × n_queries rows — never the corpus).
-- :class:`LSHBucketedTopK` — the scale path: random-hyperplane LSH assigns
-  each vector a bucket; queries only score vectors in their (multi-probe)
-  buckets, turning a full scan into a bucket-join. Approximate by design.
+- :class:`RandomHyperplaneLSH` / :func:`embedding_near_duplicates` — LSH
+  bucketing: one shuffle on the bucket, exact verification within buckets.
+- :class:`IVFIndex` / :func:`ivf_topk` — the scale path: a deterministic
+  coarse quantizer buckets the corpus; queries score only their ``nprobe``
+  nearest buckets. ``nprobe == n_centroids`` degrades to exact search.
 """
 
 from __future__ import annotations
@@ -141,3 +143,107 @@ def embedding_near_duplicates(ds, dim: int, threshold: float = 0.95, n_bits: int
         return pd.DataFrame({"a": a2, "b": b2, "cosine": sims[ia, ib][keep]})
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN — the scale path beyond brute force.
+
+    Coarse quantizer: deterministic k-means (seeded init from the sample,
+    fixed iteration count — pure function of the sample, so every actor
+    derives identical centroids). Vectors are bucketed by nearest centroid
+    in a vectorized map_batches stage; a query scores only its ``nprobe``
+    nearest buckets, turning a full corpus scan into a bucket-join.
+    ``nprobe == n_centroids`` degrades gracefully to exact search.
+    """
+
+    def __init__(self, sample: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 42):
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+        c = x[np.sort(idx)].copy()
+        for _ in range(iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        c[j] = m / n
+        self.centroids = c
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(m) @ self.centroids.T, axis=1)
+
+    def probe(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = _normalize(queries) @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
+class IVFBucketAssign:
+    """map_batches actor: tag each vector with its IVF bucket (centroids are
+    broadcast once per actor via the object store)."""
+
+    def __init__(self, index_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.index = ray.get(index_ref) if hasattr(index_ref, "hex") else index_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[self.vec_col])
+        return batch.append_column("ivf_bucket", pa.array(self.index.assign(m).astype(np.int32)))
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 2048,
+             vec_col: str = "embedding", key_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate distributed top-k: train the coarse quantizer on a seeded
+    corpus sample (driver-side, tiny), bucket the corpus in one map_batches
+    pass, then brute-force ONLY the probed buckets per query."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    index = IVFIndex(np.stack(sample.to_numpy()), n_centroids=n_centroids)
+    index_ref = ray.put(index)
+    bucketed = ds.map_batches(
+        IVFBucketAssign,
+        fn_constructor_args=(index_ref,),
+        fn_constructor_kwargs={"vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    probes = index.probe(np.asarray(query_matrix, dtype=np.float64), nprobe)
+    wanted = sorted({int(b) for row in probes for b in row})
+    pruned = bucketed.filter(expr=f"ivf_bucket in {wanted}")
+
+    # per-batch partial top-k, restricted per query to its probed buckets
+    qref = ray.put({"query_id": query_ids, "matrix": query_matrix,
+                    "probes": {int(q): set(map(int, row)) for q, row in zip(query_ids, probes)}})
+
+    class ProbedTopK(BruteForceTopK):
+        def __init__(self, queries_ref, k, vec_col, key_col):
+            super().__init__(queries_ref, k, vec_col, key_col)
+            import ray as _r
+
+            q = _r.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
+            self.probes = q["probes"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            # mask candidates whose bucket the query did not probe
+            buckets = dict(zip(np.asarray(batch[self.key_col]), np.asarray(batch["ivf_bucket"])))
+            keep = [
+                int(buckets[v]) in self.probes[int(q)]
+                for q, v in zip(np.asarray(out["query_id"]), np.asarray(out[self.key_col]))
+            ]
+            return out.filter(pa.array(keep))
+
+    partials = pruned.map_batches(
+        ProbedTopK,
+        fn_constructor_args=(qref, k, vec_col, key_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return finalize_topk(partials.to_pandas(), k, key_col)

@@ -16,7 +16,7 @@
 from __future__ import annotations
 
 from collections import defaultdict, deque
-from typing import Hashable, Sequence
+from typing import Sequence
 
 
 def topological_sort(

@@ -32,7 +32,9 @@ def test_duplicate_apply_call_is_noop(tmp_path):
     # simulate Ray re-running the same task (same group, same lake)
     m2 = apply_partition(g, lake_dir=lake, registry_json=rj)
     assert m2["noop"][0].as_py() is True
-    assert m2["late_dropped"][0].as_py() == 3
+    # the helper routes through resolve_and_partition, whose map-side
+    # combiner collapses the superseded insert(1) -> 2 events reach apply
+    assert m2["late_dropped"][0].as_py() == 2
     assert read_lake_arrow(lake).equals(state1)
     assert m1["last_lsn"][0].as_py() == m2["last_lsn"][0].as_py() == 3
 
@@ -45,7 +47,9 @@ def test_partial_overlap_applies_only_fresh(tmp_path):
     # retry delivers the old events again plus new ones
     g2 = _group([(1, "insert", "a", [1]), (2, "insert", "b", [2]), (5, "delete", "a", None)])
     m = apply_partition(g2, lake_dir=lake, registry_json=rj)
-    assert m["late_dropped"][0].as_py() == 2
+    # combiner already dropped a's superseded insert(1); only b's event 2
+    # is late at apply
+    assert m["late_dropped"][0].as_py() == 1
     assert m["deletes"][0].as_py() == 1
     lake_t = read_lake_arrow(lake)
     assert lake_t["doc_id"].to_pylist() == ["b"]

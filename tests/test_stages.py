@@ -239,3 +239,28 @@ def test_embedding_near_duplicates(ray_session):
     ds = ray.data.from_items(items)
     out = similarity.embedding_near_duplicates(ds, dim=16, threshold=0.95, n_bits=4).to_pandas()
     assert (0, 1) in set(zip(out["a"], out["b"]))
+
+
+def test_ivf_topk_exact_when_probing_all(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((120, 8)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    ds = ray.data.from_items(items)
+    q = vecs[:2].astype(np.float64)
+    qids = np.array([0, 1])
+    exact = similarity.ann_topk(ds, q, qids, k=5)
+    # probing every centroid must reproduce the exact result
+    approx_all = similarity.ivf_topk(ds, q, qids, k=5, n_centroids=8, nprobe=8)
+    for qi in (0, 1):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx_all[approx_all["query_id"] == qi]["vec_id"])
+        assert a == e
+    # narrow probing still finds a decent share (recall is data-dependent;
+    # bound loosely to keep the test deterministic-in-practice)
+    approx = similarity.ivf_topk(ds, q, qids, k=5, n_centroids=8, nprobe=3)
+    for qi in (0, 1):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(a & e) >= 2
