@@ -78,7 +78,8 @@ class ResolveAndPartition:
 
 
 def resolve_and_partition(
-    batch: pa.Table, registry_json: str, num_partitions: int, prereduce: bool = True
+    batch: pa.Table, registry_json: str, num_partitions: int, prereduce: bool = True,
+    mode: str = "last_wins",
 ) -> pa.Table:
     """Stateless-task form of ResolveAndPartition (same semantics).
 
@@ -89,22 +90,39 @@ def resolve_and_partition(
     bytes exactly where hot keys concentrate (skewed update streams)."""
     registry = SchemaRegistry.from_json(registry_json)
     batch = registry.resolve_table(batch)
+    if mode == "first_wins":
+        # deletes are no-ops in first-seen-immutable mode; a delete must
+        # never shadow a later insert inside the reduce
+        batch = batch.filter(pc.not_equal(batch["op"], "delete"))
     if prereduce and batch.num_rows > 1:
-        batch = _last_wins(batch)
+        batch = _reduce_per_doc(batch, mode)
     pid = assign_partitions(batch["doc_id"], num_partitions)
     return batch.append_column("pid", pa.array(pid))
 
 
-def _last_wins(group: pa.Table) -> pa.Table:
-    """LSN-order the group and keep the last event per doc_id (vectorized)."""
+def _reduce_per_doc(group: pa.Table, mode: str = "last_wins") -> pa.Table:
+    """LSN-order the group and keep one event per doc_id (vectorized).
+
+    ``last_wins``  — the CDC default (latest LSN decides).
+    ``first_wins`` — the reference's first-seen dedup semantics
+    (``mex/extractors/synopse/transform.py:286-289``) as an apply mode:
+    the FIRST event for a doc decides; later events are no-ops.
+    """
     t = group.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
     n = t.num_rows
     if n <= 1:
         return t
     d = t["doc_id"].combine_chunks()
-    neq = pc.not_equal(d.slice(1), d.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-    mask = np.append(neq.astype(bool), True)
+    neq = pc.not_equal(d.slice(1), d.slice(0, n - 1)).to_numpy(zero_copy_only=False).astype(bool)
+    if mode == "first_wins":
+        mask = np.append(True, neq)  # first row of each doc run
+    else:
+        mask = np.append(neq, True)  # last row of each doc run
     return t.filter(pa.array(mask))
+
+
+def _last_wins(group: pa.Table) -> pa.Table:
+    return _reduce_per_doc(group, "last_wins")
 
 
 def _read_tombstones(pdir: Path, manifest: PartitionManifest | None) -> dict[str, int]:
@@ -147,7 +165,8 @@ def _metrics_row(pid: int, **kw) -> pa.Table:
     return pa.Table.from_pylist([row], schema=METRICS_SCHEMA)
 
 
-def apply_partition(group: pa.Table, lake_dir: str, registry_json: str) -> pa.Table:
+def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
+                    mode: str = "last_wins") -> pa.Table:
     """Merge one partition's change events into its lake state (one call per
     pid per run; returns a one-row metrics table).
 
@@ -175,7 +194,17 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str) -> pa.Ta
             schema_version=manifest.schema_version if manifest else 0,
         )
 
-    winners = _last_wins(fresh)
+    if mode == "first_wins":
+        fresh = fresh.filter(pc.not_equal(fresh["op"], "delete"))
+        if fresh.num_rows == 0:
+            old_rows = manifest.row_count if manifest else 0
+            old_tomb = manifest.tombstone_count if manifest else 0
+            return _metrics_row(
+                pid, rows_in=rows_in, late_dropped=late_dropped, noop=True,
+                row_count=old_rows, tombstone_count=old_tomb, last_lsn=watermark,
+                schema_version=manifest.schema_version if manifest else 0,
+            )
+    winners = _reduce_per_doc(fresh, mode)
     is_delete = pc.equal(winners["op"], "delete")
     deletes = winners.filter(is_delete)
     upserts = winners.filter(pc.invert(is_delete))
@@ -194,10 +223,21 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str) -> pa.Ta
             pa.schema([*latest.to_arrow(), pa.field("lsn", pa.int64())]).empty_table()
         ).select(lake_cols)
 
-    touched = winners["doc_id"].combine_chunks()
-    keep_mask = pc.invert(pc.is_in(current["doc_id"], value_set=touched))
-    survivors = current.filter(keep_mask)
-    merged = pa.concat_tables([survivors, upsert_data]).sort_by([("doc_id", "ascending")])
+    if mode == "first_wins":
+        # first-seen-immutable: existing docs never change, deletes are
+        # no-ops (the reference's seen-set keeps the original occurrence)
+        deletes = deletes.slice(0, 0)
+        fresh_mask = pc.invert(
+            pc.is_in(upsert_data["doc_id"], value_set=current["doc_id"].combine_chunks())
+        )
+        upsert_data = upsert_data.filter(fresh_mask)
+        upserts = upsert_data
+        merged = pa.concat_tables([current, upsert_data]).sort_by([("doc_id", "ascending")])
+    else:
+        touched = winners["doc_id"].combine_chunks()
+        keep_mask = pc.invert(pc.is_in(current["doc_id"], value_set=touched))
+        survivors = current.filter(keep_mask)
+        merged = pa.concat_tables([survivors, upsert_data]).sort_by([("doc_id", "ascending")])
 
     # tombstones: deletes add; resurrecting upserts remove
     tombstones = _read_tombstones(pdir, manifest)
@@ -258,6 +298,7 @@ def ingest_change_log(
     batch_size: int = 65_536,
     resolve_concurrency: int | None = None,
     shuffle: str = "hash",
+    mode: str = "last_wins",
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
 
@@ -321,7 +362,8 @@ def ingest_change_log(
 
     try:
         return _run_ingest(
-            log_paths, lake_dir, num_partitions, registry_json, batch_size, resolve_concurrency
+            log_paths, lake_dir, num_partitions, registry_json, batch_size,
+            resolve_concurrency, mode,
         )
     finally:
         ctx.shuffle_strategy = saved[0]
@@ -330,7 +372,8 @@ def ingest_change_log(
 
 
 def _run_ingest(
-    log_paths, lake_dir, num_partitions, registry_json, batch_size, resolve_concurrency
+    log_paths, lake_dir, num_partitions, registry_json, batch_size,
+    resolve_concurrency, mode="last_wins",
 ) -> pa.Table:
     import ray.data
 
@@ -344,7 +387,8 @@ def _run_ingest(
     kwargs = {"concurrency": resolve_concurrency} if resolve_concurrency else {}
     ds = ds.map_batches(
         functools.partial(
-            resolve_and_partition, registry_json=registry_json, num_partitions=num_partitions
+            resolve_and_partition, registry_json=registry_json,
+            num_partitions=num_partitions, mode=mode,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -356,7 +400,9 @@ def _run_ingest(
     # same run. Size num_partitions so one partition's events per ingest
     # window stay well under the block-size ceiling (at 100 TB: raise P,
     # then `repartition_lake` — never lower P to chase bigger tasks).
-    fn = functools.partial(apply_partition, lake_dir=str(lake_dir), registry_json=registry_json)
+    fn = functools.partial(
+        apply_partition, lake_dir=str(lake_dir), registry_json=registry_json, mode=mode
+    )
     try:
         grouped = ds.groupby("pid", num_partitions=num_partitions)
     except TypeError:  # older Ray without num_partitions

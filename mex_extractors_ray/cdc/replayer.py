@@ -29,6 +29,7 @@ def replay_reference(
     events: pa.Table,
     registry: SchemaRegistry | None = None,
     base: pa.Table | None = None,
+    mode: str = "last_wins",
 ) -> tuple[pa.Table, dict[str, int]]:
     """Replay a change log sequentially; return (final_table, tombstones).
 
@@ -56,6 +57,15 @@ def replay_reference(
     rows.sort(key=lambda r: r["lsn"])
     for row in rows:
         doc_id = row["doc_id"]
+        if mode == "first_wins":
+            # first-seen-immutable: later events (incl. deletes) are no-ops
+            if row["op"] != "delete" and doc_id not in state:
+                rec = {"lsn": row["lsn"]}
+                for name, _ in latest.fields:
+                    v = row.get(name)
+                    rec[name] = latest.defaults.get(name) if v is None else v
+                state[doc_id] = rec
+            continue
         if row["op"] == "delete":
             state.pop(doc_id, None)
             tombstones[doc_id] = row["lsn"]

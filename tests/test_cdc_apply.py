@@ -187,3 +187,41 @@ def test_heavy_skew_matches_replayer(ray_session, tmp_lake, tmp_path):
     table = pa.concat_tables(pq.read_table(p) for p in paths)
     expected, _ = replay_reference(table)
     assert read_lake_arrow(tmp_lake).equals(expected)
+
+
+def test_first_wins_mode_matches_replayer(ray_session, small_log, tmp_lake):
+    """first_wins apply mode (SURVEY.md §7.4 non-standard semantics): the
+    first-seen event per doc is immutable; updates/deletes after it are
+    no-ops. Byte-identical to the sequential first-wins replayer."""
+    paths, table = small_log
+    ingest_change_log(paths, tmp_lake, num_partitions=4, mode="first_wins")
+    lake = read_lake_arrow(tmp_lake)
+    expected, _ = replay_reference(table, mode="first_wins")
+    assert lake.equals(expected)
+    # and incremental resume keeps the semantics
+    metrics = ingest_change_log(paths, tmp_lake, num_partitions=4, mode="first_wins")
+    assert pc.all(metrics["noop"]).as_py()
+
+
+def test_first_wins_delete_never_shadows_insert(ray_session, tmp_lake, tmp_path):
+    """Edge: a delete arriving before the first insert must not block it in
+    first_wins mode (deletes are no-ops there)."""
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": pa.array(["delete", "insert", "update"]),
+            "doc_id": pa.array(["d", "d", "d"]),
+            "tokens": pa.array([None, [7], [8, 8]], pa.list_(pa.int32())),
+            "n_tok": pa.array([None, 1, 2], pa.int64()),
+            "source": pa.array([None, "s", "s"]),
+            "schema_version": pa.array([1, 1, 1], pa.int32()),
+            "lang": pa.array([None, None, None], pa.string()),
+        }
+    )
+    p = tmp_path / "fw.parquet"
+    pq.write_table(t, p)
+    ingest_change_log([str(p)], tmp_lake, num_partitions=1, mode="first_wins")
+    lake = read_lake_arrow(tmp_lake)
+    assert lake["tokens"].to_pylist() == [[7]]  # first insert wins; update ignored
+    expected, _ = replay_reference(t, mode="first_wins")
+    assert lake.equals(expected)
