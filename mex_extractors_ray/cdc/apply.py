@@ -295,6 +295,11 @@ def ingest_change_log(
     lake_dir: str | Path,
     num_partitions: int = 32,
     registry: SchemaRegistry | None = None,
+    # batch size trades combiner strength against measurable parallelism:
+    # wider batches collapse more superseded events map-side (at 256k rows
+    # over the bench's 200k-doc space the whole log nearly collapses and the
+    # remaining job is too small to scale), 64k keeps the shuffle realistic
+    # for corpora where docs >> batch rows — the 100 TB regime.
     batch_size: int = 65_536,
     resolve_concurrency: int | None = None,
     shuffle: str = "hash",
