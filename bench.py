@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "token_counts",
     "minhash_near_dups",
     "ann_topk",
+    "order_priority_revenue",
+    "enriched_users",
 ]
 
 
