@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from mex_extractors_ray.cdc.apply import ingest_change_log, read_lake_arrow
 from mex_extractors_ray.cdc.manifest import read_manifest
 from mex_extractors_ray.gen import change_log_from_events
-from mex_extractors_ray.stages import aggregates, dedup, filters, joins, similarity, text
+from mex_extractors_ray.stages import aggregates, dedup, filters, joins, similarity, text, vocab
 
 WORK_ROOT = Path("/tmp/mex_ray_work")
 CDC_PARTITIONS = 16
@@ -42,6 +42,28 @@ EVENT_RULES = [
 ]
 
 STOPWORDS_SQL = "['the','a','and','of','to','in','is','on','for','with']"
+
+# the mapping-YAML discipline (assets/mappings/synopse/resource.yaml:10-16;
+# consumed mex/extractors/ifsg/transform.py:96-101): multi-value forValues,
+# first-wins rule precedence, bare default rule, passthrough variant
+VOCAB_SPECS = [
+    {
+        "column": "event_type",
+        "out": "event_class",
+        "rules": [
+            {"forValues": ["click", "view"], "setValue": "engagement"},
+            {"forValues": ["purchase"], "setValue": "conversion"},
+            {"forValues": ["signup", "purchase"], "setValue": "acquisition"},  # purchase shadowed
+            {"setValue": "other"},
+        ],
+    },
+    {
+        "column": "event_type",
+        "out": "event_type_norm",
+        "rules": [{"forValues": ["error"], "setValue": "err"}],
+        "passthrough": True,
+    },
+]
 
 
 def _rd():
@@ -451,6 +473,18 @@ def q_source_dimension(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_vocab_mapped(sf_dir: str):
+    """Vocab/value mapping (the mapping-YAML discipline): translate
+    event_type through two field specs (multi-value forValues, first-wins
+    precedence, default rule, passthrough) then grouped count."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    mapped = vocab.map_vocab(ev, VOCAB_SPECS)
+    from ray.data.aggregate import Count
+
+    out = mapped.groupby(["event_class", "event_type_norm"]).aggregate(Count(alias_name="n"))
+    return out.to_pandas()
+
+
 def q_enriched_users(sf_dir: str):
     """Stateful enrichment actor pool (the LDAP/wikidata lru_cache family,
     ``mex/extractors/ldap/helpers.py:32-123``): per-actor LRU, deterministic
@@ -661,6 +695,7 @@ def queries():
         "union_streams": q_union_streams,
         "events_per_day": q_events_per_day,
         "source_dimension": q_source_dimension,
+        "vocab_mapped": q_vocab_mapped,
         "enriched_users": q_enriched_users,
         "exact_dup_docs": q_exact_dup_docs,
         "token_counts": q_token_counts,
@@ -779,6 +814,12 @@ FROM events GROUP BY 1
         "source_dimension": """
 SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS org_id
 FROM (SELECT DISTINCT source FROM documents)
+""",
+        "vocab_mapped": f"""
+SELECT {vocab.vocab_sql_case(VOCAB_SPECS[0])} AS event_class,
+       {vocab.vocab_sql_case(VOCAB_SPECS[1])} AS event_type_norm,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
 """,
         "enriched_users": """
 SELECT DISTINCT user_id, 'user-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS resolved
