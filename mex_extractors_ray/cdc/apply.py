@@ -264,6 +264,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         pq.write_table(tbl, tmp, compression="snappy")
         os.replace(tmp, pdir / name)
     # phase 2: atomic manifest commit (+ GC of superseded files)
+    digest = sha256_file(pdir / data_name)
     commit_manifest(
         lake_dir,
         PartitionManifest(
@@ -272,7 +273,8 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             files=[data_name],
             tombstone_file=tomb_name,
             schema_version=latest.version,
-            sha256_checksum=sha256_file(pdir / data_name),
+            sha256_checksum=digest,
+            file_checksums=[digest],
             row_count=merged.num_rows,
             tombstone_count=tomb_table.num_rows,
         ),
@@ -346,6 +348,7 @@ def ingest_change_log(
     # below — leaking HASH_SHUFFLE into unrelated later groupbys (with
     # Ray's default 200-partition aggregator fleet) can deadlock small
     # clusters waiting for aggregator actors that never fit.
+    agg_attr_present = hasattr(ctx, "max_hash_shuffle_aggregators")
     saved = (ctx.shuffle_strategy, getattr(ctx, "max_hash_shuffle_aggregators", None))
     if shuffle == "hash":
         # the apply only needs co-location by pid, not global order (it
@@ -366,14 +369,37 @@ def ingest_change_log(
             pass
 
     try:
-        return _run_ingest(
+        metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
             resolve_concurrency, mode,
         )
+        # lake-level completion record: written only after EVERY partition
+        # committed. A crash mid-ingest leaves some manifests ahead of this
+        # record — the signal repartition_lake uses to detect a partial
+        # commit (per-partition watermarks legitimately differ even when
+        # fully committed: each is the max LSN of its OWN events).
+        mx = pc.max(metrics["last_lsn"]).as_py()
+        prior = read_ingest_state(lake_dir)
+        completed = max(int(mx if mx is not None else -1), prior)
+        from mex_extractors_ray.cdc.manifest import atomic_write_bytes as _awb
+
+        import json as _j
+
+        _awb(Path(lake_dir, "_ingest_state.json"),
+             _j.dumps({"completed_lsn": completed}).encode())
+        return metrics
     finally:
         ctx.shuffle_strategy = saved[0]
-        if saved[1] is not None:
+        # restore the literal prior state (including None) — guarding on
+        # `is not None` would leak this ingest's aggregator cap into
+        # unrelated later hash-shuffle jobs when the attr was unset/None
+        if agg_attr_present:
             ctx.max_hash_shuffle_aggregators = saved[1]
+        else:
+            try:
+                delattr(ctx, "max_hash_shuffle_aggregators")
+            except AttributeError:
+                pass
 
 
 def _run_ingest(
@@ -415,6 +441,16 @@ def _run_ingest(
     metrics_ds = grouped.map_groups(fn, batch_format="pyarrow")
     out = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
     return out.sort_by([("partition", "ascending")])
+
+
+def read_ingest_state(lake_dir: str | Path) -> int:
+    """LSN through which the last ingest FULLY committed (-1 if none)."""
+    import json as _j
+
+    try:
+        return int(_j.loads(Path(lake_dir, "_ingest_state.json").read_text())["completed_lsn"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return -1
 
 
 def lake_files(lake_dir: str | Path) -> list[str]:

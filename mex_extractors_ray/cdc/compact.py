@@ -60,6 +60,7 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
     tmp = pdir / f".tmp-{uuid.uuid4().hex}"
     pq.write_table(merged, tmp, compression="snappy")
     os.replace(tmp, pdir / name)
+    digest = sha256_file(pdir / name)
     commit_manifest(
         lake_dir,
         PartitionManifest(
@@ -68,7 +69,8 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             files=[name],
             tombstone_file=m.tombstone_file,
             schema_version=registry.latest_version,
-            sha256_checksum=sha256_file(pdir / name),
+            sha256_checksum=digest,
+            file_checksums=[digest],
             row_count=merged.num_rows,
             tombstone_count=m.tombstone_count,
         ),
@@ -113,7 +115,11 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         if not path.exists():
             errors.append(f"missing file {f}")
             continue
-        if i == 0 and sha256_file(path) != m.sha256_checksum:
+        if i < len(m.file_checksums):
+            if sha256_file(path) != m.file_checksums[i]:
+                errors.append(f"checksum mismatch {f}")
+        elif i == 0 and sha256_file(path) != m.sha256_checksum:
+            # pre-file_checksums manifests carry only the primary hash
             errors.append(f"checksum mismatch {f}")
         t = registry.resolve_table(pq.read_table(path))
         rows += t.num_rows
@@ -172,6 +178,7 @@ def repartition_lake(
     lake_dir: str | Path,
     new_num_partitions: int,
     registry: SchemaRegistry | None = None,
+    force: bool = False,
 ) -> dict:
     """Re-shard the lake to a different partition count — the scale-out /
     skew remedy (SURVEY.md §4: split partitions rather than salt keys, so
@@ -194,10 +201,27 @@ def repartition_lake(
     rj = registry.to_json()
     old = Path(lake_dir)
     pids = _partition_ids(old)
-    watermark = max(
-        (read_manifest(old, p).last_lsn for p in pids if read_manifest(old, p)),
-        default=-1,
-    )
+    marks = [read_manifest(old, p).last_lsn for p in pids if read_manifest(old, p)]
+    watermark = max(marks, default=-1)
+    # repartitioning collapses per-partition watermarks into ONE global
+    # value. Per-partition marks legitimately differ even when fully
+    # committed (each is the max LSN of its OWN events), so divergence alone
+    # proves nothing; the partial-commit signal is a manifest AHEAD of the
+    # lake-level completion record (_ingest_state.json, written only after
+    # every partition committed). Re-running that ingest after a forced
+    # repartition would drop the lagging partitions' un-applied events as
+    # "late" — silent data loss — hence the refusal.
+    from mex_extractors_ray.cdc.apply import read_ingest_state
+
+    completed = read_ingest_state(old)
+    if marks and completed >= 0 and watermark > completed and not force:
+        raise ValueError(
+            f"lake has partition watermarks up to {watermark} but the last "
+            f"fully-committed ingest reached only {completed}: an ingest "
+            "partially committed. Re-run it to convergence first, or pass "
+            "force=True to accept that its events not yet applied to "
+            "lagging partitions will be dropped as late on replay."
+        )
     tomb: dict[str, int] = {}
     for p in pids:
         m = read_manifest(old, p)
@@ -228,6 +252,7 @@ def repartition_lake(
         tmp = pdir / f".tmp-{uuid.uuid4().hex}"
         pq.write_table(t, tmp, compression="snappy")
         os.replace(tmp, pdir / name)
+        digest = sha256_file(pdir / name)
         commit_manifest(
             new,
             PartitionManifest(
@@ -236,7 +261,8 @@ def repartition_lake(
                 files=[name],
                 tombstone_file=None,
                 schema_version=SchemaRegistry.from_json(rj).latest_version,
-                sha256_checksum=sha256_file(pdir / name),
+                sha256_checksum=digest,
+                file_checksums=[digest],
                 row_count=t.num_rows,
             ),
         )
@@ -285,6 +311,11 @@ def repartition_lake(
     atomic_write_bytes(
         new / "_lake_meta.json",
         json.dumps({"num_partitions": new_num_partitions}).encode(),
+    )
+    # every new partition carries the collapsed watermark, so that IS the
+    # fully-committed level of the new layout
+    atomic_write_bytes(
+        new / "_ingest_state.json", json.dumps({"completed_lsn": int(watermark)}).encode()
     )
     if (old / "_lineage").exists():
         shutil.copytree(old / "_lineage", new / "_lineage", dirs_exist_ok=True)

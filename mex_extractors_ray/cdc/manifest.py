@@ -37,6 +37,10 @@ class PartitionManifest:
     tombstone_file: str | None = None
     schema_version: int = 1
     sha256_checksum: str = ""
+    # one sha256 per entry of ``files`` (same order) — the audit re-hashes
+    # EVERY committed file (manifests from before this field verify files[0]
+    # only, via sha256_checksum, which remains = file_checksums[0])
+    file_checksums: list[str] = field(default_factory=list)
     row_count: int = 0
     tombstone_count: int = 0
     write_completed_at: str = ""  # informational only; excluded from equality checks

@@ -14,8 +14,9 @@ extractor runs exist (``mex/extractors/settings.py:88-91``,
 
 Segment files must be named so lexicographic order == LSN order (the
 generator's ``log-{shard:05d}.parquet`` satisfies this); a segment is
-eligible once it stops growing (size stable across a poll) or carries a
-``.closed`` marker — the WAL-segment-rotation convention.
+eligible once it stops growing (size stable across a poll, observed sizes
+persisted in the tail state) or carries a ``.closed`` marker — the
+WAL-segment-rotation convention, enforced in :func:`discover_new_segments`.
 """
 
 from __future__ import annotations
@@ -76,17 +77,50 @@ def _commit_tail_state(lake_dir: str | Path, state: dict) -> None:
     atomic_write_bytes(Path(lake_dir) / TAIL_STATE, json.dumps(state, indent=1).encode())
 
 
-def discover_new_segments(log_dir: str | Path, lake_dir: str | Path) -> list[str]:
-    """Segments not yet recorded as applied. The record is committed AFTER
-    the ingest, so a crash in between re-lists the segments — and the
-    per-partition LSN watermark turns the re-apply into a no-op (the state
-    file is an optimization; the watermark is the correctness mechanism).
-    A min-watermark-only sensor cannot retire the newest segment (only one
-    partition ever holds the global max LSN), hence the explicit record."""
-    applied = set(_read_tail_state(lake_dir)["applied_segments"])
-    return [
-        str(p) for p in sorted(Path(log_dir).glob("*.parquet")) if p.name not in applied
-    ]
+def discover_new_segments(log_dir: str | Path, lake_dir: str | Path,
+                          require_stable: bool = True) -> list[str]:
+    """Segments not yet recorded as applied AND eligible for ingest.
+
+    Eligibility gate (the WAL-segment-rotation convention): a segment still
+    being written must NOT be ingested — a partial read would be recorded in
+    ``applied_segments`` and rows flushed later would be skipped forever
+    (the LSN watermark cannot recover file-level skips). A segment is
+    eligible once it (a) carries a ``<name>.closed`` marker, or (b) its size
+    is unchanged since the previous poll (observed sizes are persisted in
+    the tail state). ``require_stable=False`` disables the gate for logs
+    whose producers write segments atomically (e.g. rename-into-place).
+
+    The applied record itself is committed AFTER the ingest, so a crash in
+    between re-lists the segments — and the per-partition LSN watermark
+    turns the re-apply into a no-op (that record is an optimization; the
+    watermark is the correctness mechanism). A min-watermark-only sensor
+    cannot retire the newest segment (only one partition ever holds the
+    global max LSN), hence the explicit record."""
+    state = _read_tail_state(lake_dir)
+    applied = set(state["applied_segments"])
+    seen: dict = dict(state.get("segment_sizes", {}))
+    eligible: list[str] = []
+    changed = False
+    for p in sorted(Path(log_dir).glob("*.parquet")):
+        if p.name in applied:
+            if p.name in seen:
+                seen.pop(p.name)  # GC observation once applied
+                changed = True
+            continue
+        size = p.stat().st_size
+        if (
+            not require_stable
+            or Path(str(p) + ".closed").exists()
+            or seen.get(p.name) == size
+        ):
+            eligible.append(str(p))
+        if seen.get(p.name) != size:
+            seen[p.name] = size
+            changed = True
+    if changed:
+        state["segment_sizes"] = seen
+        _commit_tail_state(lake_dir, state)
+    return eligible
 
 
 def tail_once(
@@ -94,9 +128,10 @@ def tail_once(
     lake_dir: str | Path,
     num_partitions: int = 32,
     registry: SchemaRegistry | None = None,
+    require_stable: bool = True,
 ) -> dict:
     """One sensor-check + incremental ingest. Returns a small report."""
-    segments = discover_new_segments(log_dir, lake_dir)
+    segments = discover_new_segments(log_dir, lake_dir, require_stable=require_stable)
     if not segments:
         return {"segments": 0, "applied": 0, "noop": True}
     metrics = ingest_change_log(segments, lake_dir, num_partitions=num_partitions, registry=registry)

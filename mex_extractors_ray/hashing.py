@@ -98,9 +98,35 @@ def hash_string_array(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndar
     return _mix(out)
 
 
-def assign_partitions(doc_ids: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:
-    """Partition id in [0, num_partitions) per row — the engine's one shuffle key."""
-    return (hash_string_array(doc_ids) % np.uint64(num_partitions)).astype(np.int32)
+def hash_int_array(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
+    """uint64 hash per row of an integer Arrow array: splitmix64 over the
+    values directly — no string cast, no byte expansion. Nulls hash like 0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as _pc
+
+    if arr.null_count:
+        arr = _pc.fill_null(arr, 0)
+    v = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    if seed:
+        with np.errstate(over="ignore"):
+            v = v + np.uint64(seed)
+    return _mix(v)
+
+
+def hash_key_array(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
+    """Type-dispatching row hash: ints via splitmix64 on the value (fast
+    path — no cast), strings/binary via the polynomial byte hash."""
+    t = arr.type
+    if pa.types.is_integer(t):
+        return hash_int_array(arr, seed)
+    return hash_string_array(arr, seed)
+
+
+def assign_partitions(keys: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Partition id in [0, num_partitions) per row — the engine's one shuffle
+    key. Accepts string (doc_id) or integer (orderkey-style) key columns."""
+    return (hash_key_array(keys) % np.uint64(num_partitions)).astype(np.int32)
 
 
 def rolling_fingerprints(arr: pa.Array | pa.ChunkedArray, window: int = 16) -> np.ndarray:

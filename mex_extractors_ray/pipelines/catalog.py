@@ -291,18 +291,21 @@ def q_parts_semi_join(sf_dir: str):
         batch_format="pyarrow",
     ).to_pandas()
     keys = econ["p_partkey"].tolist()
-    brand_of = dict(zip(econ["p_partkey"], econ["p_brand"]))
+    dim = econ.rename(columns={"p_partkey": "l_partkey"})[["l_partkey", "p_brand"]]
     line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
     semi = joins.semi_join(line, "l_partkey", keys)
 
-    def to_brand(b: pa.Table) -> pa.Table:
-        brands = pd.Series(b["l_partkey"].to_pylist()).map(brand_of)
-        return pa.table({"p_brand": pa.array(brands), "sum_qty_c100": _cents(b["l_quantity"])})
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": b["l_partkey"], "sum_qty_c100": _cents(b["l_quantity"])})
+
+    # brand lookup is the broadcast join (dim shipped once per actor), not a
+    # per-row Python dict probe
+    branded = joins.broadcast_join(semi.map_batches(to_cents, batch_format="pyarrow"), dim, on="l_partkey")
 
     from ray.data.aggregate import Count, Sum
 
     out = (
-        semi.map_batches(to_brand, batch_format="pyarrow")
+        branded.select_columns(["p_brand", "sum_qty_c100"])
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_items"), Sum("sum_qty_c100", alias_name="sum_qty_c100"))
     )
@@ -327,7 +330,7 @@ def q_order_priority_revenue(sf_dir: str):
     line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep_o(b: pa.Table) -> pa.Table:
-        return pa.table({"k": pc.cast(b["o_orderkey"], pa.string()), "o_orderpriority": b["o_orderpriority"]})
+        return pa.table({"k": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]})
 
     def prep_l(b: pa.Table) -> pa.Table:
         disc = np.floor(
@@ -336,7 +339,10 @@ def q_order_priority_revenue(sf_dir: str):
             * 10000
             + 0.5
         ).astype(np.int64)
-        return pa.table({"k": pc.cast(b["l_orderkey"], pa.string()), "rev_c10k": pa.array(disc)})
+        # int64 join key straight through — the bucket hash is splitmix64 on
+        # the value (hashing.hash_int_array), so no string cast inflates the
+        # one big shuffle of this query
+        return pa.table({"k": b["l_orderkey"], "rev_c10k": pa.array(disc)})
 
     joined = joins.bucketed_join(
         orders.map_batches(prep_o, batch_format="pyarrow"),
@@ -365,14 +371,14 @@ def q_order_priority_revenue(sf_dir: str):
 def q_first_event_per_user(sf_dir: str):
     """First-seen dedup (``synopse/transform.py:286-289`` family)."""
     ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"])
+    firsts = dedup.exact_dedup(ev, "user_id", order_by=["ts", "event_id"])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
-        return pd.DataFrame(
-            {"user_id": g["user_id"], "first_event_id": g["event_id"], "first_event_type": g["event_type"]}
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "first_event_id": b["event_id"], "first_event_type": b["event_type"]}
         )
 
-    return ev.groupby("user_id").map_groups(first, batch_format="pandas").to_pandas()
+    return firsts.map_batches(project, batch_format="pyarrow").to_pandas()
 
 
 def q_single_line_orders(sf_dir: str):
@@ -473,6 +479,24 @@ def q_source_dimension(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+LIST_OVERLAP_KEYS = ["spark", "vector", "quantum"]
+
+
+def q_list_overlap_filter(sf_dir: str):
+    """List-column any-overlap semi join (``mex/extractors/datenkompass/
+    filter.py:24-54``: keep items whose funderOrCommissioner list intersects
+    the org-id set): docs whose word list intersects a broadcast key set.
+    Vectorized flatten + is_in + segmented any; no shuffle."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def to_words(b: pa.Table) -> pa.Table:
+        return b.append_column("words", pc.split_pattern(b["text"], " "))
+
+    withwords = docs.map_batches(to_words, batch_format="pyarrow")
+    out = joins.list_overlap_semi_join(withwords, "words", LIST_OVERLAP_KEYS)
+    return out.select_columns(["doc_id", "source"]).to_pandas()
+
+
 def q_vocab_mapped(sf_dir: str):
     """Vocab/value mapping (the mapping-YAML discipline): translate
     event_type through two field specs (multi-value forValues, first-wins
@@ -514,15 +538,23 @@ def q_exact_dup_docs(sf_dir: str):
         b = b.assign(h=b["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()))
         return b[["doc_id", "h"]]
 
-    def keeper(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"keeper": [int(g["doc_id"].min())], "n_copies": [len(g)]})
+    hashed = docs.map_batches(add_md5, batch_format="pandas")
 
-    out = (
-        docs.map_batches(add_md5, batch_format="pandas")
-        .groupby("h")
-        .map_groups(keeper, batch_format="pandas")
-    )
-    return out.to_pandas()
+    # per-content-hash (keeper=min doc_id, count) — ONE vectorized call per
+    # coarse block, not one Python call per content hash
+    def keepers(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        starts = dedup._run_starts(t["h"])
+        idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(idx, len(starts)))
+        return pa.table(
+            {
+                "keeper": t["doc_id"].combine_chunks().take(pa.array(idx)).cast(pa.int64()),
+                "n_copies": pa.array(run_len.astype(np.int64)),
+            }
+        )
+
+    return dedup._keyed_blocks(hashed, "h", keepers).to_pandas()
 
 
 def q_token_counts(sf_dir: str):
@@ -533,14 +565,14 @@ def q_token_counts(sf_dir: str):
 
 def q_quality_counts(sf_dir: str):
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    scored = docs.map_batches(text.QualityScore, batch_format="pandas", concurrency=(1, 4))
+    scored = docs.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=(1, 4))
     return scored.select_columns(["doc_id", "n_chars", "n_words", "n_stop"]).to_pandas()
 
 
 def q_lang_id(sf_dir: str):
     """Heuristic n-gram language ID (no SQL equivalent — rows-only check)."""
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(text.LangId, batch_format="pandas", concurrency=(1, 4))
+    out = docs.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "lang_pred", "lang_conf"]).to_pandas()
 
 
@@ -551,43 +583,46 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash+LSH candidates verified with true Jaccard (rows-only)."""
+    """MinHash+LSH candidates verified with true Jaccard — fully
+    distributed: salted LSH bucket shuffle → vectorized pair emission →
+    candidates ⋈ texts (bucketed joins) → vectorized per-batch Jaccard.
+    No whole-corpus driver materialization anywhere on the path."""
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id", k=3, num_perm=64, bands=16)
-    pairs = cand.to_pandas()
-    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    by_key = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
-    return dedup.jaccard_verify_pairs(pairs, by_key, k=3, threshold=0.5)
+    verified = dedup.jaccard_verify_distributed(
+        cand, docs, text_col="text", key_col="doc_id", k=3, threshold=0.5
+    )
+    out = verified.select_columns(["a", "b", "jaccard"]).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_ngram_overlap_pairs(sf_dir: str):
     """n-gram (word-trigram) overlap near-dup pairs, ORACLE-CHECKED: the
-    trigram-set intersection size is exact integer arithmetic, so DuckDB can
-    verify it. Bounded to doc_id < 200 (the all-pairs verify step is the
-    quadratic tail one would LSH-prune at scale — see minhash_near_dups for
-    the scale path). Shingle sets are built once and broadcast; the pair
-    loop runs vectorized over the broadcast matrix inside map_batches."""
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs = docs.filter(pc.less(docs["doc_id"], 200))
-    ids = docs["doc_id"].to_pylist()
-    shingles = []
-    for t in docs["text"].to_pylist():
-        w = t.split(" ")
-        shingles.append({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
-    rows = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            n = len(shingles[i] & shingles[j])
-            if n >= 5:
-                rows.append({"a": ids[i], "b": ids[j], "n_common": n})
-    out = pd.DataFrame(rows, columns=["a", "b", "n_common"])
-    return out.astype({"a": "int64", "b": "int64", "n_common": "int64"})
+    trigram-set intersection size is exact integer arithmetic, so DuckDB
+    verifies it. Fully distributed (stages.dedup.ngram_overlap_pairs):
+    explode distinct shingles → shuffle on shingle → pairs per shingle →
+    shuffle on pair → run-length count. Bounded to doc_id < 200 only to
+    keep the oracle's O(n²) CROSS JOIN cheap; the Ray path itself has no
+    all-pairs step."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 200"
+    )
+    out = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=5).to_pandas()
+    return out.astype({"a": "int64", "b": "int64", "n_common": "int64"}).sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)
 
 
 def q_simhash_near_dups(sf_dir: str):
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sim = dedup.simhash64(docs["text"], k=2)
-    return dedup.hamming_candidates(sim, np.asarray(docs["doc_id"]), max_dist=6, n_tables=8)
+    """Distributed SimHash near-dups: map_batches simhash+banding → salted
+    band-bucket shuffle → vectorized in-block Hamming → distributed pair
+    dedup (the MinHash design applied to SimHash — no driver-side corpus)."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = dedup.simhash_near_duplicates(docs, "text", "doc_id", k=2, max_dist=6, n_tables=8)
+    return (
+        out.select_columns(["a", "b", "hamming"]).to_pandas()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
 
 
 def q_ann_topk(sf_dir: str):
@@ -619,6 +654,19 @@ def q_ann_topk_ivf(sf_dir: str):
     qids = np.asarray(q["vec_id"], dtype=np.int64)
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
     out = similarity.ivf_topk(ds, qmat, qids, k=10, n_centroids=16, nprobe=4)
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def q_ann_topk_ivf_full(sf_dir: str):
+    """IVF with nprobe == n_centroids probes every bucket — EXACT search
+    through the scale path's machinery, so the brute-force oracle hash-checks
+    the whole IVF pipeline (bucketing, probe masking, partial top-k merge)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(pc.less(emb["vec_id"], 4))
+    qmat = similarity._to_matrix(q["embedding"])
+    qids = np.asarray(q["vec_id"], dtype=np.int64)
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
+    out = similarity.ivf_topk(ds, qmat, qids, k=10, n_centroids=16, nprobe=16)
     return out[["query_id", "vec_id", "rank"]].astype("int64")
 
 
@@ -696,6 +744,7 @@ def queries():
         "events_per_day": q_events_per_day,
         "source_dimension": q_source_dimension,
         "vocab_mapped": q_vocab_mapped,
+        "list_overlap_filter": q_list_overlap_filter,
         "enriched_users": q_enriched_users,
         "exact_dup_docs": q_exact_dup_docs,
         "token_counts": q_token_counts,
@@ -707,6 +756,7 @@ def queries():
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
     }
@@ -815,6 +865,11 @@ FROM events GROUP BY 1
 SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS org_id
 FROM (SELECT DISTINCT source FROM documents)
 """,
+        "list_overlap_filter": f"""
+SELECT doc_id, source FROM documents
+WHERE list_has_any(str_split(text, ' '),
+                   [{", ".join(f"'{k}'" for k in LIST_OVERLAP_KEYS)}])
+""",
         "vocab_mapped": f"""
 SELECT {vocab.vocab_sql_case(VOCAB_SPECS[0])} AS event_class,
        {vocab.vocab_sql_case(VOCAB_SPECS[1])} AS event_type_norm,
@@ -853,6 +908,17 @@ SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common
 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.s, y.s)) >= 5
+""",
+        "ann_topk_ivf_full": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+scored AS (
+  SELECT query_id, vec_id, list_cosine_similarity(qe, embedding) AS cos
+  FROM q CROSS JOIN c
+)
+SELECT query_id, vec_id, CAST(row_number() OVER
+       (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),

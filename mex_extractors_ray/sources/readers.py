@@ -65,6 +65,40 @@ def read_xml_records(paths, record_parser: Callable[[bytes], list[dict]]):
     return ds.flat_map(parse)
 
 
+def read_zip_json(paths, member_pattern: str = r"\.json$"):
+    """ZIP-of-JSON reader (``mex/extractors/open_data/extract.py:78-110``:
+    fetch zip, extract the ``tableschema_*.json`` members): one task per
+    archive via ``read_binary_files`` + flat_map; each matching member
+    becomes one row dict with ``_member``/``_path`` provenance. Non-dict
+    JSON roots (arrays) explode to one row per element."""
+    import io
+    import json
+    import re
+    import zipfile
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    pat = re.compile(member_pattern)
+
+    def parse(row: dict) -> list[dict]:
+        out: list[dict] = []
+        with zipfile.ZipFile(io.BytesIO(bytes(row["bytes"]))) as zf:
+            for member in zf.namelist():
+                if not pat.search(member):
+                    continue
+                doc = json.loads(zf.read(member))
+                docs = doc if isinstance(doc, list) else [doc]
+                for d in docs:
+                    d = d if isinstance(d, dict) else {"value": d}
+                    d["_member"] = member
+                    d["_path"] = row["path"]
+                    out.append(d)
+        return out
+
+    return ds.flat_map(parse)
+
+
 class PaginatedFetch:
     """Actor stage for page-fetch sources: honors a requests/min budget per
     actor (the Zenodo 133-req/min constant-backoff shape,

@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from mex_extractors_ray.hashing import _mix, hash_string_array
+from mex_extractors_ray.stages import joins
 
 # ---------------------------------------------------------------------------
 # exact dedup family
@@ -35,39 +36,89 @@ def add_content_hash(batch: pa.Table, column: str, out: str = "content_hash") ->
     return batch.append_column(out, pa.array(h.astype(np.int64)))
 
 
-def exact_dedup(ds, key: str, order_by: str | None = None, batch_format: str = "pandas"):
-    """Keep the first row per key (hash-partition + per-group head — the
-    distributed form of the reference's first-seen ``seen`` set).
-    ``order_by`` defines "first" deterministically (unordered otherwise)."""
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        if order_by:
-            g = g.sort_values(order_by, kind="mergesort")
-        return g.head(1)
-
-    return ds.groupby(key).map_groups(first, batch_format=batch_format)
+def _run_starts(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Bool mask over a SORTED column: True where a new key run starts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=bool)
+    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    return np.append(True, np.asarray(neq, dtype=bool))
 
 
-def drop_all_duplicates(ds, key: str):
-    """ff_projects semantics: a key that appears more than once is removed
-    ENTIRELY (not first-kept)."""
+def _keyed_blocks(ds, key: str, block_fn, num_partitions: int = 64):
+    """Coarse hash shuffle on ``key`` then ONE vectorized call per block —
+    the scale-safe form of per-key grouping: Ray dispatches ``num_partitions``
+    group calls, not one per key (millions of keys ⇒ millions of dispatches
+    with a naive ``groupby(key).map_groups``). All rows of a key land in the
+    same block, so any per-key reduction is exact."""
+    from mex_extractors_ray.hashing import assign_partitions
 
-    def only_singletons(g: pd.DataFrame) -> pd.DataFrame:
-        return g if len(g) == 1 else g.iloc[0:0]
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_kpart", pa.array(assign_partitions(t[key], num_partitions)))
 
-    return ds.groupby(key).map_groups(only_singletons, batch_format="pandas")
+    def run(g: pa.Table) -> pa.Table:
+        return block_fn(g.drop_columns(["_kpart"]))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_kpart").map_groups(run, batch_format="pyarrow")
 
 
-def uniqueness_violations(ds, key: str):
-    """publisher-consent semantics: emit one row per key with >1 occurrence
-    (the validation stream; the caller decides to raise or route)."""
+def exact_dedup(ds, key: str, order_by: str | list[str] | None = None,
+                num_partitions: int = 64):
+    """Keep the first row per key — the distributed form of the reference's
+    first-seen ``seen`` set. ``order_by`` defines "first" deterministically
+    (unordered otherwise). One coarse shuffle; inside each block a single
+    Arrow sort + run-boundary mask (no per-key Python dispatch)."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by or [])
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
 
-    def viol(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype), "n": pd.Series([], dtype="int64")})
-        return pd.DataFrame({key: [g[key].iloc[0]], "n": [len(g)]})
+    def first_per_key(g: pa.Table) -> pa.Table:
+        t = g.sort_by(sort_keys)
+        return t.filter(pa.array(_run_starts(t[key])))
 
-    return ds.groupby(key).map_groups(viol, batch_format="pandas")
+    return _keyed_blocks(ds, key, first_per_key, num_partitions)
+
+
+def drop_all_duplicates(ds, key: str, num_partitions: int = 64):
+    """ff_projects semantics (``mex/extractors/ff_projects/filter.py:144-157``):
+    a key that appears more than once is removed ENTIRELY (not first-kept).
+    Vectorized: sort block by key, keep rows whose run length == 1."""
+
+    def singletons(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(key, "ascending")])
+        starts = _run_starts(t[key])
+        if len(starts) == 0:
+            return t
+        idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(idx, len(starts)))
+        keep = np.repeat(run_len == 1, run_len)
+        return t.filter(pa.array(keep))
+
+    return _keyed_blocks(ds, key, singletons, num_partitions)
+
+
+def uniqueness_violations(ds, key: str, num_partitions: int = 64):
+    """publisher-consent semantics (``mex/extractors/publisher/filter.py:40-52``):
+    emit one (key, n) row per key with >1 occurrence (the validation stream;
+    the caller decides to raise or route)."""
+
+    def viol(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(key, "ascending")])
+        starts = _run_starts(t[key])
+        empty = pa.table({key: pa.array([], t[key].type), "n": pa.array([], pa.int64())})
+        if len(starts) == 0:
+            return empty
+        idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(idx, len(starts)))
+        bad = run_len > 1
+        if not bad.any():
+            return empty
+        keys_arr = t[key].combine_chunks().take(pa.array(idx[bad]))
+        return pa.table({key: keys_arr, "n": pa.array(run_len[bad].astype(np.int64))})
+
+    return _keyed_blocks(ds, key, viol, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -75,12 +126,20 @@ def uniqueness_violations(ds, key: str):
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int,
+                    lower: bool = True, split: str = r"\s+") -> tuple[np.ndarray, np.ndarray]:
     """uint64 hash of every k-word shingle of every doc (flat), plus row
-    offsets. Vectorized: one split_pattern + one rolling combine."""
+    offsets. Vectorized: one split_pattern + one rolling combine.
+    ``lower=False, split=" "`` gives exact case-sensitive single-space
+    tokenization (the ngram-overlap oracle's semantics)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+    if lower:
+        texts = pc.utf8_lower(texts)
+    if split == r"\s+":
+        words = pc.split_pattern_regex(texts, split)
+    else:
+        words = pc.split_pattern(texts, split)
     flat = words.flatten()
     word_h = hash_string_array(flat)
     offsets = np.asarray(words.offsets, dtype=np.int64)
@@ -163,10 +222,71 @@ class MinHashLSH:
         )
 
 
+def _pairs_from_buckets(bucket_cols: list[np.ndarray], keys: np.ndarray,
+                        payload: np.ndarray | None = None):
+    """Emit all unique-key pairs (a<b) within each exact bucket.
+
+    Inputs must be PRE-SORTED by (*bucket_cols, key). Runs are found with
+    one boundary scan; only buckets with ≥2 distinct keys pay any per-run
+    work (the numpy ``triu_indices`` pair expansion). Returns (a, b) and,
+    when ``payload`` is given, the payload of a and b (first occurrence per
+    key)."""
+    n = len(keys)
+    if n == 0:
+        e = keys[:0]
+        return (e, e, None, None) if payload is not None else (e, e)
+    new_bucket = np.zeros(n, dtype=bool)
+    new_bucket[0] = True
+    for c in bucket_cols:
+        new_bucket[1:] |= c[1:] != c[:-1]
+    # distinct (bucket, key) representatives
+    new_key = new_bucket.copy()
+    new_key[1:] |= keys[1:] != keys[:-1]
+    rep = np.flatnonzero(new_key)  # first row of each distinct key in bucket
+    rep_bucket_start = np.cumsum(new_bucket)[rep] - 1  # bucket ordinal per rep
+    # run lengths in distinct-key space
+    starts = np.flatnonzero(np.append(True, rep_bucket_start[1:] != rep_bucket_start[:-1]))
+    run_len = np.diff(np.append(starts, len(rep)))
+    out_a, out_b, pay_a, pay_b = [], [], [], []
+    for s, m in zip(starts[run_len >= 2], run_len[run_len >= 2]):
+        rows = rep[s : s + m]
+        ks = keys[rows]
+        ia, ib = np.triu_indices(m, 1)
+        out_a.append(ks[ia])
+        out_b.append(ks[ib])
+        if payload is not None:
+            pv = payload[rows]
+            pay_a.append(pv[ia])
+            pay_b.append(pv[ib])
+    if not out_a:
+        e = keys[:0]
+        return (e, e, None, None) if payload is not None else (e, e)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    if payload is not None:
+        return a, b, np.concatenate(pay_a), np.concatenate(pay_b)
+    return a, b
+
+
+def _pair_tag(t: pa.Table) -> pa.Table:
+    """Canonical string pair id for distributed pair dedup."""
+    pair = pc.binary_join_element_wise(
+        pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()), "|"
+    )
+    return t.append_column("pair", pair)
+
+
 def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
-                            num_perm: int = 64, bands: int = 16):
+                            num_perm: int = 64, bands: int = 16, salt: int = 8):
     """Full MinHash-LSH candidate generation: explode bands → ONE shuffle on
-    the bucket → distinct candidate pairs (a<b) per bucket."""
+    the salted bucket → vectorized pair emission per block → distributed
+    pair dedup. Nothing corpus-sized ever reaches the driver.
+
+    The shuffle groups on ``(band, band_hash % salt)`` — parallelism is
+    bands×salt (not just bands), and each block holds ≈ corpus/(bands×salt)
+    exploded rows, so block size stays bounded as the corpus grows (raise
+    ``salt`` with corpus size). Exact buckets are recovered inside the block
+    by one sort + boundary scan."""
     exploded = ds.map_batches(
         MinHashLSH,
         fn_constructor_args=(text_col, key_col, k, num_perm, bands),
@@ -174,41 +294,113 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
         concurrency=(1, 8),
     )
 
-    # ONE coarse group per band (bands are few) — inside, a C-speed pandas
-    # groupby over band_hash emits pairs per bucket. A per-(band,band_hash)
-    # map_groups would pay Ray's per-group dispatch for every near-singleton
-    # bucket (tens of thousands at corpus scale).
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        sizes = g.groupby("band_hash")[key_col].nunique()
-        hot = set(sizes[sizes >= 2].index)
-        for bh, sub in g[g["band_hash"].isin(hot)].groupby("band_hash"):
-            ks = pd.unique(np.sort(sub[key_col].to_numpy()))
-            ia, ib = np.triu_indices(len(ks), 1)
-            out_a.append(ks[ia])
-            out_b.append(ks[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=g[key_col].dtype),
-                 "b": pd.Series([], dtype=g[key_col].dtype)}
-            )
-        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+    def add_salt(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["band"], dtype=np.int64) * salt + (
+            np.asarray(t["band_hash"], dtype=np.int64) % salt
+        )
+        return t.append_column("_g", pa.array(g.astype(np.int32)))
 
-    cand = exploded.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
-    # candidate pairs are tiny relative to the corpus (LSH's whole point);
-    # cross-band duplicates are dropped on the driver
-    import ray.data
+    def pairs_in_block(g: pa.Table) -> pa.Table:
+        t = g.sort_by(
+            [("band", "ascending"), ("band_hash", "ascending"), (key_col, "ascending")]
+        )
+        a, b = _pairs_from_buckets(
+            [np.asarray(t["band"], dtype=np.int64), np.asarray(t["band_hash"], dtype=np.int64)],
+            np.asarray(t[key_col]),
+        )
+        kt = t[key_col].type
+        return pa.table({"a": pa.array(a, kt), "b": pa.array(b, kt)})
 
-    df = cand.to_pandas().drop_duplicates(["a", "b"]).reset_index(drop=True)
-    df["pair"] = df["a"].astype(str) + "|" + df["b"].astype(str)
-    return ray.data.from_pandas(df)
+    cand = (
+        exploded.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(pairs_in_block, batch_format="pyarrow")
+        .map_batches(_pair_tag, batch_format="pyarrow")
+    )
+    # a pair found by several bands is deduped DISTRIBUTED (coarse hash
+    # shuffle on the pair id + boundary mask), not with a driver to_pandas
+    return exact_dedup(cand, "pair")
+
+
+def _distinct_per_row(rows: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.lexsort((vals, rows))
+    r, v = rows[order], vals[order]
+    if len(r) == 0:
+        return r, v
+    keep = np.append(True, (r[1:] != r[:-1]) | (v[1:] != v[:-1]))
+    return r[keep], v[keep]
+
+
+def jaccard_rows(col_a, col_b, k: int = 3) -> np.ndarray:
+    """Vectorized per-row k-shingle Jaccard between two aligned text columns
+    (shingle sets as uint64 hashes; intersection/union via one lexsort +
+    boundary scan — no per-row Python sets). Rows with an empty side get 0."""
+    ha, oa = _shingle_hashes(col_a, k)
+    hb, ob = _shingle_hashes(col_b, k)
+    n = len(oa) - 1
+    ra, ha = _distinct_per_row(np.repeat(np.arange(n), np.diff(oa)), ha)
+    rb, hb = _distinct_per_row(np.repeat(np.arange(n), np.diff(ob)), hb)
+    rows = np.concatenate([ra, rb])
+    vals = np.concatenate([ha, hb])
+    if len(rows) == 0:
+        return np.zeros(n)
+    order = np.lexsort((vals, rows))
+    rows, vals = rows[order], vals[order]
+    dup = (rows[1:] == rows[:-1]) & (vals[1:] == vals[:-1])  # shingle in both sides
+    inter = np.bincount(rows[1:][dup], minlength=n).astype(np.float64)
+    union = np.bincount(rows[np.append(True, ~dup)], minlength=n).astype(np.float64)
+    return inter / np.maximum(union, 1.0)
+
+
+def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
+                               k: int = 3, threshold: float = 0.8,
+                               num_buckets: int = 32):
+    """Distributed candidate verification: candidates ⋈ texts (bucketed join
+    on ``a`` then ``b`` against the candidate-pruned corpus) → vectorized
+    per-batch Jaccard. The corpus never funnels through the driver; the only
+    driver-side object is the candidate key list (∝ candidates — LSH's
+    whole point is that this is tiny relative to the corpus).
+
+    ``cand_ds`` needs columns (a, b); extra columns pass through."""
+    import pyarrow as _pa
+
+    # candidates are small by design (LSH's point); pin them once so the
+    # key-list read and the two joins don't re-execute the LSH pipeline
+    cand_ds = cand_ds.materialize()
+    keys_df = cand_ds.select_columns(["a", "b"]).to_pandas()
+    needed = pd.unique(pd.concat([keys_df["a"], keys_df["b"]], ignore_index=True))
+    texts = joins.semi_join(docs_ds.select_columns([key_col, text_col]), key_col, list(needed))
+
+    def rename(side: str):
+        def _r(t: _pa.Table) -> _pa.Table:
+            return t.rename_columns([side, f"_text_{side}"])
+
+        return _r
+
+    with_a = joins.bucketed_join(
+        cand_ds, texts.map_batches(rename("a"), batch_format="pyarrow"),
+        on="a", num_buckets=num_buckets,
+    )
+    with_b = joins.bucketed_join(
+        with_a, texts.map_batches(rename("b"), batch_format="pyarrow"),
+        on="b", num_buckets=num_buckets,
+    )
+
+    def verify(t: _pa.Table) -> _pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_text_a", "_text_b"]).append_column("jaccard", _pa.array([], _pa.float64()))
+        j = jaccard_rows(t["_text_a"].combine_chunks(), t["_text_b"].combine_chunks(), k)
+        out = t.drop_columns(["_text_a", "_text_b"]).append_column("jaccard", _pa.array(j))
+        return out.filter(_pa.array(j >= threshold))
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def jaccard_verify_pairs(pairs_df: pd.DataFrame, texts_by_key: dict, k: int = 3,
                          threshold: float = 0.8) -> pd.DataFrame:
-    """Verify candidate pairs with true k-shingle Jaccard (small candidate
-    sets: runs inside map_groups / driver; texts_by_key is a broadcast dict)."""
+    """Verify candidate pairs with true k-shingle Jaccard — SMALL-SCALE
+    driver-side helper (tests / ad-hoc); the pipeline path is
+    :func:`jaccard_verify_distributed`."""
 
     def shingles(text: str) -> set:
         ws = text.lower().split()
@@ -227,6 +419,71 @@ def jaccard_verify_pairs(pairs_df: pd.DataFrame, texts_by_key: dict, k: int = 3,
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
+def ngram_overlap_pairs(ds, text_col: str, key_col: str, k: int = 3,
+                        min_common: int = 5, num_partitions: int = 64,
+                        lower: bool = False, split: str = " ",
+                        max_doc_freq: int | None = None):
+    """n-gram (word k-gram) overlap pairs, fully distributed: explode each
+    doc's DISTINCT shingle hashes → coarse shuffle on the shingle → pairs
+    per shingle bucket → coarse shuffle on the pair id → run-length count =
+    exact intersection size → filter ≥ ``min_common``.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs of a
+    block (the scale guard: a stop-phrase shared by 10^6 docs would emit
+    10^12 pairs; real corpora prune or idf-weight frequent shingles). Leave
+    None for exact semantics (the oracle-checked mode)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        h, offsets = _shingle_hashes(t[text_col], k, lower=lower, split=split)
+        rows = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        rows, h = _distinct_per_row(rows, h)
+        keys = np.asarray(t[key_col])
+        return pa.table(
+            {"sh": pa.array(h.view(np.int64)), key_col: pa.array(keys[rows], t[key_col].type)}
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_per_shingle(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("sh", "ascending"), (key_col, "ascending")])
+        sh = np.asarray(t["sh"], dtype=np.int64)
+        keys = np.asarray(t[key_col])
+        if max_doc_freq is not None and len(sh):
+            starts = _run_starts(t["sh"])
+            idx = np.flatnonzero(starts)
+            run_len = np.diff(np.append(idx, len(sh)))
+            keep = np.repeat(run_len <= max_doc_freq, run_len)
+            sh, keys = sh[keep], keys[keep]
+        a, b = _pairs_from_buckets([sh], keys)
+        kt = t[key_col].type
+        return pa.table({"a": pa.array(a, kt), "b": pa.array(b, kt)})
+
+    cand = _keyed_blocks(ex, "sh", pairs_per_shingle, num_partitions).map_batches(
+        _pair_tag, batch_format="pyarrow"
+    )
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("pair", "ascending")])
+        starts = _run_starts(t["pair"])
+        kt = t["a"].type
+        if len(starts) == 0:
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt),
+                             "n_common": pa.array([], pa.int64())})
+        idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(idx, len(starts)))
+        keep = run_len >= min_common
+        take = pa.array(idx[keep])
+        return pa.table(
+            {
+                "a": t["a"].combine_chunks().take(take),
+                "b": t["b"].combine_chunks().take(take),
+                "n_common": pa.array(run_len[keep].astype(np.int64)),
+            }
+        )
+
+    return _keyed_blocks(cand, "pair", count_pairs, num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -243,6 +500,88 @@ def simhash64(texts: pa.ChunkedArray | pa.Array, k: int = 2) -> np.ndarray:
     np.add.at(acc, rows, 2 * bits - 1)
     out = (acc > 0).astype(np.uint64)
     return (out << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+class SimHashBands:
+    """map_batches stage: text → exploded (table, band, key, simhash) rows.
+
+    Banding the 64-bit simhash into ``n_tables`` bands of 64/n_tables bits
+    gives the pigeonhole guarantee: docs within Hamming distance
+    d < n_tables ALWAYS share ≥1 band. One downstream shuffle on the salted
+    band bucket finds candidates; Hamming is verified vectorized in-block.
+    """
+
+    def __init__(self, text_col: str, key_col: str, k: int = 2, n_tables: int = 4):
+        self.text_col, self.key_col = text_col, key_col
+        self.k, self.n_tables = k, n_tables
+        self.shift = 64 // n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sim = simhash64(batch[self.text_col], self.k)
+        n = len(sim)
+        t_idx = np.arange(self.n_tables, dtype=np.uint64)
+        bands = (sim[:, None] >> (t_idx * np.uint64(self.shift))[None, :]) & np.uint64(
+            (1 << self.shift) - 1
+        )
+        keys = np.asarray(batch[self.key_col])
+        return pa.table(
+            {
+                "t": pa.array(np.tile(t_idx.astype(np.int32), n)),
+                "band": pa.array(bands.reshape(-1).astype(np.int64)),
+                self.key_col: pa.array(np.repeat(keys, self.n_tables), batch[self.key_col].type),
+                "sim": pa.array(np.repeat(sim, self.n_tables).view(np.int64)),
+            }
+        )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)).reshape(len(x), 8 * x.itemsize).sum(axis=1)
+
+
+def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
+                            max_dist: int = 3, n_tables: int = 4, salt: int = 8):
+    """Distributed SimHash near-dup pipeline: map_batches simhash+banding →
+    ONE shuffle on the salted (t, band) bucket → vectorized in-block Hamming
+    verify → distributed pair dedup. Returns a Dataset of (a, b, hamming).
+    Nothing corpus-sized touches the driver."""
+    exploded = ds.map_batches(
+        SimHashBands,
+        fn_constructor_args=(text_col, key_col, k, n_tables),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["t"], dtype=np.int64) * salt + (
+            np.asarray(t["band"], dtype=np.int64) % salt
+        )
+        return t.append_column("_g", pa.array(g.astype(np.int32)))
+
+    def pairs_in_block(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("t", "ascending"), ("band", "ascending"), (key_col, "ascending")])
+        a, b, sa, sb = _pairs_from_buckets(
+            [np.asarray(t["t"], dtype=np.int64), np.asarray(t["band"], dtype=np.int64)],
+            np.asarray(t[key_col]),
+            payload=np.asarray(t["sim"], dtype=np.int64),
+        )
+        kt = t[key_col].type
+        if sa is None or len(a) == 0:
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt),
+                             "hamming": pa.array([], pa.int64())})
+        d = _popcount64(sa.view(np.uint64) ^ sb.view(np.uint64)).astype(np.int64)
+        keep = d <= max_dist
+        return pa.table({"a": pa.array(a[keep], kt), "b": pa.array(b[keep], kt),
+                         "hamming": pa.array(d[keep])})
+
+    cand = (
+        exploded.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(pairs_in_block, batch_format="pyarrow")
+        .map_batches(_pair_tag, batch_format="pyarrow")
+    )
+    # same pair from several tables carries the same hamming — distributed
+    # first-wins dedup on the pair id
+    return exact_dedup(cand, "pair")
 
 
 def hamming_candidates(sim: np.ndarray, keys: np.ndarray, max_dist: int = 3,

@@ -18,7 +18,8 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Callable
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class LRUCache:
@@ -57,16 +58,26 @@ class CachedEnricher:
         self.key_col, self.out_col = key_col, out_col
         self.cache = LRUCache(maxsize)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        values = {}
-        for key in pd.unique(batch[self.key_col]):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        uniq = pc.unique(col)
+        # the resolve() call per DISTINCT key is the external lookup itself
+        # (LDAP/wikidata analog) — everything around it is vectorized
+        values = []
+        for key in uniq.to_pylist():
             v = self.cache.get(key)
             if v is None:
                 v = self.resolve(key)
                 self.cache.put(key, v)
-            values[key] = v
-        batch = batch.assign(**{self.out_col: batch[self.key_col].map(values)})
-        return batch
+            values.append(v)
+        idx = pc.index_in(col, value_set=uniq)
+        out = pc.take(pa.array(values), idx)
+        # Arrow in/out keeps the block schema hashable (pandas batches made
+        # Ray log "Failed to hash the schemas" per batch and disabled its
+        # schema dedup)
+        return batch.append_column(self.out_col, out)
 
 
 def enrich(ds, resolve: Callable, key_col: str, out_col: str,
@@ -74,7 +85,7 @@ def enrich(ds, resolve: Callable, key_col: str, out_col: str,
     return ds.map_batches(
         CachedEnricher,
         fn_constructor_args=(resolve, key_col, out_col, maxsize),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )

@@ -83,17 +83,76 @@ def anti_join(ds, column: str, keys: Iterable):
     return ds.map_batches(lambda t: anti_join_mask(t, column, keys), batch_format="pyarrow")
 
 
+def list_overlap_mask(batch: pa.Table, list_col: str, keys: Iterable) -> pa.Array:
+    """True where the row's list column shares ANY element with the
+    broadcast key set — vectorized: one flatten + one ``pc.is_in`` + one
+    segmented any (bincount over row offsets). The reference's
+    ``funderOrCommissioner ∩ org-ids`` filter
+    (``mex/extractors/datenkompass/filter.py:24-54``) and the
+    ``memberOf ∩ units`` person-unit lookup
+    (``mex/extractors/publisher/transform.py:24-51``). Null lists → False."""
+    import numpy as np
+
+    col = batch[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if pa.types.is_null(col.type):  # block of all-None rows infers null type
+        return pa.array(np.zeros(n, dtype=bool))
+    flat = pc.list_flatten(col)
+    if len(flat) == 0 or pa.types.is_null(flat.type):
+        # block of empty/null lists only (list<null> inference)
+        return pa.array(np.zeros(n, dtype=bool))
+    hit = pc.fill_null(pc.is_in(flat, value_set=pa.array(list(keys))), False)
+    hits = np.asarray(hit, dtype=bool)
+    sizes = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(n), sizes)
+    return pa.array(np.bincount(rows[hits], minlength=n) > 0)
+
+
+def list_overlap_semi_join(ds, list_col: str, keys: Iterable):
+    """Keep rows whose list column intersects the broadcast key set."""
+    keys = list(keys)
+    return ds.map_batches(
+        lambda t: t.filter(list_overlap_mask(t, list_col, keys)), batch_format="pyarrow"
+    )
+
+
+def list_overlap_anti_join(ds, list_col: str, keys: Iterable):
+    """Drop rows whose list column intersects the broadcast key set (the
+    datenkompass exclusion shape)."""
+    keys = list(keys)
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(list_overlap_mask(t, list_col, keys))),
+        batch_format="pyarrow",
+    )
+
+
 def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner"):
     """Large-large hash join: co-partition both sides on hash(key) % B, then
     pandas-merge per bucket. Two shuffles total; raise ``num_buckets`` for
-    skewed keys. Key column must be string-typed (hash is over bytes)."""
+    skewed keys. Key column may be string (byte hash) or integer (splitmix64
+    value hash — no cast, no byte inflation on the shuffle)."""
     l_schema, r_schema = left.schema(), right.schema()
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
+
+    def _arrow_type(t):
+        # Dataset.schema() reports python classes for pandas-backed blocks;
+        # normalize to Arrow types so null-padding always works
+        if isinstance(t, pa.DataType):
+            return t
+        import numpy as _np
+
+        try:
+            return pa.from_numpy_dtype(_np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
     # union requires one schema: null-pad each side with the other's
     # exclusive columns (correct types), in one canonical column order
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = dict(zip(l_schema.names, (_arrow_type(t) for t in l_schema.types)))
+    r_types = dict(zip(r_schema.names, (_arrow_type(t) for t in r_schema.types)))
     all_cols = left_cols + [c for c in right_cols if c not in l_types]
     all_types = {**r_types, **l_types}
 
@@ -114,10 +173,24 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner
         right.map_batches(prepare("r"), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
         l = g.loc[g["_side"] == "l", left_cols]
         r = g.loc[g["_side"] == "r", right_cols]
-        return l.merge(r, on=on, how=how, suffixes=("", "_r"))
+        merged = l.merge(r, on=on, how=how, suffixes=("", "_r"))
+        # emit Arrow so downstream stages (and chained joins) see a real
+        # Arrow schema, not PandasBlockSchema python types; re-cast columns
+        # the pandas null-padding round-trip widened (int64+NaN → float64)
+        out = pa.Table.from_pandas(merged, preserve_index=False)
+        for i, c in enumerate(out.column_names):
+            want = all_types.get(c)
+            if want is not None and out.schema.field(i).type != want:
+                try:
+                    out = out.set_column(
+                        i, c, pc.cast(out[c], want, safe=False)
+                    )
+                except pa.ArrowInvalid:
+                    pass  # genuine nulls from an outer join stay widened
+        return out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -54,20 +54,31 @@ class BruteForceTopK:
         self.k = k
         self.vec_col, self.key_col = vec_col, key_col
 
+    def _emit(self, sims: np.ndarray, keys: np.ndarray) -> pa.Table:
+        """Partial top-k per query with the SAME deterministic tie-break as
+        finalize_topk — lexicographic (-cosine, key) — so a candidate tied at
+        the k-boundary can never be dropped batch-side in a way that depends
+        on Ray's block splitting. Rows with -inf cosine (masked by a probed
+        subclass) are dropped."""
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        sel = np.empty((nq, k), dtype=np.int64)
+        for qi in range(nq):  # nq is small (the broadcast query set)
+            sel[qi] = np.lexsort((keys, -sims[qi]))[:k]
+        cos = np.take_along_axis(sims, sel, axis=1).reshape(-1)
+        finite = np.isfinite(cos)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.qids, k)[finite]),
+                self.key_col: pa.array(keys[sel.reshape(-1)][finite]),
+                "cosine": pa.array(cos[finite]),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[self.vec_col]))
         sims = self.qmat @ m.T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        keys = np.asarray(batch[self.key_col])
-        nq = sims.shape[0]
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(self.qids, k)),
-                self.key_col: pa.array(keys[idx.reshape(-1)]),
-                "cosine": pa.array(np.take_along_axis(sims, idx, axis=1).reshape(-1)),
-            }
-        )
+        return self._emit(sims, np.asarray(batch[self.key_col]))
 
 
 def finalize_topk(partials: pd.DataFrame, k: int, key_col: str = "vec_id") -> pd.DataFrame:
@@ -217,9 +228,11 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
     wanted = sorted({int(b) for row in probes for b in row})
     pruned = bucketed.filter(expr=f"ivf_bucket in {wanted}")
 
-    # per-batch partial top-k, restricted per query to its probed buckets
-    qref = ray.put({"query_id": query_ids, "matrix": query_matrix,
-                    "probes": {int(q): set(map(int, row)) for q, row in zip(query_ids, probes)}})
+    # (nq, n_centroids) bool probe matrix — vectorized bucket masking
+    probe_mask = np.zeros((len(query_ids), len(index.centroids)), dtype=bool)
+    for qi, row in enumerate(probes):
+        probe_mask[qi, row] = True
+    qref = ray.put({"query_id": query_ids, "matrix": query_matrix, "probe_mask": probe_mask})
 
     class ProbedTopK(BruteForceTopK):
         def __init__(self, queries_ref, k, vec_col, key_col):
@@ -227,17 +240,16 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
             import ray as _r
 
             q = _r.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
-            self.probes = q["probes"]
+            self.probe_mask = q["probe_mask"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch)
-            # mask candidates whose bucket the query did not probe
-            buckets = dict(zip(np.asarray(batch[self.key_col]), np.asarray(batch["ivf_bucket"])))
-            keep = [
-                int(buckets[v]) in self.probes[int(q)]
-                for q, v in zip(np.asarray(out["query_id"]), np.asarray(out[self.key_col]))
-            ]
-            return out.filter(pa.array(keep))
+            m = _normalize(_to_matrix(batch[self.vec_col]))
+            sims = self.qmat @ m.T  # (nq, nb)
+            # -inf where the vector's bucket was not probed by the query —
+            # one boolean gather, no per-row Python
+            allowed = self.probe_mask[:, np.asarray(batch["ivf_bucket"], dtype=np.int64)]
+            sims = np.where(allowed, sims, -np.inf)
+            return self._emit(sims, np.asarray(batch[self.key_col]))
 
     partials = pruned.map_batches(
         ProbedTopK,

@@ -57,10 +57,13 @@ def topological_sort(
 
 def sort_within_partitions(ds, partition_col: str, sort_cols: list[str]):
     """Sort rows inside each partition group only (no global order, no
-    global shuffle beyond the partition groupby)."""
-    import pandas as pd
+    global shuffle beyond the partition groupby). One Arrow sort per group —
+    ``partition_col`` is expected to be a COARSE partition id (dozens to
+    thousands of groups), not a row key; per-row-key grouping belongs to
+    ``dedup._keyed_blocks``."""
+    import pyarrow as pa
 
-    def _sort(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sort_cols, kind="mergesort")
+    def _sort(g: pa.Table) -> pa.Table:
+        return g.sort_by([(c, "ascending") for c in sort_cols])
 
-    return ds.groupby(partition_col).map_groups(_sort, batch_format="pandas")
+    return ds.groupby(partition_col).map_groups(_sort, batch_format="pyarrow")

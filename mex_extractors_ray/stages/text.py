@@ -39,48 +39,68 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _flat_segments(list_arr) -> tuple[np.ndarray, np.ndarray]:
+    """(row index per flat item, row count) for an Arrow list array."""
+    offsets = np.asarray(list_arr.offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    return np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets)), np.asarray([n])[0]
+
+
 class QualityScore:
     """Actor stage: per-doc quality features (length, punctuation ratio,
-    stopword ratio, mean word length) and a composite score. Regexes are
-    compiled once per actor."""
+    stopword ratio, mean word length) and a composite score. The stopword
+    set is compiled to an Arrow value-set once per actor; every feature is
+    an Arrow/numpy kernel over the flattened word list — no per-row Python."""
 
     def __init__(self, text_col: str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS):
         self.text_col = text_col
-        self.stopwords = set(stopwords)
-        self.punct = re.compile(r"[^\w\s]")
-        self.word = re.compile(r"[A-Za-z]+")
+        self.stop_set = pa.array(list(stopwords))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch[self.text_col]
-        n_chars = text.str.len().astype("int64")
-        words = text.str.findall(self.word)
-        n_words = words.str.len().astype("int64")
-        n_punct = text.str.count(self.punct).astype("int64")
-        stop = self.stopwords
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in stop)).astype("int64")
-        mean_wl = np.where(n_words > 0, words.map(lambda ws: sum(map(len, ws))) / n_words.clip(lower=1), 0.0)
-        batch = batch.assign(
-            n_chars=n_chars,
-            n_words=n_words,
-            n_punct=n_punct,
-            n_stop=n_stop,
-            punct_ratio=n_punct / n_chars.clip(lower=1),
-            stop_ratio=n_stop / n_words.clip(lower=1),
-            mean_word_len=mean_wl,
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        # words = runs of ASCII letters; split on the complement keeps exact
+        # regexp_extract_all('[A-Za-z]+') parity (empty segments dropped)
+        words = pc.split_pattern_regex(pc.fill_null(text, ""), r"[^A-Za-z]+")
+        flat = words.flatten()
+        rows, _ = _flat_segments(words)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = wl > 0
+        n_words = np.bincount(rows[nonempty], minlength=n).astype(np.int64)
+        sum_wl = np.bincount(rows, weights=wl, minlength=n)
+        is_stop = pc.is_in(pc.utf8_lower(flat), value_set=self.stop_set).to_numpy(
+            zero_copy_only=False
         )
-        batch["quality"] = (
-            (batch["n_words"].clip(upper=512) / 512.0) * 0.4
-            + (1 - batch["punct_ratio"].clip(upper=1.0)) * 0.3
-            + batch["stop_ratio"].clip(upper=0.5) * 2 * 0.3
+        n_stop = np.bincount(rows[np.asarray(is_stop, dtype=bool)], minlength=n).astype(np.int64)
+        n_punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False).astype(np.int64)
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
+        stop_ratio = n_stop / np.maximum(n_words, 1)
+        mean_wl = np.where(n_words > 0, sum_wl / np.maximum(n_words, 1), 0.0)
+        quality = (
+            (np.minimum(n_words, 512) / 512.0) * 0.4
+            + (1 - np.minimum(punct_ratio, 1.0)) * 0.3
+            + np.minimum(stop_ratio, 0.5) * 2 * 0.3
         )
+        for name, arr in (
+            ("n_chars", n_chars), ("n_words", n_words), ("n_punct", n_punct),
+            ("n_stop", n_stop), ("punct_ratio", punct_ratio),
+            ("stop_ratio", stop_ratio), ("mean_word_len", mean_wl), ("quality", quality),
+        ):
+            batch = batch.append_column(name, pa.array(arr))
         return batch
 
 
 class LangId:
     """Actor stage: character-bigram-profile language ID (pure heuristic, no
-    external models). Profiles are tiny per-language bigram frequency tables
-    built once per actor; scoring is a vectorized bag-of-bigrams dot
-    product. Emits ``lang_pred`` + ``lang_conf``."""
+    external models). The per-language profiles compile ONCE per actor into
+    a dense (65536, n_langs) byte-bigram weight matrix; scoring is one
+    gather + one segmented reduce per batch — no per-row Python. Operates on
+    UTF-8 bytes (ASCII bigrams carry the signal; multi-byte sequences fall
+    outside every profile and score 0, exactly like unknown bigrams).
+    Emits ``lang_pred`` + ``lang_conf``."""
 
     PROFILES = {
         "en": "th he in er an re on at en nd ti es or te of ed is it al ar st to nt ng se ha as ou io le ve co me de hi ri ro ic ne ea ra ce li ch ll be ma si om ur",
@@ -91,31 +111,61 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.tables: dict[str, dict[str, float]] = {}
-        for lang, prof in self.PROFILES.items():
-            grams = prof.split()
-            self.tables[lang] = {g: 1.0 / (i + 1) ** 0.5 for i, g in enumerate(grams)}
+        self.langs = list(self.PROFILES)
+        w = np.zeros((1 << 16, len(self.langs)), dtype=np.float64)
+        for j, lang in enumerate(self.langs):
+            for i, g in enumerate(self.PROFILES[lang].split()):
+                b = g.encode()
+                if len(b) != 2:  # profile typos (3-char grams) can never match
+                    continue
+                code = (b[0] << 8) | b[1]
+                if w[code, j] == 0.0:
+                    w[code, j] = 1.0 / (i + 1) ** 0.5
+        self.weights = w
 
-    def _score(self, text: str) -> tuple[str, float]:
-        t = text.lower()
-        grams = [t[i : i + 2] for i in range(len(t) - 1)]
-        if not grams:
-            return "und", 0.0
-        best, best_s, total = "und", 0.0, 0.0
-        for lang, table in self.tables.items():
-            s = sum(table.get(g, 0.0) for g in grams) / len(grams)
-            total += s
-            if s > best_s:
-                best, best_s = lang, s
-        conf = best_s / total if total else 0.0
-        return best, conf
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        scored = batch[self.text_col].map(self._score)
-        batch = batch.assign(
-            lang_pred=scored.map(lambda x: x[0]), lang_conf=scored.map(lambda x: x[1])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lowered = pc.fill_null(pc.utf8_lower(text), "").combine_chunks() if isinstance(
+            pc.utf8_lower(text), pa.ChunkedArray
+        ) else pc.fill_null(pc.utf8_lower(text), "")
+        n = len(lowered)
+        buffers = lowered.buffers()
+        off_dtype = np.int64 if pa.types.is_large_string(lowered.type) else np.int32
+        offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+            lowered.offset : lowered.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None
+            else np.empty(0, np.uint8)
         )
-        return batch
+        starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
+        bl = np.maximum(lens - 1, 0)  # bigrams per row
+        total = int(bl.sum())
+        preds = np.full(n, "und", dtype=object)
+        confs = np.zeros(n)
+        if total:
+            row_first = np.cumsum(bl) - bl
+            local = np.arange(total, dtype=np.int64) - np.repeat(row_first, bl)
+            pos = np.repeat(starts, bl) + local
+            codes = (data[pos].astype(np.int32) << 8) | data[pos + 1]
+            gw = self.weights[codes]  # (total, L)
+            has = bl > 0
+            seg_starts = row_first[has]
+            scores = np.zeros((n, len(self.langs)))
+            scores[has] = np.add.reduceat(gw, seg_starts, axis=0) / bl[has, None]
+            tot = scores.sum(axis=1)
+            best = np.argmax(scores, axis=1)
+            best_s = scores[np.arange(n), best]
+            nonzero = tot > 0
+            confs[nonzero] = best_s[nonzero] / tot[nonzero]
+            lang_arr = np.array(self.langs, dtype=object)
+            preds[nonzero & (best_s > 0)] = lang_arr[best[nonzero & (best_s > 0)]]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
+            "lang_conf", pa.array(confs)
+        )
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:

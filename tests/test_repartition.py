@@ -52,3 +52,31 @@ def test_partition_count_guard(ray_session, small_log, tmp_lake):
     # repartition is the sanctioned path; afterwards P=8 ingest works
     repartition_lake(tmp_lake, 8)
     ingest_change_log(paths, tmp_lake, num_partitions=8)
+
+
+def test_repartition_refuses_partial_commit(ray_session, small_log, tmp_lake):
+    """A lake whose last ingest only partially committed (some manifests
+    ahead of the lake-level completion record) must not repartition
+    silently: the collapsed global watermark would drop the lagging
+    partitions' un-applied events as late on replay."""
+    import json
+
+    import pytest
+
+    from mex_extractors_ray.cdc.manifest import manifest_path
+
+    paths, table = small_log
+    ingest_change_log(paths, tmp_lake, num_partitions=4)
+    # a FULLY committed lake repartitions fine even though per-partition
+    # watermarks differ (each is the max LSN of its own events)
+    repartition_lake(tmp_lake, 8)
+    # simulate a crash mid-ingest: one manifest advanced past the
+    # completion record
+    mp = manifest_path(tmp_lake, 0)
+    doc = json.loads(mp.read_text())
+    doc["last_lsn"] = doc["last_lsn"] + 1000
+    mp.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="partially committed"):
+        repartition_lake(tmp_lake, 4)
+    out = repartition_lake(tmp_lake, 4, force=True)  # explicit override works
+    assert out["partitions"] > 0

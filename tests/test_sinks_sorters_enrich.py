@@ -1,6 +1,7 @@
 import json
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from mex_extractors_ray.stages import enrich, sinks, sorters
@@ -73,10 +74,10 @@ def test_cached_enricher_counts_misses():
         return f"v-{k}"
 
     e = enrich.CachedEnricher(resolve, "k", "out", maxsize=10)
-    b1 = e(pd.DataFrame({"k": ["a", "b", "a", "a"]}))
-    assert b1["out"].tolist() == ["v-a", "v-b", "v-a", "v-a"]
+    b1 = e(pa.table({"k": ["a", "b", "a", "a"]}))
+    assert b1["out"].to_pylist() == ["v-a", "v-b", "v-a", "v-a"]
     assert calls["n"] == 2  # batch-level dedup: a resolved once
-    e(pd.DataFrame({"k": ["a", "c"]}))
+    e(pa.table({"k": ["a", "c"]}))
     assert calls["n"] == 3  # a cached across batches
     assert e.cache.hits >= 1
 

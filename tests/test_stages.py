@@ -181,24 +181,28 @@ def test_token_counts_vectorized():
 
 def test_quality_score():
     qs = text.QualityScore()
-    out = qs(pd.DataFrame({"text": ["the cat sat on the mat!", "zzz"]}))
-    assert out["n_stop"].tolist()[0] == 3  # the, on, the
-    assert 0 <= out["quality"].iloc[0] <= 1
+    out = qs(pa.table({"text": ["the cat sat on the mat!", "zzz"]}))
+    assert out["n_stop"].to_pylist()[0] == 3  # the, on, the
+    assert 0 <= out["quality"].to_pylist()[0] <= 1
+    assert out["n_words"].to_pylist() == [6, 1]
+    assert out["mean_word_len"].to_pylist()[1] == 3.0
 
 
 def test_lang_id_separates_en_de():
     li = text.LangId()
     out = li(
-        pd.DataFrame(
+        pa.table(
             {
                 "text": [
                     "the quick brown fox jumps over the lazy dog with great speed",
                     "der schnelle braune fuchs springt über den faulen hund und rennt",
+                    "",
                 ]
             }
         )
     )
-    assert out["lang_pred"].tolist() == ["en", "de"]
+    assert out["lang_pred"].to_pylist() == ["en", "de", "und"]
+    assert out["lang_conf"].to_pylist()[2] == 0.0
 
 
 def test_clean_strings():
@@ -264,3 +268,22 @@ def test_ivf_topk_exact_when_probing_all(ray_session):
         e = set(exact[exact["query_id"] == qi]["vec_id"])
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         assert len(a & e) >= 2
+
+
+def test_list_overlap_semi_anti(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages import joins as j
+
+    rows = [
+        {"id": 1, "tags": ["a", "b"]},
+        {"id": 2, "tags": ["c"]},
+        {"id": 3, "tags": []},
+        {"id": 4, "tags": ["b", "z"]},
+        {"id": 5, "tags": None},
+    ]
+    ds = ray.data.from_items(rows)
+    kept = j.list_overlap_semi_join(ds, "tags", ["b", "q"]).select_columns(["id"]).to_pandas()
+    assert sorted(kept["id"]) == [1, 4]
+    dropped = j.list_overlap_anti_join(ds, "tags", ["b", "q"]).select_columns(["id"]).to_pandas()
+    assert sorted(dropped["id"]) == [2, 3, 5]
