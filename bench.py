@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "exact_dup_docs",
     "token_counts",
     "minhash_near_dups",
+    "simhash_near_dups",
+    "vocab_mapped",
     "ann_topk",
     "order_priority_revenue",
     "enriched_users",

@@ -79,7 +79,7 @@ class ResolveAndPartition:
 
 def resolve_and_partition(
     batch: pa.Table, registry_json: str, num_partitions: int, prereduce: bool = True,
-    mode: str = "last_wins",
+    mode: str = "last_wins", skip_sources: list[str] | None = None,
 ) -> pa.Table:
     """Stateless-task form of ResolveAndPartition (same semantics).
 
@@ -87,9 +87,17 @@ def resolve_and_partition(
     shuffle — the map-side combiner: an event superseded inside its own
     batch can never win at the apply (which replays last-wins over the
     union), so dropping it early is semantics-preserving and trims shuffle
-    bytes exactly where hot keys concentrate (skewed update streams)."""
+    bytes exactly where hot keys concentrate (skewed update streams).
+
+    ``skip_sources`` drops events from the listed sources BEFORE the
+    shuffle — the reference's skip-list config (``mex/extractors/
+    settings.py:74-77``: which extractors/sources not to process)."""
     registry = SchemaRegistry.from_json(registry_json)
     batch = registry.resolve_table(batch)
+    if skip_sources:
+        batch = batch.filter(
+            pc.invert(pc.is_in(batch["source"], value_set=pa.array(list(skip_sources))))
+        )
     if mode == "first_wins":
         # deletes are no-ops in first-seen-immutable mode; a delete must
         # never shadow a later insert inside the reduce
@@ -132,6 +140,35 @@ def _read_tombstones(pdir: Path, manifest: PartitionManifest | None) -> dict[str
     return dict(zip(t["doc_id"].to_pylist(), t["lsn"].to_pylist()))
 
 
+def merge_live(tables: list[pa.Table], tombstone_ids: pa.Array | None = None) -> pa.Table:
+    """The partition read-merge: last-wins by (doc_id, lsn) across base +
+    delta files, minus tombstoned docs. Output sorted by doc_id. For a
+    compacted (single-file, no-tombstone-overlap) partition this degrades to
+    a no-op reduce, so every reader uses the SAME path."""
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    t = _reduce_per_doc(t, "last_wins")
+    if tombstone_ids is not None and len(tombstone_ids):
+        t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=tombstone_ids)))
+    return t
+
+
+def _read_partition_live(pdir: Path, manifest: PartitionManifest,
+                         registry: SchemaRegistry, cols: list[str]) -> pa.Table:
+    tables = [
+        registry.resolve_table(pq.read_table(pdir / f)).select(cols) for f in manifest.files
+    ]
+    if not tables:
+        return pa.schema(
+            [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table().select(cols)
+    tomb_ids = None
+    if manifest.tombstone_file and (pdir / manifest.tombstone_file).exists():
+        tomb_ids = pq.read_table(
+            pdir / manifest.tombstone_file, columns=["doc_id"]
+        )["doc_id"].combine_chunks()
+    return merge_live(tables, tomb_ids)
+
+
 METRICS_SCHEMA = pa.schema(
     [
         ("partition", pa.int32()),
@@ -166,9 +203,21 @@ def _metrics_row(pid: int, **kw) -> pa.Table:
 
 
 def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
-                    mode: str = "last_wins") -> pa.Table:
+                    mode: str = "last_wins", delta: bool = True,
+                    compact_threshold: int = 8) -> pa.Table:
     """Merge one partition's change events into its lake state (one call per
     pid per run; returns a one-row metrics table).
+
+    Delta apply (``delta=True``, the default): each ingest window writes
+    ONLY that window's winners as a new delta file — bytes written per
+    window ∝ delta size, not partition size. Readers merge at scan time
+    (last-wins by (doc_id, lsn) + tombstone anti-join — :func:`merge_live`);
+    membership/row-count bookkeeping reads only the column-pruned
+    (doc_id, lsn) of committed files, never the token payloads. Once a
+    partition accumulates ``compact_threshold`` files the window folds them
+    into a single base (read amplification stays bounded; the standalone
+    compactor does the same on demand). ``delta=False`` forces the fold
+    every window (the v1 merge-on-write behavior).
 
     Exactly-once: events ≤ the committed watermark are dropped; file names
     are deterministic in (pid, last_lsn) and the manifest commit is an atomic
@@ -212,35 +261,30 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
 
     lake_cols = [n for n, _ in latest.fields] + ["lsn"]
     upsert_data = upserts.select(lake_cols)
+    old_files = list(manifest.files) if manifest else []
+    old_checksums = list(manifest.file_checksums) if manifest else []
+    old_tomb_ids = _read_tombstones(pdir, manifest)
 
-    # current state (COW read of exactly the manifest's files)
-    if manifest and manifest.files:
-        current = pa.concat_tables(
-            registry.resolve_table(pq.read_table(pdir / f)) for f in manifest.files
-        ).select(lake_cols)
-    else:
-        current = registry.resolve_table(
-            pa.schema([*latest.to_arrow(), pa.field("lsn", pa.int64())]).empty_table()
-        ).select(lake_cols)
+    write_delta = delta and old_files and len(old_files) + 1 < compact_threshold
+    key_ids = None
+    if old_files and (mode == "first_wins" or write_delta):
+        # ONE column-pruned key read serves both the first_wins membership
+        # filter and the delta live-count bookkeeping — payloads untouched
+        key_ids = pa.concat_tables(
+            pq.read_table(pdir / f, columns=["doc_id"]) for f in old_files
+        )["doc_id"].combine_chunks()
 
-    if mode == "first_wins":
-        # first-seen-immutable: existing docs never change, deletes are
-        # no-ops (the reference's seen-set keeps the original occurrence)
-        deletes = deletes.slice(0, 0)
-        fresh_mask = pc.invert(
-            pc.is_in(upsert_data["doc_id"], value_set=current["doc_id"].combine_chunks())
+    if mode == "first_wins" and old_files:
+        # first-seen-immutable: existing docs never change
+        upsert_data = upsert_data.filter(
+            pc.invert(pc.is_in(upsert_data["doc_id"], value_set=key_ids))
         )
-        upsert_data = upsert_data.filter(fresh_mask)
+    if mode == "first_wins":
+        deletes = deletes.slice(0, 0)
         upserts = upsert_data
-        merged = pa.concat_tables([current, upsert_data]).sort_by([("doc_id", "ascending")])
-    else:
-        touched = winners["doc_id"].combine_chunks()
-        keep_mask = pc.invert(pc.is_in(current["doc_id"], value_set=touched))
-        survivors = current.filter(keep_mask)
-        merged = pa.concat_tables([survivors, upsert_data]).sort_by([("doc_id", "ascending")])
 
     # tombstones: deletes add; resurrecting upserts remove
-    tombstones = _read_tombstones(pdir, manifest)
+    tombstones = dict(old_tomb_ids)
     for d, l in zip(deletes["doc_id"].to_pylist(), deletes["lsn"].to_pylist()):
         tombstones[d] = l
     for d in upsert_data["doc_id"].to_pylist():
@@ -255,27 +299,66 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             "lsn": pa.array([tombstones[k] for k in tomb_ids], pa.int64()),
         }
     )
+
+    if write_delta:
+        # ---- delta path: write ONLY this window's winners --------------
+        data_tbl = upsert_data.sort_by([("doc_id", "ascending")])
+        files = old_files + [data_name]
+        # live count without touching payloads: |old_live ∖ touched| + |upserts|
+        old_live = pc.unique(key_ids)
+        if old_tomb_ids:
+            old_live = old_live.filter(
+                pc.invert(pc.is_in(old_live, value_set=pa.array(sorted(old_tomb_ids))))
+            )
+        # first_wins: only truly-new docs count as touched (existing docs
+        # are immutable, their winners were filtered out of upsert_data)
+        touched = (
+            upsert_data["doc_id"].combine_chunks()
+            if mode == "first_wins"
+            else winners["doc_id"].combine_chunks()
+        )
+        touched_live = int(
+            pc.sum(pc.cast(pc.is_in(old_live, value_set=touched), pa.int64())).as_py() or 0
+        )
+        row_count = len(old_live) - touched_live + upsert_data.num_rows
+        # old checksums carried forward (recompute only for manifests
+        # predating per-file checksums)
+        while len(old_checksums) < len(old_files):
+            old_checksums.append(sha256_file(pdir / old_files[len(old_checksums)]))
+    else:
+        # ---- fold path: merge base + deltas + this window into one base
+        tables = [
+            registry.resolve_table(pq.read_table(pdir / f)).select(lake_cols)
+            for f in old_files
+        ] + [upsert_data]
+        tomb_arr = tomb_table["doc_id"].combine_chunks() if tomb_table.num_rows else None
+        data_tbl = merge_live(tables, tomb_arr)
+        files = [data_name]
+        old_checksums = []
+        row_count = data_tbl.num_rows
+
     # phase 1: deterministic files (tmp + atomic rename to tolerate concurrent retries)
     import os
     import uuid
 
-    for name, tbl in ((data_name, merged), (tomb_name, tomb_table)):
+    for name, tbl in ((data_name, data_tbl), (tomb_name, tomb_table)):
         tmp = pdir / f".tmp-{uuid.uuid4().hex}"
         pq.write_table(tbl, tmp, compression="snappy")
         os.replace(tmp, pdir / name)
     # phase 2: atomic manifest commit (+ GC of superseded files)
     digest = sha256_file(pdir / data_name)
+    checksums = old_checksums + [digest] if write_delta else [digest]
     commit_manifest(
         lake_dir,
         PartitionManifest(
             partition=pid,
             last_lsn=last_lsn,
-            files=[data_name],
+            files=files,
             tombstone_file=tomb_name,
             schema_version=latest.version,
-            sha256_checksum=digest,
-            file_checksums=[digest],
-            row_count=merged.num_rows,
+            sha256_checksum=checksums[0],
+            file_checksums=checksums,
+            row_count=row_count,
             tombstone_count=tomb_table.num_rows,
         ),
     )
@@ -285,7 +368,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         late_dropped=late_dropped,
         upserts=upserts.num_rows,
         deletes=deletes.num_rows,
-        row_count=merged.num_rows,
+        row_count=row_count,
         tombstone_count=tomb_table.num_rows,
         last_lsn=last_lsn,
         schema_version=latest.version,
@@ -306,6 +389,9 @@ def ingest_change_log(
     resolve_concurrency: int | None = None,
     shuffle: str = "hash",
     mode: str = "last_wins",
+    delta: bool = True,
+    compact_threshold: int = 8,
+    skip_sources: list[str] | None = None,
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
 
@@ -371,7 +457,7 @@ def ingest_change_log(
     try:
         metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
-            resolve_concurrency, mode,
+            resolve_concurrency, mode, delta, compact_threshold, skip_sources,
         )
         # lake-level completion record: written only after EVERY partition
         # committed. A crash mid-ingest leaves some manifests ahead of this
@@ -404,7 +490,8 @@ def ingest_change_log(
 
 def _run_ingest(
     log_paths, lake_dir, num_partitions, registry_json, batch_size,
-    resolve_concurrency, mode="last_wins",
+    resolve_concurrency, mode="last_wins", delta=True, compact_threshold=8,
+    skip_sources=None,
 ) -> pa.Table:
     import ray.data
 
@@ -419,7 +506,7 @@ def _run_ingest(
     ds = ds.map_batches(
         functools.partial(
             resolve_and_partition, registry_json=registry_json,
-            num_partitions=num_partitions, mode=mode,
+            num_partitions=num_partitions, mode=mode, skip_sources=skip_sources,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -432,7 +519,8 @@ def _run_ingest(
     # window stay well under the block-size ceiling (at 100 TB: raise P,
     # then `repartition_lake` — never lower P to chase bigger tasks).
     fn = functools.partial(
-        apply_partition, lake_dir=str(lake_dir), registry_json=registry_json, mode=mode
+        apply_partition, lake_dir=str(lake_dir), registry_json=registry_json, mode=mode,
+        delta=delta, compact_threshold=compact_threshold,
     )
     try:
         grouped = ds.groupby("pid", num_partitions=num_partitions)
@@ -464,31 +552,55 @@ def lake_files(lake_dir: str | Path) -> list[str]:
     return files
 
 
+def _manifested_pids(lake_dir: str | Path) -> list[int]:
+    return sorted(
+        int(p.parent.name.split("=")[1])
+        for p in Path(lake_dir).glob("partition=*/manifest.json")
+    )
+
+
 def read_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None):
-    """The committed lake state as a ray.data.Dataset (schema-resolved)."""
+    """The committed lake state as a ray.data.Dataset: one task per
+    partition, each doing the partition-LOCAL delta merge (last-wins +
+    tombstone anti-join) — distribution without a shuffle, because doc_ids
+    never cross partitions."""
     import ray.data
 
     registry = registry or sequence_registry()
     registry_json = registry.to_json()
-    files = lake_files(lake_dir)
-    if not files:
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    pids = _manifested_pids(lake_dir)
+    if not pids:
         schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
         return ray.data.from_arrow(schema.empty_table())
+    lake = str(lake_dir)
 
-    def _resolve(batch: pa.Table) -> pa.Table:
-        return SchemaRegistry.from_json(registry_json).resolve_table(batch)
+    def load(batch: dict) -> pa.Table:
+        reg = SchemaRegistry.from_json(registry_json)
+        out = []
+        for pid in batch["item"]:
+            m = read_manifest(lake, int(pid))
+            if m:
+                out.append(_read_partition_live(partition_dir(lake, int(pid)), m, reg, cols))
+        return pa.concat_tables(out) if out else pa.schema(
+            [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table().select(cols)
 
-    return ray.data.read_parquet(files).map_batches(_resolve, batch_format="pyarrow")
+    return ray.data.from_items(pids).map_batches(load, batch_size=1, batch_format="numpy")
 
 
 def read_lake_arrow(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> pa.Table:
-    """Driver-side materialized lake state, sorted by doc_id (tests/oracles)."""
+    """Driver-side materialized lake state, sorted by doc_id (tests/oracles).
+    Same per-partition delta merge as :func:`read_lake`."""
     registry = registry or sequence_registry()
-    files = lake_files(lake_dir)
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
-    if not files:
+    parts = []
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m:
+            parts.append(_read_partition_live(partition_dir(lake_dir, pid), m, registry, cols))
+    if not parts:
         return pa.schema(
             [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
         ).empty_table()
-    parts = [registry.resolve_table(pq.read_table(f)).select(cols) for f in files]
     return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])

@@ -53,9 +53,10 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         return {"partition": pid, "action": "noop"}
     pdir = partition_dir(lake_dir, pid)
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
-    merged = pa.concat_tables(
-        registry.resolve_table(pq.read_table(pdir / f)).select(cols) for f in m.files
-    ).sort_by([("doc_id", "ascending")])
+    # delta fold: last-wins across base+deltas, minus tombstoned docs
+    from mex_extractors_ray.cdc.apply import _read_partition_live
+
+    merged = _read_partition_live(pdir, m, registry, cols)
     name = f"part-{pid:05d}-{m.last_lsn:020d}.parquet"
     tmp = pdir / f".tmp-{uuid.uuid4().hex}"
     pq.write_table(merged, tmp, compression="snappy")
@@ -108,8 +109,7 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         return {"partition": pid, "ok": True, "errors": []}
     pdir = partition_dir(lake_dir, pid)
     errors: list[str] = []
-    rows = 0
-    live_ids: set = set()
+    tables = []
     for i, f in enumerate(m.files):
         path = pdir / f
         if not path.exists():
@@ -122,13 +122,12 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             # pre-file_checksums manifests carry only the primary hash
             errors.append(f"checksum mismatch {f}")
         t = registry.resolve_table(pq.read_table(path))
-        rows += t.num_rows
+        tables.append(t)
         ids = t["doc_id"].to_pylist()
         if ids != sorted(ids):
             errors.append(f"{f}: doc_id not sorted")
         if len(set(ids)) != len(ids):
             errors.append(f"{f}: duplicate doc_id")
-        live_ids.update(ids)
         bad = pc.sum(
             pc.cast(
                 pc.not_equal(
@@ -140,13 +139,26 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         ).as_py()
         if bad:
             errors.append(f"{f}: {bad} rows violate n_tok==len(tokens)")
-    if rows != m.row_count:
-        errors.append(f"row_count {rows} != manifest {m.row_count}")
+    # live state = delta merge (cross-file duplicate doc_ids are expected:
+    # deltas shadow the base by LSN); row_count is the MERGED live count
+    tomb_ids: set = set()
     if m.tombstone_file and (pdir / m.tombstone_file).exists():
-        tt = pq.read_table(pdir / m.tombstone_file)
-        overlap = live_ids & set(tt["doc_id"].to_pylist())
+        tomb_ids = set(pq.read_table(pdir / m.tombstone_file)["doc_id"].to_pylist())
+    if tables:
+        from mex_extractors_ray.cdc.apply import merge_live
+
+        cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+        live = merge_live(
+            [t.select(cols) for t in tables],
+            pa.array(sorted(tomb_ids)) if tomb_ids else None,
+        )
+        if live.num_rows != m.row_count:
+            errors.append(f"row_count {live.num_rows} != manifest {m.row_count}")
+        overlap = set(live["doc_id"].to_pylist()) & tomb_ids
         if overlap:
             errors.append(f"{len(overlap)} doc_ids both live and tombstoned")
+    elif m.row_count:
+        errors.append(f"row_count 0 != manifest {m.row_count}")
     return {"partition": pid, "ok": not errors, "errors": errors}
 
 

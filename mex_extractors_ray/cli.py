@@ -65,7 +65,10 @@ def cmd_ingest(args) -> int:
 
     import pyarrow.compute as pc
 
-    metrics = ingest_change_log(_log_paths(args.log), args.lake, num_partitions=args.partitions)
+    metrics = ingest_change_log(
+        _log_paths(args.log), args.lake, num_partitions=args.partitions,
+        delta=not args.no_delta, compact_threshold=args.compact_threshold,
+    )
     run_id = f"{int(pc.max(metrics['last_lsn']).as_py() or 0):020d}"
     append_lineage(args.lake, metrics, run_id=run_id)
     violations = evaluate_checks(args.lake, json.loads(args.checks)) if args.checks else []
@@ -173,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--lake", required=True)
     i.add_argument("-p", "--partitions", type=int, default=32)
     i.add_argument("--checks", default="", help="JSON list of drift rules")
+    i.add_argument("--no-delta", action="store_true",
+                   help="full-merge every window instead of delta files")
+    i.add_argument("--compact-threshold", type=int, default=8,
+                   help="fold base+deltas into one file at this many files")
     i.set_defaults(fn=cmd_ingest)
 
     r = sub.add_parser("replay")

@@ -497,6 +497,67 @@ def q_list_overlap_filter(sf_dir: str):
     return out.select_columns(["doc_id", "source"]).to_pandas()
 
 
+def q_year_rule_filter(sf_dir: str):
+    """The reference's string-encoded year rule (``" < 1890"`` from
+    ``assets/mappings/__all__/activity_filter.yaml``, applied
+    ``mex/extractors/filters.py:52-64``): derive a year string per event,
+    parse via the temporal family (parse_temporal), fire the rule mask,
+    keep the survivors — grouped count per year."""
+    from mex_extractors_ray.stages.temporal import parse_temporal, year_threshold_mask
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def keep_mask(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        year_str = pc.cast(pa.array(1880 + uid % 30), pa.string())
+        t = b.append_column("year_str", year_str)
+        t = parse_temporal(t, "year_str")
+        fires = year_threshold_mask(t, "ts_parsed", "< 1890")
+        return t.filter(pc.invert(fires)).select(["year_str"])
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ev.map_batches(keep_mask, batch_format="pyarrow")
+        .groupby("year_str")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.to_pandas()
+
+
+REWRITE_TYPES = ["purchase", "view", "click"]
+
+
+def q_reference_rewrite(sf_dir: str):
+    """Reference-rewrite by entity-type field matrix (``publisher/
+    transform.py:54-115`` + ``fields.py:9-21``): for the event types in the
+    matrix, user references outside the allowed set (users with an 'error'
+    event) are rewritten to the fallback id -1; other types untouched."""
+    from mex_extractors_ray.stages.rewrite import rewrite_references
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    allowed = ev.filter(expr="event_type == 'error'").unique("user_id")
+    rewritten = rewrite_references(
+        ev,
+        {t: ["user_id"] for t in REWRITE_TYPES},
+        type_col="event_type",
+        allowed=allowed,
+        fallback=-1,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["event_type", "user_ref"])
+
+    from ray.data.aggregate import Count
+
+    out = (
+        rewritten.map_batches(rename, batch_format="pyarrow")
+        .groupby(["event_type", "user_ref"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.to_pandas()
+
+
 def q_vocab_mapped(sf_dir: str):
     """Vocab/value mapping (the mapping-YAML discipline): translate
     event_type through two field specs (multi-value forValues, first-wins
@@ -745,6 +806,8 @@ def queries():
         "source_dimension": q_source_dimension,
         "vocab_mapped": q_vocab_mapped,
         "list_overlap_filter": q_list_overlap_filter,
+        "reference_rewrite": q_reference_rewrite,
+        "year_rule_filter": q_year_rule_filter,
         "enriched_users": q_enriched_users,
         "exact_dup_docs": q_exact_dup_docs,
         "token_counts": q_token_counts,
@@ -869,6 +932,22 @@ FROM (SELECT DISTINCT source FROM documents)
 SELECT doc_id, source FROM documents
 WHERE list_has_any(str_split(text, ' '),
                    [{", ".join(f"'{k}'" for k in LIST_OVERLAP_KEYS)}])
+""",
+        "year_rule_filter": """
+SELECT CAST(1880 + user_id % 30 AS VARCHAR) AS year_str,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE 1880 + user_id % 30 >= 1890
+GROUP BY 1
+""",
+        "reference_rewrite": f"""
+SELECT event_type,
+       CASE WHEN event_type IN ({", ".join(f"'{t}'" for t in REWRITE_TYPES)})
+             AND user_id NOT IN (SELECT DISTINCT user_id FROM events
+                                 WHERE event_type = 'error')
+            THEN -1 ELSE user_id END AS user_ref,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
 """,
         "vocab_mapped": f"""
 SELECT {vocab.vocab_sql_case(VOCAB_SPECS[0])} AS event_class,

@@ -19,6 +19,10 @@ class IngestSettings(BaseModel):
     batch_size: int = Field(65_536, description="resolve/combiner batch rows")
     shuffle: str = Field("hash", description="'hash' (co-location only) or 'sort'")
     mode: str = Field("last_wins", description="'last_wins' or 'first_wins' apply semantics")
+    delta: bool = Field(True, description="write per-window delta files (bytes ∝ delta, not partition)")
+    compact_threshold: int = Field(8, description="fold base+deltas into one file at this many files")
+    skip_sources: list[str] = Field(default_factory=list,
+                                    description="sources dropped at resolve (skip_extractors analog)")
 
 
 class TailSettings(BaseModel):

@@ -225,3 +225,19 @@ def test_first_wins_delete_never_shadows_insert(ray_session, tmp_lake, tmp_path)
     assert lake["tokens"].to_pylist() == [[7]]  # first insert wins; update ignored
     expected, _ = replay_reference(t, mode="first_wins")
     assert lake.equals(expected)
+
+
+def test_skip_sources_config(ray_session, small_log, tmp_lake):
+    """The reference's skip-list config (settings.py:74-77): listed sources
+    are dropped before the shuffle; the lake matches a replay of the
+    filtered log."""
+    import pyarrow.compute as pc
+
+    paths, table = small_log
+    skipped = "src1"
+    ingest_change_log(paths, tmp_lake, num_partitions=4, skip_sources=[skipped])
+    lake = read_lake_arrow(tmp_lake)
+    assert pc.sum(pc.cast(pc.equal(lake["source"], skipped), pa.int64())).as_py() in (0, None)
+    filtered = table.filter(pc.not_equal(table["source"], skipped))
+    expected, _ = replay_reference(filtered)
+    assert lake.equals(expected)
