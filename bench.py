@@ -72,15 +72,16 @@ def log_events_for_sf(sf_dir: str) -> tuple[int, int]:
     return n_events, max(1000, n_events // 10)
 
 
-def ensure_log(n_events: int, n_docs: int, seed: int = 42) -> list[str]:
+def ensure_log(n_events: int, n_docs: int, seed: int = 42, lsn_start: int = 0) -> list[str]:
     from mex_extractors_ray.gen import synth_change_log
 
-    d = BENCH_ROOT / f"log-{n_events}-{n_docs}-{seed}"
+    d = BENCH_ROOT / f"log-{n_events}-{n_docs}-{seed}-{lsn_start}"
     marker = d / "_COMPLETE"
     if marker.exists():
         return sorted(str(p) for p in d.glob("log-*.parquet"))
     shutil.rmtree(d, ignore_errors=True)
-    paths = synth_change_log(d, n_events=n_events, n_docs=n_docs, seed=seed, shard_rows=50_000)
+    paths = synth_change_log(d, n_events=n_events, n_docs=n_docs, seed=seed,
+                             shard_rows=50_000, lsn_start=lsn_start)
     marker.write_text("ok")
     return paths
 
@@ -113,6 +114,27 @@ def run_bench() -> dict:
     headline = time.time() - t0
     assert metrics.num_rows <= num_partitions and metrics.num_rows > 0
 
+    # steady-state tail window: a small follow-on log (LSNs above the fresh
+    # lake's watermark) into the EXISTING lake — the delta-apply regime.
+    # Reported bytes prove write amplification ∝ window, not partition.
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.cdc.manifest import partition_dir, read_manifest
+
+    wm = int(pc.max(metrics["last_lsn"]).as_py())
+    tail_n = max(50_000, n_events // 20)
+    tail_paths = ensure_log(tail_n, n_docs, seed=9, lsn_start=wm + 1)
+    t0 = time.time()
+    ingest_change_log(tail_paths, lake, num_partitions=num_partitions)
+    tail_sec = time.time() - t0
+    delta_bytes = base_bytes = 0
+    for pid in range(num_partitions):
+        m = read_manifest(lake, pid)
+        if m and len(m.files) > 1:
+            pdir = partition_dir(lake, pid)
+            delta_bytes += (pdir / m.files[-1]).stat().st_size
+            base_bytes += sum((pdir / f).stat().st_size for f in m.files[:-1])
+
     from mex_extractors_ray.pipelines import catalog
 
     qtimes: dict[str, float] = {}
@@ -135,6 +157,13 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / headline, 1),
+        "tail_window": {
+            "events": tail_n,
+            "sec": round(tail_sec, 3),
+            "events_per_sec": round(tail_n / tail_sec, 1),
+            "delta_bytes_written": delta_bytes,
+            "base_bytes_untouched": base_bytes,
+        },
     }
 
 

@@ -108,6 +108,7 @@ def synth_change_log(
     hot_key_fraction: float = 0.01,
     hot_key_update_share: float = 0.2,
     schema_mix: bool = True,
+    lsn_start: int = 0,
 ) -> list[str]:
     """Write a seeded synthetic change log as sharded Parquet; returns paths.
 
@@ -121,7 +122,9 @@ def synth_change_log(
     out.mkdir(parents=True, exist_ok=True)
     paths: list[str] = []
     n_hot = max(1, int(n_docs * hot_key_fraction))
-    lsn_base = 0
+    # lsn_start > an existing lake's watermark makes this log a follow-on
+    # ingest window (the steady-state tailing fixture)
+    lsn_base = int(lsn_start)
     for shard, start in enumerate(range(0, n_events, shard_rows)):
         rows = min(shard_rows, n_events - start)
         rng = np.random.default_rng([seed, shard])

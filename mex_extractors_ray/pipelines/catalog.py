@@ -259,24 +259,23 @@ def q_revenue_by_nation(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    # dims collapsed driver-side (tiny), then ONE Arrow index_in probe per
+    # batch on the big orders stream — no pandas conversion on the hot path
+    named = joins.broadcast_lookup(
+        orders, dim["c_custkey"].to_numpy(), dim["n_name"].to_numpy(),
+        key_col="o_custkey", out_col="n_name", how="inner",
+    )
 
-    def prep(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"c_custkey": b["o_custkey"], "revenue_c100": _cents(b["o_totalprice"])}
-        )
-
-    joined = joins.broadcast_join(orders.map_batches(prep, batch_format="pyarrow"), dim, on="c_custkey")
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("n_name", as_index=False).agg(
-            revenue_c100=("revenue_c100", "sum"), n_orders=("revenue_c100", "size")
-        )
-        return g
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"n_name": b["n_name"], "revenue_c100": _cents(b["o_totalprice"])})
+        return t.group_by("n_name").aggregate(
+            [("revenue_c100", "sum"), ([], "count_all")]
+        ).rename_columns(["n_name", "revenue_c100", "n_orders"])
 
     from ray.data.aggregate import Sum
 
     out = (
-        joined.map_batches(partial, batch_format="pandas")
+        named.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("revenue_c100", alias_name="revenue_c100"), Sum("n_orders", alias_name="n_orders"))
     )
@@ -290,22 +289,21 @@ def q_parts_semi_join(sf_dir: str):
         lambda t: t.filter(pc.match_substring_regex(t["p_type"], r"^ECONOMY")),
         batch_format="pyarrow",
     ).to_pandas()
-    keys = econ["p_partkey"].tolist()
-    dim = econ.rename(columns={"p_partkey": "l_partkey"})[["l_partkey", "p_brand"]]
     line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
-    semi = joins.semi_join(line, "l_partkey", keys)
+    # semi join + brand lookup FUSED in one zero-copy Arrow pass: index_in
+    # against the broadcast key array, take of the brand array, inner filter
+    branded = joins.broadcast_lookup(
+        line, econ["p_partkey"].to_numpy(), econ["p_brand"].to_numpy(),
+        key_col="l_partkey", out_col="p_brand", how="inner",
+    )
 
     def to_cents(b: pa.Table) -> pa.Table:
-        return pa.table({"l_partkey": b["l_partkey"], "sum_qty_c100": _cents(b["l_quantity"])})
-
-    # brand lookup is the broadcast join (dim shipped once per actor), not a
-    # per-row Python dict probe
-    branded = joins.broadcast_join(semi.map_batches(to_cents, batch_format="pyarrow"), dim, on="l_partkey")
+        return pa.table({"p_brand": b["p_brand"], "sum_qty_c100": _cents(b["l_quantity"])})
 
     from ray.data.aggregate import Count, Sum
 
     out = (
-        branded.select_columns(["p_brand", "sum_qty_c100"])
+        branded.map_batches(to_cents, batch_format="pyarrow")
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_items"), Sum("sum_qty_c100", alias_name="sum_qty_c100"))
     )
@@ -417,8 +415,7 @@ def q_rule_filter_rejects(sf_dir: str):
     """Rejection lineage: count per firing rule (``logging.py:13-32`` analog)."""
     ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value", "props"])
     tagged = ev.map_batches(
-        filters.RuleFilter, fn_constructor_args=(EVENT_RULES,), batch_format="pyarrow",
-        concurrency=(1, 4),
+        filters.RuleFilter(EVENT_RULES), batch_format="pyarrow"
     ).map_batches(filters.rejected, batch_format="pyarrow")
     from ray.data.aggregate import Count
 
@@ -495,6 +492,32 @@ def q_list_overlap_filter(sf_dir: str):
     withwords = docs.map_batches(to_words, batch_format="pyarrow")
     out = joins.list_overlap_semi_join(withwords, "words", LIST_OVERLAP_KEYS)
     return out.select_columns(["doc_id", "source"]).to_pandas()
+
+
+def q_doi_urls(sf_dir: str):
+    """DOI/URL builder (``mex/extractors/endnote/transform.py:109-141``):
+    derive a raw identifier per doc, then the vectorized build: bare 10.*
+    ids get the https://doi.org/ prefix, blocked prefixes and invalid
+    shapes go null."""
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def raw(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        m = did % 4
+        s = np.where(
+            m == 0, np.char.add("10.1234/abc", did.astype(np.str_)),
+            np.where(
+                m == 1, np.char.add("https://doi.org/10.5678/x", did.astype(np.str_)),
+                np.where(m == 2, np.char.add("INTERNAL-", did.astype(np.str_)), "not a doi"),
+            ),
+        )
+        return b.append_column("raw_id", pa.array(s.tolist(), pa.string()))
+
+    out = docs.map_batches(raw, batch_format="pyarrow").map_batches(
+        lambda t: text.build_doi(t, "raw_id", out="doi", blocked_prefixes=("INTERNAL-",)),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "doi"]).to_pandas()
 
 
 def q_year_rule_filter(sf_dir: str):
@@ -808,6 +831,7 @@ def queries():
         "list_overlap_filter": q_list_overlap_filter,
         "reference_rewrite": q_reference_rewrite,
         "year_rule_filter": q_year_rule_filter,
+        "doi_urls": q_doi_urls,
         "enriched_users": q_enriched_users,
         "exact_dup_docs": q_exact_dup_docs,
         "token_counts": q_token_counts,
@@ -932,6 +956,13 @@ FROM (SELECT DISTINCT source FROM documents)
 SELECT doc_id, source FROM documents
 WHERE list_has_any(str_split(text, ' '),
                    [{", ".join(f"'{k}'" for k in LIST_OVERLAP_KEYS)}])
+""",
+        "doi_urls": """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'https://doi.org/10.1234/abc' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 4 = 1 THEN 'https://doi.org/10.5678/x' || CAST(doc_id AS VARCHAR)
+            ELSE NULL END AS doi
+FROM documents
 """,
         "year_rule_filter": """
 SELECT CAST(1880 + user_id % 30 AS VARCHAR) AS year_str,

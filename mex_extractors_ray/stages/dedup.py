@@ -354,22 +354,46 @@ def jaccard_rows(col_a, col_b, k: int = 3) -> np.ndarray:
 
 def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
                                k: int = 3, threshold: float = 0.8,
-                               num_buckets: int = 32):
-    """Distributed candidate verification: candidates ⋈ texts (bucketed join
-    on ``a`` then ``b`` against the candidate-pruned corpus) → vectorized
-    per-batch Jaccard. The corpus never funnels through the driver; the only
-    driver-side object is the candidate key list (∝ candidates — LSH's
-    whole point is that this is tiny relative to the corpus).
+                               num_buckets: int = 32, broadcast: bool = True):
+    """Distributed candidate verification: candidates ⋈ texts → vectorized
+    per-batch Jaccard. The corpus never funnels through the driver; only
+    candidate-proportional state does (LSH's whole point is that candidates
+    are tiny relative to the corpus).
+
+    ``broadcast=True`` (default): the candidate-pruned text table is pulled
+    once, ``ray.put``, and attached per batch with two ``pc.index_in``
+    probes — ZERO shuffles (right whenever candidate texts fit one object).
+    ``broadcast=False``: the scale fallback — two bucketed co-partition
+    joins, nothing leaves the cluster.
 
     ``cand_ds`` needs columns (a, b); extra columns pass through."""
     import pyarrow as _pa
 
     # candidates are small by design (LSH's point); pin them once so the
-    # key-list read and the two joins don't re-execute the LSH pipeline
+    # key-list read and the joins don't re-execute the LSH pipeline
     cand_ds = cand_ds.materialize()
     keys_df = cand_ds.select_columns(["a", "b"]).to_pandas()
     needed = pd.unique(pd.concat([keys_df["a"], keys_df["b"]], ignore_index=True))
     texts = joins.semi_join(docs_ds.select_columns([key_col, text_col]), key_col, list(needed))
+
+    def verify(t: _pa.Table) -> _pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_text_a", "_text_b"]).append_column("jaccard", _pa.array([], _pa.float64()))
+        j = jaccard_rows(t["_text_a"].combine_chunks(), t["_text_b"].combine_chunks(), k)
+        out = t.drop_columns(["_text_a", "_text_b"]).append_column("jaccard", _pa.array(j))
+        return out.filter(_pa.array(j >= threshold))
+
+    if broadcast:
+        tt = texts.to_pandas()  # ∝ candidates, NOT the corpus
+        with_a = joins.broadcast_lookup(
+            cand_ds, tt[key_col].to_numpy(), tt[text_col].to_numpy(), "a", "_text_a"
+        )
+        with_b = joins.broadcast_lookup(
+            with_a, tt[key_col].to_numpy(), tt[text_col].to_numpy(), "b", "_text_b"
+        )
+        return with_b.map_batches(verify, batch_format="pyarrow")
+
+    texts = texts.materialize()
 
     def rename(side: str):
         def _r(t: _pa.Table) -> _pa.Table:
@@ -385,14 +409,6 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
         with_a, texts.map_batches(rename("b"), batch_format="pyarrow"),
         on="b", num_buckets=num_buckets,
     )
-
-    def verify(t: _pa.Table) -> _pa.Table:
-        if t.num_rows == 0:
-            return t.drop_columns(["_text_a", "_text_b"]).append_column("jaccard", _pa.array([], _pa.float64()))
-        j = jaccard_rows(t["_text_a"].combine_chunks(), t["_text_b"].combine_chunks(), k)
-        out = t.drop_columns(["_text_a", "_text_b"]).append_column("jaccard", _pa.array(j))
-        return out.filter(_pa.array(j >= threshold))
-
     return with_b.map_batches(verify, batch_format="pyarrow")
 
 

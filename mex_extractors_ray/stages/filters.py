@@ -91,10 +91,11 @@ def apply_rule_filter(ds, rules: list[dict], reject_sink_dir: str | None = None)
     so the input is not recomputed for the second output — Ray Data has no
     native multi-output operator, and re-executing the upstream would double
     the read at scale."""
-    tagged = ds.map_batches(
-        RuleFilter, fn_constructor_args=(rules,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    # rules compile in microseconds, so this ships as a STATELESS task fn
+    # (compiled once on the driver, tiny closure) — an actor pool would cap
+    # the stage and pay actor startup for no state worth keeping
+    rf = RuleFilter(rules)
+    tagged = ds.map_batches(rf, batch_format="pyarrow")
     if reject_sink_dir:
         import os
         import uuid

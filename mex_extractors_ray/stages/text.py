@@ -175,6 +175,33 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16)
     return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
 
 
+# RE2-safe DOI URL shape (the DoiStr validation analog)
+DOI_URL_PATTERN = r"^https://doi\.org/10\.[0-9]{4,9}[-._;()/:A-Za-z0-9]*$"
+
+
+def build_doi(batch: pa.Table, col: str, out: str = "doi",
+              blocked_prefixes: tuple[str, ...] = ()) -> pa.Table:
+    """Vectorized DOI/URL builder — the reference's ``get_doi``
+    (``mex/extractors/endnote/transform.py:109-141``): null/blocked-prefix
+    strings → null; bare ``10.…`` identifiers get the ``https://doi.org/``
+    prefix; anything that then fails the DOI-URL shape validation → null.
+    One pass of starts_with / if_else / match kernels, no per-row Python."""
+    s = batch[col]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    blocked = pa.array(np.zeros(len(s), dtype=bool))
+    for p in blocked_prefixes:
+        blocked = pc.or_(blocked, pc.fill_null(pc.starts_with(s, p), False))
+    candidate = pc.if_else(
+        pc.fill_null(pc.starts_with(s, "10."), False),
+        pc.binary_join_element_wise(pa.scalar("https://doi.org/"), s, ""),
+        s,
+    )
+    valid = pc.fill_null(pc.match_substring_regex(candidate, DOI_URL_PATTERN), False)
+    keep = pc.and_(valid, pc.invert(blocked))
+    return batch.append_column(out, pc.if_else(keep, candidate, pa.nulls(len(s), pa.string())))
+
+
 # string normalizers — the reference's cleaning family, vectorized
 def clean_strings(batch: pa.Table, col: str, out: str | None = None) -> pa.Table:
     """Collapse whitespace, strip, fix doubled quotes — vectorized analog of

@@ -287,3 +287,44 @@ def test_list_overlap_semi_anti(ray_session):
     assert sorted(kept["id"]) == [1, 4]
     dropped = j.list_overlap_anti_join(ds, "tags", ["b", "q"]).select_columns(["id"]).to_pandas()
     assert sorted(dropped["id"]) == [2, 3, 5]
+
+
+def test_jaccard_verify_distributed_modes_agree(ray_session):
+    import ray.data
+
+    sent = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi "
+    rows = [
+        {"doc_id": 1, "text": sent * 4},
+        {"doc_id": 2, "text": (sent * 4).replace("omicron", "rho")},
+        {"doc_id": 3, "text": "one two three four five six seven eight nine ten " * 6},
+    ]
+    docs = ray.data.from_items(rows)
+    cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id", num_perm=64, bands=32)
+    kw = dict(text_col="text", key_col="doc_id", k=3, threshold=0.5)
+    via_broadcast = (
+        dedup.jaccard_verify_distributed(cand, docs, broadcast=True, **kw)
+        .select_columns(["a", "b"]).to_pandas()
+    )
+    via_bucketed = (
+        dedup.jaccard_verify_distributed(cand, docs, broadcast=False, num_buckets=2, **kw)
+        .select_columns(["a", "b"]).to_pandas()
+    )
+    want = {(1, 2)}
+    assert set(zip(via_broadcast["a"], via_broadcast["b"])) == want
+    assert set(zip(via_bucketed["a"], via_bucketed["b"])) == want
+
+
+def test_build_doi():
+    t = pa.table({"raw": ["10.1234/ab-c", "https://doi.org/10.9/x", "INTERNAL-10.1/z",
+                          "not a doi", None, "10.12/ok(1);x"]})
+    out = text.build_doi(t, "raw", blocked_prefixes=("INTERNAL-",))
+    assert out["doi"].to_pylist() == [
+        "https://doi.org/10.1234/ab-c",
+        None,  # 10.9 has too few registrant digits → shape-invalid
+        None,  # blocked prefix
+        None,  # not a DOI
+        None,  # null in → null out
+        None,  # 10.12 registrant too short for the DOI shape
+    ]
+    ok = text.build_doi(pa.table({"raw": ["https://doi.org/10.5678/y"]}), "raw")
+    assert ok["doi"].to_pylist() == ["https://doi.org/10.5678/y"]
