@@ -133,11 +133,25 @@ def _last_wins(group: pa.Table) -> pa.Table:
     return _reduce_per_doc(group, "last_wins")
 
 
-def _read_tombstones(pdir: Path, manifest: PartitionManifest | None) -> dict[str, int]:
+_TOMB_SCHEMA = pa.schema([("doc_id", pa.string()), ("lsn", pa.int64())])
+
+
+def _read_tombstones(pdir: Path, manifest: PartitionManifest | None) -> pa.Table:
     if manifest is None or not manifest.tombstone_file:
-        return {}
-    t = pq.read_table(pdir / manifest.tombstone_file)
-    return dict(zip(t["doc_id"].to_pylist(), t["lsn"].to_pylist()))
+        return _TOMB_SCHEMA.empty_table()
+    return pq.read_table(pdir / manifest.tombstone_file)
+
+
+def _update_tombstones(old: pa.Table, deletes: pa.Table, upsert_ids) -> pa.Table:
+    """deletes add (latest LSN wins); resurrecting upserts remove — all
+    Arrow (sort + boundary mask + anti-join), no Python dict round-trip."""
+    merged = pa.concat_tables(
+        [old.select(["doc_id", "lsn"]), deletes.select(["doc_id", "lsn"])]
+    )
+    merged = _reduce_per_doc(merged, "last_wins")
+    if len(upsert_ids):
+        merged = merged.filter(pc.invert(pc.is_in(merged["doc_id"], value_set=upsert_ids)))
+    return merged
 
 
 def merge_live(tables: list[pa.Table], tombstone_ids: pa.Array | None = None) -> pa.Table:
@@ -283,22 +297,13 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         deletes = deletes.slice(0, 0)
         upserts = upsert_data
 
-    # tombstones: deletes add; resurrecting upserts remove
-    tombstones = dict(old_tomb_ids)
-    for d, l in zip(deletes["doc_id"].to_pylist(), deletes["lsn"].to_pylist()):
-        tombstones[d] = l
-    for d in upsert_data["doc_id"].to_pylist():
-        tombstones.pop(d, None)
+    # tombstones: deletes add; resurrecting upserts remove (all Arrow)
+    tomb_table = _update_tombstones(
+        old_tomb_ids, deletes, upsert_data["doc_id"].combine_chunks()
+    )
 
     data_name = f"part-{pid:05d}-{last_lsn:020d}.parquet"
     tomb_name = f"tombstones-{pid:05d}-{last_lsn:020d}.parquet"
-    tomb_ids = sorted(tombstones)
-    tomb_table = pa.table(
-        {
-            "doc_id": pa.array(tomb_ids, pa.string()),
-            "lsn": pa.array([tombstones[k] for k in tomb_ids], pa.int64()),
-        }
-    )
 
     if write_delta:
         # ---- delta path: write ONLY this window's winners --------------
@@ -306,9 +311,9 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         files = old_files + [data_name]
         # live count without touching payloads: |old_live ∖ touched| + |upserts|
         old_live = pc.unique(key_ids)
-        if old_tomb_ids:
+        if old_tomb_ids.num_rows:
             old_live = old_live.filter(
-                pc.invert(pc.is_in(old_live, value_set=pa.array(sorted(old_tomb_ids))))
+                pc.invert(pc.is_in(old_live, value_set=old_tomb_ids["doc_id"].combine_chunks()))
             )
         # first_wins: only truly-new docs count as touched (existing docs
         # are immutable, their winners were filtered out of upsert_data)

@@ -90,13 +90,13 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
         return []
     lake = str(lake_dir)
 
-    def run(batch: dict) -> pa.Table:
-        rows = [compact_partition(lake, int(p), rj) for p in batch["id"]]
+    def run(batch: pa.Table) -> pa.Table:
+        rows = [compact_partition(lake, int(p), rj) for p in batch["id"].to_pylist()]
         return pa.Table.from_pylist(
             [{"partition": r["partition"], "action": r["action"]} for r in rows]
         )
 
-    out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="numpy")
+    out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="pyarrow")
     return out.take_all()
 
 
@@ -173,8 +173,8 @@ def verify_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None) ->
         return []
     lake = str(lake_dir)
 
-    def run(batch: dict) -> pa.Table:
-        rows = [verify_partition(lake, int(p), rj) for p in batch["id"]]
+    def run(batch: pa.Table) -> pa.Table:
+        rows = [verify_partition(lake, int(p), rj) for p in batch["id"].to_pylist()]
         return pa.Table.from_pylist(
             [
                 {"partition": r["partition"], "ok": r["ok"], "errors": "; ".join(r["errors"])}
@@ -182,7 +182,7 @@ def verify_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None) ->
             ]
         )
 
-    out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="numpy")
+    out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="pyarrow")
     return out.take_all()
 
 

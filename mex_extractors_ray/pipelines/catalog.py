@@ -82,16 +82,16 @@ def _cents(col, scale: int = 100) -> pa.Array:
 # CDC flagship: events-derived change log through the real engine
 # ---------------------------------------------------------------------------
 
-_LAKE_CACHE: dict[str, Path] = {}
+_LAKE_CACHE: dict[tuple[str, str], Path] = {}
 
 
-def build_cdc_lake(sf_dir: str) -> Path:
+def build_cdc_lake(sf_dir: str, mode: str = "last_wins") -> Path:
     """Derive the closed-form change log from ``events``, ingest it through
     the full engine (resolve → shuffle → per-partition merge → manifest
-    commit). Cached per sf_dir within a process."""
-    if sf_dir in _LAKE_CACHE:
-        return _LAKE_CACHE[sf_dir]
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    commit). Cached per (sf_dir, mode) within a process."""
+    if (sf_dir, mode) in _LAKE_CACHE:
+        return _LAKE_CACHE[(sf_dir, mode)]
+    tag = hashlib.sha1(f"{sf_dir}|{mode}".encode()).hexdigest()[:10]
     base = WORK_ROOT / f"cdc-{tag}"
     shutil.rmtree(base, ignore_errors=True)
     log_dir, lake_dir = base / "log", base / "lake"
@@ -104,11 +104,11 @@ def build_cdc_lake(sf_dir: str) -> Path:
         p = log_dir / f"log-{i:05d}.parquet"
         pq.write_table(log.slice(start, shard_rows), p, compression="snappy")
         paths.append(str(p))
-    metrics = ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS)
+    metrics = ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode)
     from mex_extractors_ray.state.checks import append_lineage
 
     append_lineage(lake_dir, metrics, run_id=f"{int(pc.max(metrics['last_lsn']).as_py()):020d}")
-    _LAKE_CACHE[sf_dir] = lake_dir
+    _LAKE_CACHE[(sf_dir, mode)] = lake_dir
     return lake_dir
 
 
@@ -131,6 +131,23 @@ def q_cdc_final_state(sf_dir: str) -> pa.Table:
             "lang": lake["lang"],
             "n_tok": lake["n_tok"].cast(pa.int64()),
             "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
+def q_cdc_first_wins_state(sf_dir: str) -> pa.Table:
+    """Full-engine CDC replay in ``first_wins`` mode (the reference's
+    first-seen-immutable semantics as an apply mode: the FIRST non-delete
+    event per doc decides, later events and deletes are no-ops)."""
+    lake = read_lake_arrow(build_cdc_lake(sf_dir, mode="first_wins"))
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "first_lsn": lake["lsn"],
             "tok_sum": _tok_sums(lake["tokens"]),
         }
     )
@@ -182,6 +199,26 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM log
 )
 """
+
+_CDC_FIRST_WINS_SQL = (
+    f"WITH log AS ({_CDC_LOG_SQL}),\n"
+    "ranked AS (\n"
+    "  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn) AS rn\n"
+    "  FROM log WHERE op <> 'delete'\n"
+    ")\n"
+    + """
+SELECT doc_id,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CASE WHEN lsn % 10 IN (8, 9)
+            THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+            ELSE 'de' END AS lang,
+       8 + (lsn % 120) AS n_tok,
+       lsn AS first_lsn,
+       CAST(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+            i -> (user_id * 2654435761 + i * 40503) % 50000)) AS BIGINT) AS tok_sum
+FROM ranked WHERE rn = 1
+"""
+)
 
 _CDC_FINAL_SQL = (
     _CDC_RANKED_SQL
@@ -808,6 +845,7 @@ def q_cdc_partition_metrics(sf_dir: str):
 def queries():
     return {
         "cdc_final_state": q_cdc_final_state,
+        "cdc_first_wins_state": q_cdc_first_wins_state,
         "cdc_live_counts": q_cdc_live_counts,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_partition_metrics": q_cdc_partition_metrics,
@@ -852,6 +890,7 @@ def queries():
 def oracle_sql():
     return {
         "cdc_final_state": _CDC_FINAL_SQL,
+        "cdc_first_wins_state": _CDC_FIRST_WINS_SQL,
         "cdc_live_counts": _CDC_RANKED_SQL
         + """
 SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,

@@ -192,10 +192,10 @@ def minhash_signatures(
 class MinHashLSH:
     """map_batches actor stage: text → exploded (band, band_hash, key) rows.
 
-    ``groupby(["band", "band_hash"])`` downstream buckets candidate
-    duplicates; same-bucket pairs are verified with true shingle Jaccard.
-    Bands/rows trade recall vs. precision (b bands of r rows ⇒ s-curve at
-    (1/b)^(1/r)).
+    Downstream, :func:`minhash_candidate_pairs` shuffles on the SALTED
+    bucket ``(band, band_hash % salt)`` and recovers exact buckets in-block;
+    same-bucket pairs are then verified with true shingle Jaccard. Bands/rows
+    trade recall vs. precision (b bands of r rows ⇒ s-curve at (1/b)^(1/r)).
     """
 
     def __init__(self, text_col: str, key_col: str, k: int = 3, num_perm: int = 64, bands: int = 16):
@@ -602,7 +602,10 @@ def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
 
 def hamming_candidates(sim: np.ndarray, keys: np.ndarray, max_dist: int = 3,
                        n_tables: int = 4) -> pd.DataFrame:
-    """Near-dup candidates by banding the 64-bit simhash into ``n_tables``
+    """SMALL-SCALE driver-side helper (tests / ad-hoc over in-memory
+    arrays); the pipeline path is :func:`simhash_near_duplicates`.
+
+    Near-dup candidates by banding the 64-bit simhash into ``n_tables``
     bands of 64/n_tables bits. Pigeonhole guarantee: docs within Hamming
     distance d < n_tables ALWAYS share ≥1 band; beyond that recall decays,
     so pick n_tables > the max_dist you care about (more tables = more

@@ -85,3 +85,14 @@ def test_read_zip_json(ray_session, tmp_path):
     out = read_zip_json([str(p)], member_pattern=r"tableschema_.*\.json$").to_pandas()
     assert sorted(out["version"]) == [10, 11]
     assert set(out["_member"]) == {"tableschema_10.json", "nested/tableschema_11.json"}
+
+
+def test_read_json_source(ray_session, tmp_path):
+    import json as _json
+
+    p = tmp_path / "drop.json"
+    p.write_text("\n".join(_json.dumps({"k": i, "v": f"x{i}"}) for i in range(5)))
+    from mex_extractors_ray.sources.readers import read_json_source
+
+    out = read_json_source([str(p)]).to_pandas()
+    assert sorted(out["k"]) == list(range(5))
