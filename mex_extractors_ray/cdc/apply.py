@@ -102,9 +102,29 @@ def resolve_and_partition(
         # deletes are no-ops in first-seen-immutable mode; a delete must
         # never shadow a later insert inside the reduce
         batch = batch.filter(pc.not_equal(batch["op"], "delete"))
+    # ONE doc_id hash serves both the combiner sort key and the partition
+    # assignment. Sorting by (_h, doc_id, lsn) keeps equal doc_ids adjacent
+    # (exactness does NOT depend on hash collisions — the boundary mask
+    # still compares doc_id), but the comparisons are int64-dominated
+    # instead of string-dominated: the combiner was the hottest UDF in the
+    # ingest profile (151 s of 888 task-seconds at 2M events).
+    from mex_extractors_ray.hashing import hash_key_array
+
+    h = hash_key_array(batch["doc_id"])
     if prereduce and batch.num_rows > 1:
-        batch = _reduce_per_doc(batch, mode)
-    pid = assign_partitions(batch["doc_id"], num_partitions)
+        t = batch.append_column("_h", pa.array(h.view(np.int64)))
+        t = t.sort_by([("_h", "ascending"), ("doc_id", "ascending"), ("lsn", "ascending")])
+        n = t.num_rows
+        d = t["doc_id"].combine_chunks()
+        neq = pc.not_equal(d.slice(1), d.slice(0, n - 1)).to_numpy(zero_copy_only=False).astype(bool)
+        if mode == "first_wins":
+            mask = np.append(True, neq)
+        else:
+            mask = np.append(neq, True)
+        t = t.filter(pa.array(mask))
+        h = np.asarray(t["_h"], dtype=np.int64).view(np.uint64)
+        batch = t.drop_columns(["_h"])
+    pid = (h % np.uint64(num_partitions)).astype(np.int32)
     return batch.append_column("pid", pa.array(pid))
 
 
