@@ -531,6 +531,52 @@ def q_list_overlap_filter(sf_dir: str):
     return out.select_columns(["doc_id", "source"]).to_pandas()
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator — no analog in the reference or in Ray
+    Data): every purchase matched to the user's latest signup at-or-before
+    the purchase time. Co-partitioned on hash(user_id), in-block
+    pandas.merge_asof."""
+    from mex_extractors_ray.stages.asof import asof_join
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+
+    def signup_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "signup"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"], "signup_ts": t["ts"]})
+
+    signups = ev.map_batches(signup_prep, batch_format="pyarrow")
+    joined = asof_join(purchases, signups, on="ts", by="user_id", direction="backward")
+    out = joined.select_columns(["event_id", "user_id", "signup_ts"]).to_pandas()
+    # epoch micros as int64 (exact integer hash); no-match → -1
+    us = out["signup_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    out["signup_us"] = np.where(out["signup_ts"].isna(), -1, us)
+    return out[["event_id", "user_id", "signup_us"]].astype(
+        {"event_id": "int64", "user_id": "int64", "signup_us": "int64"}
+    )
+
+
+WINDOW_W, WINDOW_HOP = 21_600, 10_800  # 6 h windows hopping every 3 h
+
+
+def q_tumbling_window(sf_dir: str):
+    """Tumbling-window aggregate (streaming extension; SURVEY.md §2.10
+    notes the reference has no windows)."""
+    from mex_extractors_ray.stages.windows import tumbling_window
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return tumbling_window(ev, "ts", "value", WINDOW_W).to_pandas()
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (width 6 h, hop 3 h) via the two-level pane
+    optimization (rows collapse to hop-sized panes before the explode)."""
+    from mex_extractors_ray.stages.windows import hopping_window
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return hopping_window(ev, "ts", "value", WINDOW_W, WINDOW_HOP, panes=True).to_pandas()
+
+
 def q_doi_urls(sf_dir: str):
     """DOI/URL builder (``mex/extractors/endnote/transform.py:109-141``):
     derive a raw identifier per doc, then the vectorized build: bare 10.*
@@ -870,6 +916,9 @@ def queries():
         "reference_rewrite": q_reference_rewrite,
         "year_rule_filter": q_year_rule_filter,
         "doi_urls": q_doi_urls,
+        "asof_join": q_asof_join,
+        "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "enriched_users": q_enriched_users,
         "exact_dup_docs": q_exact_dup_docs,
         "token_counts": q_token_counts,
@@ -995,6 +1044,32 @@ FROM (SELECT DISTINCT source FROM documents)
 SELECT doc_id, source FROM documents
 WHERE list_has_any(str_split(text, ' '),
                    [{", ".join(f"'{k}'" for k in LIST_OVERLAP_KEYS)}])
+""",
+        "asof_join": """
+SELECT p.event_id, p.user_id,
+       COALESCE((SELECT CAST(epoch_us(max(s.ts)) AS BIGINT) FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.ts <= p.ts), -1) AS signup_us
+FROM events p WHERE p.event_type = 'purchase'
+""",
+        "tumbling_window": f"""
+SELECT CAST(floor(epoch(ts) / {WINDOW_W}) * {WINDOW_W} AS BIGINT) AS window_start,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+        "hopping_window": f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / {WINDOW_HOP}) AS BIGINT) AS kb,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT (kb - j) * {WINDOW_HOP} AS window_start,
+       CAST(SUM(v) AS BIGINT) AS value_c100,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e CROSS JOIN range({WINDOW_W // WINDOW_HOP}) t(j)
+WHERE (kb - j) >= 0
+GROUP BY 1
 """,
         "doi_urls": """
 SELECT doc_id,

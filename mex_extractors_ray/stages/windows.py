@@ -1,0 +1,124 @@
+"""Windowed aggregates — custom operators Ray Data lacks.
+
+The reference is batch-only ("no windows, no watermarks", SURVEY.md §2.10);
+these are the streaming-analytics extension over the event stream:
+
+- :func:`tumbling_window` — non-overlapping fixed windows: the window id is
+  a pure function of the timestamp (``floor(epoch / width)``), so the whole
+  operator is one vectorized bucket column + the standard partial-combine
+  grouped aggregate (map-side partials, tiny shuffle — SURVEY.md §2.6
+  discipline).
+- :func:`hopping_window` — overlapping windows (width, hop): each row
+  EXPLODES to its ``width/hop`` windows (vectorized numpy repeat — no
+  per-row Python), then the same partial-combine aggregate. At 100 TB the
+  explosion factor is width/hop, so keep it small or pre-aggregate to
+  hop-sized tumbling buckets first and combine buckets per window (the
+  classic two-level pane optimization; implemented here as
+  ``panes=True``).
+
+Windows are emitted as ``window_start`` epoch SECONDS (int64) — exact
+integer arithmetic on both the engine and the DuckDB-oracle side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us", tz=col.type.tz))  # unit-normalize (ns inputs)
+    return (np.asarray(col.cast(pa.int64())) // 1_000_000).astype(np.int64)
+
+
+def _scaled_int(col, scale: int = 100) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = np.asarray(col, dtype=np.float64)
+    return np.floor(v * scale + 0.5).astype(np.int64)
+
+
+def tumbling_window(ds, ts_col: str, value_col: str, width_s: int,
+                    out_value: str = "value_c100"):
+    """Grouped (sum, count) per non-overlapping window of ``width_s``
+    seconds. Values are scaled-int (×100, half-up) so distributed summation
+    order can never flip a comparison."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ws = (_epoch_seconds(b[ts_col]) // width_s) * width_s
+        t = pa.table({"window_start": pa.array(ws),
+                      out_value: pa.array(_scaled_int(b[value_col]))})
+        return (
+            t.group_by("window_start")
+            .aggregate([(out_value, "sum"), ([], "count_all")])
+            .rename_columns(["window_start", out_value, "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum(out_value, alias_name=out_value), Sum("n", alias_name="n"))
+    )
+
+
+def hopping_window(ds, ts_col: str, value_col: str, width_s: int, hop_s: int,
+                   out_value: str = "value_c100", panes: bool = False):
+    """Grouped (sum, count) per overlapping window: width ``width_s``,
+    advancing every ``hop_s`` (width must be a multiple of hop). A row at
+    time t belongs to windows starting at hop*k for
+    k ∈ [floor(t/hop) - width/hop + 1, floor(t/hop)].
+
+    ``panes=True`` first collapses rows to hop-sized panes (tumbling
+    pre-aggregate), then explodes PANES instead of rows — the explosion
+    cost drops from rows×(width/hop) to panes×(width/hop), the right shape
+    when rows ≫ panes (the 100 TB regime)."""
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+
+    def explode(b: pa.Table) -> pa.Table:
+        sec = _epoch_seconds(b[ts_col])
+        val = _scaled_int(b[value_col])
+        cnt = np.ones(len(sec), dtype=np.int64)
+        if panes:
+            # collapse to panes first (exact: pane membership is a pure
+            # function of the timestamp)
+            pane = (sec // hop_s) * hop_s
+            t = pa.table({"p": pa.array(pane), "v": pa.array(val)})
+            agg = (
+                t.group_by("p").aggregate([("v", "sum"), ([], "count_all")])
+                .rename_columns(["p", "v", "n"])
+            )
+            sec = np.asarray(agg["p"], dtype=np.int64)
+            val = np.asarray(agg["v"], dtype=np.int64)
+            cnt = np.asarray(agg["n"], dtype=np.int64)
+        base = (sec // hop_s) * hop_s
+        # windows containing this second/pane: base, base-hop, ..., k-1 back
+        offsets = (np.arange(k, dtype=np.int64) * hop_s)[None, :]
+        ws = (base[:, None] - offsets).reshape(-1)
+        keep = ws >= 0  # no negative-epoch windows
+        t = pa.table(
+            {
+                "window_start": pa.array(ws[keep]),
+                out_value: pa.array(np.repeat(val, k)[keep]),
+                "n": pa.array(np.repeat(cnt, k)[keep]),
+            }
+        )
+        return (
+            t.group_by("window_start")
+            .aggregate([(out_value, "sum"), ("n", "sum")])
+            .rename_columns(["window_start", out_value, "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum(out_value, alias_name=out_value), Sum("n", alias_name="n"))
+    )
