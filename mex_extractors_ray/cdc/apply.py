@@ -474,8 +474,15 @@ def ingest_change_log(
             # oversubscribes small clusters and serializes the pipeline
             import ray as _ray
 
+            import os as _os
+
             cpus = int(_ray.cluster_resources().get("CPU", 8))
-            ctx.max_hash_shuffle_aggregators = max(1, min(num_partitions, 2 * cpus))
+            # ONE aggregator per CPU (A/B-measured, same machine window):
+            # 2/cpu oversubscribes the small cluster badly (8-CPU leg 65.0 s
+            # -> 45.5 s at 1/cpu) and costs even the big one (32-CPU 22.3 s
+            # -> 20.0 s); override with MEX_AGG_PER_CPU
+            per_cpu = float(_os.environ.get("MEX_AGG_PER_CPU", "1"))
+            ctx.max_hash_shuffle_aggregators = max(1, min(num_partitions, int(per_cpu * cpus)))
         except ImportError:
             pass
 
