@@ -123,10 +123,15 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             errors.append(f"checksum mismatch {f}")
         t = registry.resolve_table(pq.read_table(path))
         tables.append(t)
-        ids = t["doc_id"].to_pylist()
-        if ids != sorted(ids):
-            errors.append(f"{f}: doc_id not sorted")
-        if len(set(ids)) != len(ids):
+        # sortedness/uniqueness via Arrow kernels — no to_pylist (Python
+        # objects cost ~10× the Arrow memory inside the audit task)
+        ids = t["doc_id"].combine_chunks()
+        n = len(ids)
+        if n > 1:
+            nxt, prv = ids.slice(1), ids.slice(0, n - 1)
+            if not pc.all(pc.greater_equal(nxt, prv)).as_py():
+                errors.append(f"{f}: doc_id not sorted")
+        if n and len(pc.unique(ids)) != n:
             errors.append(f"{f}: duplicate doc_id")
         bad = pc.sum(
             pc.cast(
@@ -141,22 +146,23 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             errors.append(f"{f}: {bad} rows violate n_tok==len(tokens)")
     # live state = delta merge (cross-file duplicate doc_ids are expected:
     # deltas shadow the base by LSN); row_count is the MERGED live count
-    tomb_ids: set = set()
+    tomb_arr: pa.Array | None = None
     if m.tombstone_file and (pdir / m.tombstone_file).exists():
-        tomb_ids = set(pq.read_table(pdir / m.tombstone_file)["doc_id"].to_pylist())
+        tc = pq.read_table(pdir / m.tombstone_file, columns=["doc_id"])["doc_id"]
+        tomb_arr = pc.unique(tc.combine_chunks().sort())
     if tables:
         from mex_extractors_ray.cdc.apply import merge_live
 
         cols = [n for n, _ in registry.latest.fields] + ["lsn"]
-        live = merge_live(
-            [t.select(cols) for t in tables],
-            pa.array(sorted(tomb_ids)) if tomb_ids else None,
-        )
+        live = merge_live([t.select(cols) for t in tables], tomb_arr)
         if live.num_rows != m.row_count:
             errors.append(f"row_count {live.num_rows} != manifest {m.row_count}")
-        overlap = set(live["doc_id"].to_pylist()) & tomb_ids
-        if overlap:
-            errors.append(f"{len(overlap)} doc_ids both live and tombstoned")
+        if tomb_arr is not None and len(tomb_arr):
+            overlap = pc.sum(
+                pc.cast(pc.is_in(live["doc_id"], value_set=tomb_arr), pa.int64())
+            ).as_py() or 0
+            if overlap:
+                errors.append(f"{overlap} doc_ids both live and tombstoned")
     elif m.row_count:
         errors.append(f"row_count 0 != manifest {m.row_count}")
     return {"partition": pid, "ok": not errors, "errors": errors}
@@ -234,12 +240,11 @@ def repartition_lake(
             "force=True to accept that its events not yet applied to "
             "lagging partitions will be dropped as late on replay."
         )
-    tomb: dict[str, int] = {}
+    tomb_files: list[str] = []
     for p in pids:
         m = read_manifest(old, p)
         if m and m.tombstone_file and (partition_dir(old, p) / m.tombstone_file).exists():
-            t = pq.read_table(partition_dir(old, p) / m.tombstone_file)
-            tomb.update(zip(t["doc_id"].to_pylist(), t["lsn"].to_pylist()))
+            tomb_files.append(str(partition_dir(old, p) / m.tombstone_file))
 
     new = Path(str(lake_dir) + f".repart-{new_num_partitions}")
     if new.exists():
@@ -286,20 +291,21 @@ def repartition_lake(
         grouped = ds.groupby("pid")
     out = grouped.map_groups(write_partition, batch_format="pyarrow").take_all()
 
-    # redistribute tombstones to their new partitions
-    if tomb:
-        ids = pa.array(sorted(tomb))
+    # redistribute tombstones to their new partitions — DISTRIBUTED: the
+    # tombstone set is corpus-scale under a delete-heavy mix, so it goes
+    # through the same groupby(pid) shuffle as the data (never a
+    # driver-side dict; the old O(T×P) per-partition list scan is gone)
+    if tomb_files:
         from mex_extractors_ray.hashing import assign_partitions as _ap
 
-        npid = _ap(ids, new_num_partitions)
-        for pid in set(npid.tolist()):
-            sel = [i for i, p in enumerate(npid) if p == pid]
-            tt = pa.table(
-                {
-                    "doc_id": ids.take(pa.array(sel)),
-                    "lsn": pa.array([tomb[ids[i].as_py()] for i in sel], pa.int64()),
-                }
+        def tag_tomb(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_npid", pa.array(_ap(t["doc_id"], new_num_partitions))
             )
+
+        def write_tombstones(g: pa.Table) -> pa.Table:
+            pid = int(g["_npid"][0].as_py())
+            tt = g.drop_columns(["_npid"]).sort_by([("doc_id", "ascending")])
             pdir = partition_dir(new, pid)
             pdir.mkdir(parents=True, exist_ok=True)
             name = f"tombstones-{pid:05d}-{watermark:020d}.parquet"
@@ -313,6 +319,18 @@ def repartition_lake(
             m.tombstone_file = name
             m.tombstone_count = tt.num_rows
             commit_manifest(new, m)
+            return pa.table(
+                {"partition": pa.array([pid], pa.int32()),
+                 "tombstones": pa.array([tt.num_rows], pa.int64())}
+            )
+
+        (
+            ray.data.read_parquet(tomb_files, columns=["doc_id", "lsn"])
+            .map_batches(tag_tomb, batch_format="pyarrow")
+            .groupby("_npid")
+            .map_groups(write_tombstones, batch_format="pyarrow")
+            .take_all()
+        )
 
     # carry lake-level state over: lineage history, tail sensor state, and
     # the (new) partition-count metadata

@@ -386,15 +386,18 @@ def q_order_priority_revenue(sf_dir: str):
         num_buckets=16,
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("o_orderpriority", as_index=False).agg(
-            revenue_c10k=("rev_c10k", "sum"), n_lines=("rev_c10k", "size")
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["o_orderpriority", "rev_c10k"])
+            .group_by("o_orderpriority")
+            .aggregate([("rev_c10k", "sum"), ([], "count_all")])
+            .rename_columns(["o_orderpriority", "revenue_c10k", "n_lines"])
         )
 
     from ray.data.aggregate import Sum
 
     out = (
-        joined.map_batches(partial, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("revenue_c10k", alias_name="revenue_c10k"), Sum("n_lines", alias_name="n_lines"))
     )
@@ -480,18 +483,22 @@ def q_events_per_day(sf_dir: str):
     """Temporal grouped aggregate (daily rollup)."""
     ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        day = b["ts"].dt.strftime("%Y-%m-%d")
-        vc = np.floor(b["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
-        g = pd.DataFrame({"day": day, "value_c100": vc}).groupby("day", as_index=False).agg(
-            value_c100=("value_c100", "sum"), n=("value_c100", "size")
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        vc = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pa.table({"day": day, "value_c100": pa.array(vc)})
+            .group_by("day")
+            .aggregate([("value_c100", "sum"), ([], "count_all")])
+            .rename_columns(["day", "value_c100", "n"])
         )
-        return g
 
     from ray.data.aggregate import Sum
 
     out = (
-        ev.map_batches(partial, batch_format="pandas")
+        ev.map_batches(partial, batch_format="pyarrow")
         .groupby("day")
         .aggregate(Sum("value_c100", alias_name="value_c100"), Sum("n", alias_name="n"))
     )
@@ -693,25 +700,40 @@ def q_enriched_users(sf_dir: str):
 
 
 def q_exact_dup_docs(sf_dir: str):
-    """Exact dedup by content hash.
+    """Exact dedup by content hash — the NATIVE vectorized path.
 
-    Uses md5 ONLY because the DuckDB oracle must compute the identical key;
-    the engine's native path is the vectorized uint64 content hash
-    (``stages.dedup.add_content_hash`` — no per-row Python) and is what the
-    100 TB pipeline would use."""
+    128-bit content key = two independent 64-bit polynomial hash lanes
+    (``hashing.hash_string_array`` with distinct seeds — no per-row Python;
+    the per-row ``hashlib.md5`` pandas map of round 2 is gone). The text
+    never ships through the shuffle: 24 bytes/row (doc_id + two lanes)
+    move, not the corpus. The DuckDB oracle groups by the raw text —
+    results are identical unless two DISTINCT texts collide in all 128
+    bits (≈2⁻¹²⁸ per pair; the standard content-fingerprint trade at
+    100 TB, same class as an md5 key)."""
+    from mex_extractors_ray.hashing import hash_string_array
+
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def add_md5(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(h=b["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()))
-        return b[["doc_id", "h"]]
+    def add_hashes(b: pa.Table) -> pa.Table:
+        h1 = hash_string_array(b["text"])
+        h2 = hash_string_array(b["text"], seed=0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+            }
+        )
 
-    hashed = docs.map_batches(add_md5, batch_format="pandas")
+    hashed = docs.map_batches(add_hashes, batch_format="pyarrow")
 
-    # per-content-hash (keeper=min doc_id, count) — ONE vectorized call per
+    # per-content-key (keeper=min doc_id, count) — ONE vectorized call per
     # coarse block, not one Python call per content hash
     def keepers(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
-        starts = dedup._run_starts(t["h"])
+        t = g.sort_by(
+            [("h1", "ascending"), ("h2", "ascending"), ("doc_id", "ascending")]
+        )
+        starts = dedup._run_starts(t["h1"]) | dedup._run_starts(t["h2"])
         idx = np.flatnonzero(starts)
         run_len = np.diff(np.append(idx, len(starts)))
         return pa.table(
@@ -721,7 +743,7 @@ def q_exact_dup_docs(sf_dir: str):
             }
         )
 
-    return dedup._keyed_blocks(hashed, "h", keepers).to_pandas()
+    return dedup._keyed_blocks(hashed, "h1", keepers).to_pandas()
 
 
 def q_token_counts(sf_dir: str):
@@ -737,10 +759,14 @@ def q_quality_counts(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic n-gram language ID (no SQL equivalent — rows-only check)."""
+    """Heuristic n-gram language ID — HASH-CHECKED: the oracle reimplements
+    the scorer in DuckDB from the same profile spec (``text.langid_sql``;
+    exact for the ASCII corpus — see its docstring for the parity
+    contract). ``lang_conf`` stays out of the compared columns (float
+    summation-order noise); the prediction itself is the checked value."""
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 4))
-    return out.select_columns(["doc_id", "lang_pred", "lang_conf"]).to_pandas()
+    return out.select_columns(["doc_id", "lang_pred"]).to_pandas()
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -844,6 +870,25 @@ def q_embedding_near_dups(sf_dir: str):
     return out.to_pandas()
 
 
+def q_embedding_near_dups_exact(sf_dir: str):
+    """HASH-CHECKED verification of the embedding near-dup MACHINERY:
+    ``n_bits=0`` collapses every table to one bucket, so the salted-band
+    pipeline degrades to exact all-pairs cosine — the same
+    full-probe-verifies-the-machinery trick as ``ann_topk_ivf_full``. The
+    DuckDB oracle is a brute-force self-join on a bounded subset (the
+    ``ngram_overlap_pairs`` discipline: the bound keeps the ORACLE's cross
+    join cheap, not the engine honest)."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id < 200")
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])["embedding"][0])
+    out = similarity.embedding_near_duplicates(
+        emb, dim=dim, threshold=0.4, n_bits=0, n_tables=2
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return df[["a", "b"]].astype("int64").sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing (decode stubbed — rows-only check)."""
     from mex_extractors_ray.stages.multimodal import extract_media_features
@@ -932,6 +977,7 @@ def queries():
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "media_features": q_media_features,
     }
 
@@ -1106,7 +1152,7 @@ FROM events
 """,
         "exact_dup_docs": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY md5(text)
+FROM documents GROUP BY text
 """,
         "token_counts": r"""
 SELECT doc_id, CAST(len(str_split_regex(text, '\s+')) AS BIGINT) AS n_words
@@ -1143,6 +1189,14 @@ scored AS (
 SELECT query_id, vec_id, CAST(row_number() OVER
        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 10
+""",
+        "lang_id": text.langid_sql(),
+        "embedding_near_dups_exact": """
+SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE x.vec_id < 200 AND y.vec_id < 200
+  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.4
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),

@@ -71,23 +71,43 @@ def read_sql_table(
 
     _check_ident(partition_column)
     lo, hi = _probe_bounds(connection_factory, table, partition_column)
-    if lo is None:  # empty table
+    if lo is None:  # empty table (or all-NULL partition column)
         sql = f"SELECT {cols} FROM {table}"
+        if predicate:
+            sql += f" WHERE {predicate}"
         return ray.data.read_sql(sql, connection_factory)
 
-    # integer key ranges: [lo, hi] split into num_partitions half-open bins
-    span = int(hi) - int(lo) + 1
+    # integer key ranges only: int() would silently TRUNCATE float bounds
+    # (lo=-2.5 → -2 drops rows in [-2.5, -2)), so non-integral bounds are an
+    # explicit error — range partitioning needs exact bin edges
+    import math
+
+    flo, fhi = math.floor(lo), math.ceil(hi)
+    if flo != lo or fhi != hi:
+        raise ValueError(
+            f"partition_column {partition_column!r} has non-integer bounds "
+            f"({lo!r}, {hi!r}); key-range partitioning requires integer keys "
+            "— pass partition_column=None or an integer column"
+        )
+    lo, hi = int(flo), int(fhi)
+
+    # [lo, hi] split into num_partitions half-open bins
+    span = hi - lo + 1
     n = max(1, min(num_partitions, span))
     step = -(-span // n)  # ceil
     parts = []
     for i in range(n):
-        a = int(lo) + i * step
-        b = min(int(lo) + (i + 1) * step, int(hi) + 1)
+        a = lo + i * step
+        b = min(lo + (i + 1) * step, hi + 1)
         if a >= b:
             break
+        # NULL partition keys match no range predicate; fold them into the
+        # first range so the partitioned read keeps the full-table contract
+        null_arm = f" OR {partition_column} IS NULL" if i == 0 else ""
         sql = (
             f"SELECT {cols} FROM {table} "
-            f"WHERE {partition_column} >= {a} AND {partition_column} < {b}{where_extra}"
+            f"WHERE ({partition_column} >= {a} AND {partition_column} < {b}"
+            f"{null_arm}){where_extra}"
         )
         parts.append(ray.data.read_sql(sql, connection_factory))
     ds = parts[0]

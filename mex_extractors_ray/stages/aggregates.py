@@ -13,8 +13,10 @@ shuffle then moves per-key partials, not raw rows.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def partial_sum_count(keys: list[str], value_cols: list[str]):
@@ -31,25 +33,48 @@ def partial_sum_count(keys: list[str], value_cols: list[str]):
 
 
 def collect_distinct_sorted(ds, key: str, value: str, out: str = "value_set",
-                            sep: str = ","):
+                            sep: str = ",", num_partitions: int = 64):
     """Per key: the sorted distinct values joined by ``sep`` — the
     reference's deterministic ``valueSet = sorted({level.textbox51})``
-    (``synopse/transform.py:200-202``). Two-level: per-batch distinct
-    (combiner) → per-group distinct-sort (finalize), so the shuffle carries
-    deduplicated rows only."""
+    (``synopse/transform.py:200-202``).
+
+    Scale shape: per-batch (key, value) distinct (combiner — the shuffle
+    carries deduplicated pairs only) → ONE coarse hash shuffle on the key →
+    per-block vectorized finalize: one Arrow sort, one run-boundary scan,
+    and one ``pc.binary_join`` over a reconstructed list array. Ray
+    dispatches ``num_partitions`` block calls, never one per key (the
+    per-key ``map_groups`` dispatch this replaced cost one Python call +
+    one DataFrame per key)."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
 
     def batch_distinct(b: pa.Table) -> pa.Table:
         return b.select([key, value]).group_by([key, value]).aggregate([])
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(set(v for v in g[value] if v is not None))
-        return pd.DataFrame({key: [g[key].iloc[0]], out: [sep.join(map(str, vals))]})
+    def finalize(g: pa.Table) -> pa.Table:
+        t = g.filter(pc.is_valid(g[value])) if g[value].null_count else g
+        t = t.sort_by([(key, "ascending"), (value, "ascending")])
+        n = t.num_rows
+        kt = g[key].type
+        if n == 0:
+            return pa.table({key: pa.array([], kt), out: pa.array([], pa.string())})
+        keys_arr = t[key].combine_chunks()
+        vals = pc.cast(t[value].combine_chunks(), pa.string())
+        # distinct (key, value) pairs: new key run OR new value run
+        pair_start = _run_starts(keys_arr) | _run_starts(t[value])
+        keep = np.flatnonzero(pair_start)
+        keys_arr = keys_arr.take(pa.array(keep))
+        vals = vals.take(pa.array(keep))
+        # per-key value lists as offsets into the distinct-sorted values:
+        # idx[0] is always 0 (_run_starts marks row 0), so [*idx, n] is a
+        # valid monotone offsets vector with one list per key
+        idx = np.flatnonzero(_run_starts(keys_arr))
+        offsets = np.append(idx, len(keys_arr)).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({key: keys_arr.take(pa.array(idx)), out: joined})
 
-    return (
-        ds.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(finalize, batch_format="pandas")
-    )
+    combined = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    return _keyed_blocks(combined, key, finalize, num_partitions)
 
 
 def grouped_count(ds, keys: list[str] | str, alias: str = "n"):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from mex_extractors_ray.hashing import assign_partitions
 
@@ -67,14 +68,26 @@ def asof_join(left, right, on: str, by: str, direction: str = "backward",
         right.map_batches(prepare("r"), batch_format="pyarrow")
     )
 
-    def match(g: pd.DataFrame) -> pa.Table:
-        l = g.loc[g["_side"] == "l", left_cols].sort_values(on, kind="mergesort")
-        r = g.loc[g["_side"] == "r", right_cols].sort_values(on, kind="mergesort")
+    def match(g: pa.Table) -> pa.Table:
+        # Arrow in → ArrowDtype pandas merge_asof → Arrow out: lossless
+        # round-trip, identical explicit schema on every block (incl. empty
+        # buckets) — no per-batch schema-hash warnings, no type widening
+        side = g["_side"]
+        l = (
+            g.filter(pc.equal(side, "l")).select(left_cols)
+            .to_pandas(types_mapper=pd.ArrowDtype)
+            .sort_values(on, kind="mergesort")
+        )
+        r = (
+            g.filter(pc.equal(side, "r")).select(right_cols)
+            .to_pandas(types_mapper=pd.ArrowDtype)
+            .sort_values(on, kind="mergesort")
+        )
         if shared:
             r = r.rename(columns={c: f"{c}{right_suffix}" for c in shared})
         out = pd.merge_asof(
             l, r, on=on, by=by, direction=direction, suffixes=("", right_suffix)
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby("_bucket").map_groups(match, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(match, batch_format="pyarrow")

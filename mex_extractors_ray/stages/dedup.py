@@ -37,14 +37,26 @@ def add_content_hash(batch: pa.Table, column: str, out: str = "content_hash") ->
 
 
 def _run_starts(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Bool mask over a SORTED column: True where a new key run starts."""
+    """Bool mask over a SORTED column: True where a new key run starts.
+
+    Null-safe: ``pc.not_equal(null, x)`` is null, which would coerce to
+    False and silently merge a null-key run into its neighbor; nulls are a
+    run of their own (Arrow sorts group nulls together, so null-vs-null
+    adjacency stays one run — fill_null(True) only fires at the
+    null/non-null boundary)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
         return np.empty(0, dtype=bool)
-    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-    return np.append(True, np.asarray(neq, dtype=bool))
+    hi, lo = col.slice(1), col.slice(0, n - 1)
+    neq = pc.not_equal(hi, lo)
+    if col.null_count:
+        # null vs non-null = new run; null vs null = same run
+        both_null = pc.and_(pc.is_null(hi), pc.is_null(lo))
+        neq = pc.if_else(both_null, False, pc.fill_null(neq, True))
+    arr = neq.to_numpy(zero_copy_only=False)
+    return np.append(True, np.asarray(arr, dtype=bool))
 
 
 def _keyed_blocks(ds, key: str, block_fn, num_partitions: int = 64):

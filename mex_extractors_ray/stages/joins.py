@@ -228,26 +228,23 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner
         right.map_batches(prepare("r"), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
-        l = g.loc[g["_side"] == "l", left_cols]
-        r = g.loc[g["_side"] == "r", right_cols]
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow in → ArrowDtype pandas merge → Arrow out: the round-trip is
+        # lossless (no int64+NaN → float64 widening, outer-join nulls stay
+        # typed), every block — including empty buckets — carries the same
+        # explicit schema, so Ray's schema dedup works and the per-batch
+        # "Failed to hash the schemas" log spam is gone
+        side = g["_side"]
+        l = g.filter(pc.equal(side, "l")).select(left_cols).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
+        r = g.filter(pc.equal(side, "r")).select(right_cols).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
         merged = l.merge(r, on=on, how=how, suffixes=("", "_r"))
-        # emit Arrow so downstream stages (and chained joins) see a real
-        # Arrow schema, not PandasBlockSchema python types; re-cast columns
-        # the pandas null-padding round-trip widened (int64+NaN → float64)
-        out = pa.Table.from_pandas(merged, preserve_index=False)
-        for i, c in enumerate(out.column_names):
-            want = all_types.get(c)
-            if want is not None and out.schema.field(i).type != want:
-                try:
-                    out = out.set_column(
-                        i, c, pc.cast(out[c], want, safe=False)
-                    )
-                except pa.ArrowInvalid:
-                    pass  # genuine nulls from an outer join stay widened
-        return out
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 class GetOrCreateDimension:
@@ -266,10 +263,29 @@ class GetOrCreateDimension:
         self.key_col, self.id_col, self.prefix = key_col, id_col, prefix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from mex_extractors_ray.hashing import hash_string_array
 
         h = hash_string_array(batch[self.key_col])
-        ids = pa.array([f"{self.prefix}-{int(v):016x}" for v in h])
+        # vectorized "{prefix}-{hash:016x}": view the hash's big-endian bytes,
+        # gather nibbles through a hex LUT (no per-row Python f-string loop),
+        # then one Arrow element-wise binary join
+        be = h.astype(">u8").view(np.uint8).reshape(-1, 8)
+        nibbles = np.empty((len(h), 16), dtype=np.uint8)
+        nibbles[:, 0::2] = be >> 4
+        nibbles[:, 1::2] = be & 0x0F
+        lut = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+        hex_bytes = lut[nibbles].tobytes()
+        hexes = pa.Array.from_buffers(
+            pa.string(),
+            len(h),
+            [None, pa.py_buffer(np.arange(0, (len(h) + 1) * 16, 16, dtype=np.int32).tobytes()),
+             pa.py_buffer(hex_bytes)],
+        )
+        ids = pc.binary_join_element_wise(
+            pa.array([self.prefix] * len(h), pa.string()), hexes, "-"
+        )
         return batch.append_column(self.id_col, ids)
 
 

@@ -72,7 +72,12 @@ class ReferenceRewriter:
                 i = batch.column_names.index(f)
                 if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
                     # element-wise rewrite preserving the PHYSICAL offsets
-                    # (null lists keep their null mask via `mask=`)
+                    # (null lists keep their null mask via `mask=`); the
+                    # rebuilt array keeps the INPUT's list flavor — silently
+                    # narrowing large_list (int64 offsets) to list (int32)
+                    # would overflow past 2^31 child elements and make
+                    # batches disagree on schema
+                    large = pa.types.is_large_list(col.type)
                     offsets = np.asarray(col.offsets, dtype=np.int64)
                     values = col.values  # physical child (aligned to offsets)
                     sizes = np.diff(offsets)
@@ -89,8 +94,11 @@ class ReferenceRewriter:
                         if isinstance(col, pa.ChunkedArray)
                         else pc.is_null(col)
                     )
-                    new_col = pa.ListArray.from_arrays(
-                        pa.array(offsets, pa.int32()), new_flat,
+                    cls, otype = (
+                        (pa.LargeListArray, pa.int64()) if large else (pa.ListArray, pa.int32())
+                    )
+                    new_col = cls.from_arrays(
+                        pa.array(offsets, otype), new_flat,
                         mask=mask if col.null_count else None,
                     )
                     batch = batch.set_column(i, f, new_col)

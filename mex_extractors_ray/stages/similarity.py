@@ -127,33 +127,132 @@ class RandomHyperplaneLSH:
         return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
 
+class EmbeddingLSHBands:
+    """map_batches stage: vector → exploded (t, band, key, vec32) rows — the
+    multi-table random-hyperplane analog of :class:`~dedup.SimHashBands`.
+
+    ``n_tables`` independent hyperplane sets of ``n_bits`` planes each; two
+    vectors within angle θ share a table-t band with prob (1-θ/π)^n_bits, so
+    recall is OR-ed across tables while each table's bucket population is
+    corpus/2^n_bits in expectation — raise ``n_bits`` with corpus size to
+    bound in-bucket verify work (the fix for the unsalted O(bucket²) verify
+    of round 2). Table 0 uses the base ``seed``, so its buckets equal the
+    single-table :class:`RandomHyperplaneLSH` — candidates are a superset.
+
+    Vectors ship as float32 fixed-size lists (half the shuffle bytes; the
+    verify recomputes exact cosine in float64 from them)."""
+
+    def __init__(self, dim: int, vec_col: str, key_col: str, n_bits: int = 10,
+                 n_tables: int = 4, seed: int = 42):
+        self.planes = [
+            np.random.default_rng(seed + t).standard_normal((dim, n_bits))
+            for t in range(n_tables)
+        ]
+        self.vec_col, self.key_col = vec_col, key_col
+        self.n_tables, self.dim = n_tables, dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[self.vec_col])
+        n = len(m)
+        bands = np.empty((n, self.n_tables), dtype=np.int64)
+        for t, planes in enumerate(self.planes):
+            bits = (m @ planes) > 0
+            bands[:, t] = (
+                (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64))
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+        keys = batch[self.key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.n_tables))
+        vec32 = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(m, self.n_tables, axis=0).astype(np.float32).reshape(-1)),
+            self.dim,
+        )
+        return pa.table(
+            {
+                "t": pa.array(np.tile(np.arange(self.n_tables, dtype=np.int32), n)),
+                "band": pa.array(bands.reshape(-1)),
+                self.key_col: keys.take(rep),
+                "_vec32": vec32,
+            }
+        )
+
+
 def embedding_near_duplicates(ds, dim: int, threshold: float = 0.95, n_bits: int = 10,
-                              vec_col: str = "embedding", key_col: str = "vec_id"):
-    """Embedding-cosine near-dup pairs via LSH bucketing: ONE shuffle on the
-    bucket, exact cosine verification inside each bucket group."""
-    bucketed = ds.map_batches(
-        RandomHyperplaneLSH,
-        fn_constructor_args=(dim, n_bits),
-        fn_constructor_kwargs={"vec_col": vec_col},
+                              vec_col: str = "embedding", key_col: str = "vec_id",
+                              n_tables: int = 4, salt: int = 8):
+    """Embedding-cosine near-dup pairs, scale-safe: multi-table hyperplane
+    banding → ONE shuffle on the salted (t, band) bucket → vectorized
+    in-block exact-cosine verify → distributed pair dedup — the same shape
+    as :func:`~dedup.simhash_near_duplicates`, with the vector as payload.
+
+    Block size is bounded by corpus×n_tables/(n_tables×salt·effective
+    buckets); in-bucket pair work is bounded by (corpus/2^n_bits)² per
+    bucket — scale ``n_bits`` with the corpus (12 bits ⇒ 4096 buckets/table)
+    instead of letting buckets grow. Nothing corpus-sized reaches the
+    driver, and no per-bucket pandas group dispatch remains."""
+    exploded = ds.map_batches(
+        EmbeddingLSHBands,
+        fn_constructor_args=(dim, vec_col, key_col, n_bits, n_tables),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        m = _normalize(np.stack(g[vec_col].to_numpy()))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(g), 1)
-        keep = sims[ia, ib] >= threshold
-        keys = g[key_col].to_numpy()
-        a, b = keys[ia[keep]], keys[ib[keep]]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2, "b": b2, "cosine": sims[ia, ib][keep]})
+    def add_salt(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["t"], dtype=np.int64) * salt + (
+            np.asarray(t["band"], dtype=np.int64) % salt
+        )
+        return t.append_column("_g", pa.array(g.astype(np.int32)))
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    from mex_extractors_ray.stages.dedup import _pair_tag, _pairs_from_buckets, exact_dedup
+
+    def pairs_in_block(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("t", "ascending"), ("band", "ascending"), (key_col, "ascending")])
+        kt = g[key_col].type
+        empty = pa.table({"a": pa.array([], kt), "b": pa.array([], kt),
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        # payload = row position into the block's (sorted) vector matrix
+        a, b, ra, rb = _pairs_from_buckets(
+            [np.asarray(t["t"], dtype=np.int64), np.asarray(t["band"], dtype=np.int64)],
+            np.asarray(t[key_col]),
+            payload=np.arange(t.num_rows, dtype=np.int64),
+        )
+        if ra is None or len(a) == 0:
+            return empty
+        vc = t["_vec32"]
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        m = _normalize(
+            np.asarray(vc.flatten(), dtype=np.float64).reshape(t.num_rows, dim)
+        )
+        cos = np.einsum("ij,ij->i", m[ra], m[rb])
+        keep = cos >= threshold
+        a, b, cos = a[keep], b[keep], cos[keep]
+        swap = a > b
+        return pa.table(
+            {
+                "a": pa.array(np.where(swap, b, a), kt),
+                "b": pa.array(np.where(swap, a, b), kt),
+                "cosine": pa.array(cos),
+            }
+        )
+
+    cand = (
+        exploded.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(pairs_in_block, batch_format="pyarrow")
+        .map_batches(_pair_tag, batch_format="pyarrow")
+    )
+    # the same pair found by several tables carries the same cosine —
+    # distributed first-wins dedup on the pair id
+    deduped = exact_dedup(cand, "pair")
+    return deduped.map_batches(
+        lambda t: t.drop_columns(["pair"]), batch_format="pyarrow"
+    )
 
 
 class IVFIndex:

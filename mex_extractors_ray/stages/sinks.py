@@ -8,10 +8,16 @@ Parity with the reference's sink registry (``mex/extractors/sinks/__init__.py``)
   checksums + ``write_completed_at``. Here it is distributed (one part per
   block, written by workers) with the manifest committed atomically by the
   driver after all parts land — same two-phase discipline as the lake.
-- :func:`write_report_xlsx` — the XLSX report sink (``sinks/s3.py:136-190``).
-  No xlsx library ships in this container, so the writer is gated behind an
-  import-try and falls back to CSV with an ``.xlsx-unavailable`` marker; the
-  naming scheme (class/primary-source/unit) is preserved.
+- :func:`write_report_xlsx` — the XLSX report sink (``sinks/s3.py:136-190``),
+  REAL: a pure-stdlib OOXML writer (:func:`write_xlsx_bytes` — zip of
+  workbook/worksheet XML with inline strings, the write-side mirror of the
+  pure-stdlib reader in ``sources/excel.py``; round-trip tested against it).
+  The naming scheme (class/primary-source/unit) is preserved. Reports are
+  aggregate-sized, so the writer is driver-side by design.
+- :func:`smtp_sink` — the consent-mailer SMTP sink
+  (``mex/extractors/consent_mailer/main.py:27-49``, ``transform.py:15-61``):
+  render one message per row, send via a pluggable transport (stdlib
+  ``smtplib`` by default; injectable for tests / dry runs).
 """
 
 from __future__ import annotations
@@ -58,23 +64,141 @@ def report_name(kind: str, primary_source: str, unit: str) -> str:
     return f"{kind}_{primary_source}_{unit}".replace(" ", "_").lower()
 
 
+def _col_letter(i: int) -> str:
+    """0-based column index → A, B, …, Z, AA, AB, …"""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(65 + r) + out
+    return out
+
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def write_xlsx_bytes(df: pd.DataFrame, sheet_name: str = "Sheet1") -> bytes:
+    """Pure-stdlib XLSX (OOXML) writer: zip of workbook/worksheet XML with
+    inline strings — the write-side mirror of the pure-stdlib reader in
+    ``sources/excel.py`` (round-trip tested against it). Numbers are written
+    as numeric cells, everything else as inline strings, None as blanks."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    rows_xml: list[str] = []
+    header = list(df.columns)
+    data_rows = [tuple(header)] + [tuple(r) for r in df.itertuples(index=False, name=None)]
+    for ri, row in enumerate(data_rows, start=1):
+        cells = []
+        for ci, v in enumerate(row):
+            ref = f"{_col_letter(ci)}{ri}"
+            if v is None or (isinstance(v, float) and v != v):
+                continue  # blank cell
+            if ri > 1 and isinstance(v, (int, float)) and not isinstance(v, bool):
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                    f"{escape(str(v))}</t></is></c>"
+                )
+        rows_xml.append(f'<row r="{ri}">{"".join(cells)}</row>')
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<sheetData>{"".join(rows_xml)}</sheetData></worksheet>'
+    )
+    from xml.sax.saxutils import quoteattr
+
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets><sheet name={quoteattr(sheet_name)} sheetId=\"1\" r:id=\"rId1\"/></sheets>"
+        "</workbook>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_RELS)
+        zf.writestr("xl/workbook.xml", workbook_xml)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return buf.getvalue()
+
+
 def write_report_xlsx(df: pd.DataFrame | pa.Table, out_dir: str | Path,
                       kind: str, primary_source: str, unit: str) -> str:
-    """Small driver-side report export (reports are aggregate-sized)."""
+    """Small driver-side report export (reports are aggregate-sized) — a
+    REAL .xlsx via the pure-stdlib OOXML writer (no openpyxl dependency)."""
     if isinstance(df, pa.Table):
         df = df.to_pandas()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     base = report_name(kind, primary_source, unit)
-    try:
-        import openpyxl  # noqa: F401
-
-        path = out / f"{base}.xlsx"
-        df.to_excel(path, index=False)
-    except ImportError:
-        path = out / f"{base}.csv"
-        df.to_csv(path, index=False)
-        (out / f"{base}.xlsx-unavailable").write_text(
-            "openpyxl not installed; CSV fallback written"
-        )
+    path = out / f"{base}.xlsx"
+    atomic_write_bytes(path, write_xlsx_bytes(df))
     return str(path)
+
+
+def smtp_sink(rows, render, transport=None, host: str = "localhost",
+              port: int = 25, sender: str = "noreply@example.org") -> int:
+    """Consent-mailer SMTP sink (``mex/extractors/consent_mailer/main.py:27-49``,
+    ``transform.py:15-61``): one rendered message per row.
+
+    ``render(row) -> (recipient, subject, body)``; ``transport`` is a
+    callable ``(sender, recipient, message_bytes) -> None`` — defaults to
+    stdlib ``smtplib`` against ``host:port``. Inject a fake transport for
+    tests / dry runs. Driver-side by design (the reference sends one mail
+    per person from the pipeline process; notification side-effects don't
+    belong in a retryable distributed task — a task retry would re-send).
+    Returns the number of messages sent."""
+    from email.message import EmailMessage
+
+    close = None
+    if transport is None:
+        import smtplib
+
+        server = smtplib.SMTP(host, port)
+        close = server.quit
+
+        def transport(frm, to, msg_bytes):
+            server.sendmail(frm, to, msg_bytes)
+
+    sent = 0
+    try:
+        for row in rows:
+            recipient, subject, body = render(row)
+            if not recipient:
+                continue
+            msg = EmailMessage()
+            msg["From"] = sender
+            msg["To"] = recipient
+            msg["Subject"] = subject
+            msg.set_content(body)
+            transport(sender, recipient, msg.as_bytes())
+            sent += 1
+    finally:
+        if close is not None:
+            close()
+    return sent

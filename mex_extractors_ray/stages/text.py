@@ -60,11 +60,14 @@ class QualityScore:
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # null text → "" up front: utf8_length(null)=null would round-trip
+        # through NaN into an undefined int64, corrupting every feature
+        text = pc.fill_null(text, "")
         n = len(text)
         n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
         # words = runs of ASCII letters; split on the complement keeps exact
         # regexp_extract_all('[A-Za-z]+') parity (empty segments dropped)
-        words = pc.split_pattern_regex(pc.fill_null(text, ""), r"[^A-Za-z]+")
+        words = pc.split_pattern_regex(text, r"[^A-Za-z]+")
         flat = words.flatten()
         rows, _ = _flat_segments(words)
         wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -166,6 +169,57 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
             "lang_conf", pa.array(confs)
         )
+
+
+def langid_sql(table: str = "documents", id_col: str = "doc_id",
+               text_col: str = "text") -> str:
+    """DuckDB reimplementation of :class:`LangId` — generated from the SAME
+    profile spec (the :func:`vocab.vocab_sql_case` discipline), so the
+    engine's heuristic becomes hash-checkable against an independent
+    evaluation path.
+
+    Exact-parity contract: valid for ASCII corpora (the scorer works on
+    UTF-8 bytes, SQL ``substr`` on characters — identical iff ASCII; the
+    synthetic ``documents`` table is ASCII). Tie-break mirrors
+    ``np.argmax`` (first profile index wins) via ``ORDER BY s DESC,
+    lang_idx ASC``; exact score ties across languages would require
+    identical weight multisets (weights are 1/√(rank+1) — irrational, so
+    coincidental equality is measure-zero)."""
+    rows = []
+    for j, lang in enumerate(LangId.PROFILES):
+        seen: set = set()
+        for i, g in enumerate(LangId.PROFILES[lang].split()):
+            b = g.encode()
+            if len(b) != 2 or b in seen:
+                continue
+            seen.add(b)
+            w = 1.0 / (i + 1) ** 0.5
+            rows.append(f"('{g}', '{lang}', {j}, {w!r})")
+    values = ", ".join(rows)
+    return f"""
+WITH weights(g, lang, lang_idx, w) AS (VALUES {values}),
+pos AS (
+  SELECT d.{id_col} AS doc_id, lower(d.{text_col}) AS lt,
+         length(d.{text_col}) - 1 AS nb,
+         unnest(generate_series(1, length(d.{text_col}) - 1)) AS i
+  FROM {table} d
+),
+bg AS (
+  SELECT doc_id, substr(lt, i, 2) AS g, nb FROM pos
+),
+scores AS (
+  SELECT bg.doc_id, w.lang, w.lang_idx, SUM(w.w) / ANY_VALUE(bg.nb) AS s
+  FROM bg JOIN weights w ON bg.g = w.g
+  GROUP BY bg.doc_id, w.lang, w.lang_idx
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang_idx ASC) AS rn
+  FROM scores
+)
+SELECT d.{id_col} AS doc_id, COALESCE(b.lang, 'und') AS lang_pred
+FROM {table} d LEFT JOIN best b ON d.{id_col} = b.doc_id AND b.rn = 1
+"""
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:

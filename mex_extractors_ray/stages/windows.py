@@ -27,11 +27,20 @@ import pyarrow as pa
 
 
 def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column → epoch seconds. Contract: timestamps of any unit,
+    or INTEGER columns already in epoch SECONDS (passed through as-is —
+    guessing micro/milli for a bare int would silently zero every window);
+    anything else raises."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_timestamp(col.type):
         col = col.cast(pa.timestamp("us", tz=col.type.tz))  # unit-normalize (ns inputs)
-    return (np.asarray(col.cast(pa.int64())) // 1_000_000).astype(np.int64)
+        return (np.asarray(col.cast(pa.int64())) // 1_000_000).astype(np.int64)
+    if pa.types.is_integer(col.type):
+        return np.asarray(col.cast(pa.int64())).astype(np.int64)
+    raise TypeError(
+        f"window timestamp column must be timestamp or epoch-seconds integer, got {col.type}"
+    )
 
 
 def _scaled_int(col, scale: int = 100) -> np.ndarray:

@@ -18,6 +18,14 @@ Rule forms (JSON/YAML-able):
     {"type": "x_items_more_than", "value": N}
     {"type": "x_percent_less_than", "value": P}        drop >P% vs prev run
     {"type": "x_percent_more_than", "value": P}        grow >P% vs prev run
+    {"type": "x_items_abs_decrease_more_than", "value": N}   prev-current > N
+    {"type": "x_items_abs_increase_more_than", "value": N}   current-prev > N
+    {"type": "x_items_abs_change_more_than", "value": N}     |current-prev| > N
+
+The three absolute forms complete the reference's historical-rule matrix
+(``mex/extractors/pipeline/checks/main.py:199-210``: its
+``x_items_more_than``/``x_items_less_than`` compare current vs historic by
+an absolute item threshold).
 """
 
 from __future__ import annotations
@@ -80,6 +88,17 @@ def evaluate_checks(lake_dir: str | Path, rules: list[dict]) -> list[dict]:
                 violations.append({"rule": t, "value": v, "observed_pct": pct, "run": current_run})
             if t == "x_percent_more_than" and pct > v:
                 violations.append({"rule": t, "value": v, "observed_pct": pct, "run": current_run})
+        elif t.startswith("x_items_abs_") and prev is not None:
+            delta = current - prev
+            bad = (
+                (t == "x_items_abs_decrease_more_than" and -delta > v)
+                or (t == "x_items_abs_increase_more_than" and delta > v)
+                or (t == "x_items_abs_change_more_than" and abs(delta) > v)
+            )
+            if bad:
+                violations.append(
+                    {"rule": t, "value": v, "observed_delta": delta, "run": current_run}
+                )
     return violations
 
 
