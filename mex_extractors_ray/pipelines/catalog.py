@@ -31,6 +31,7 @@ from mex_extractors_ray.cdc.apply import ingest_change_log, read_lake_arrow
 from mex_extractors_ray.cdc.manifest import read_manifest
 from mex_extractors_ray.gen import change_log_from_events
 from mex_extractors_ray.stages import aggregates, dedup, filters, joins, similarity, text, vocab
+from .. import runtime as _rt
 
 WORK_ROOT = Path("/tmp/mex_ray_work")
 CDC_PARTITIONS = 16
@@ -695,7 +696,7 @@ def q_enriched_users(sf_dir: str):
     def resolve(uid) -> str:
         return f"user-{int(uid):06d}"
 
-    enriched = enrich.enrich(ev, resolve, "user_id", "resolved", concurrency=(1, 4))
+    enriched = enrich.enrich(ev, resolve, "user_id", "resolved")
     return dedup.exact_dedup(enriched, "user_id").to_pandas()
 
 
@@ -754,7 +755,7 @@ def q_token_counts(sf_dir: str):
 
 def q_quality_counts(sf_dir: str):
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    scored = docs.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+    scored = docs.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=_rt.auto_pool())
     return scored.select_columns(["doc_id", "n_chars", "n_words", "n_stop"]).to_pandas()
 
 
@@ -765,7 +766,7 @@ def q_lang_id(sf_dir: str):
     contract). ``lang_conf`` stays out of the compared columns (float
     summation-order noise); the prediction itself is the checked value."""
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 4))
+    out = docs.map_batches(text.LangId, batch_format="pyarrow", concurrency=_rt.auto_pool())
     return out.select_columns(["doc_id", "lang_pred"]).to_pandas()
 
 

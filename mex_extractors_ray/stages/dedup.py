@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 from mex_extractors_ray.hashing import _mix, hash_string_array
 from mex_extractors_ray.stages import joins
 
+from .. import runtime as _rt
+
 # ---------------------------------------------------------------------------
 # exact dedup family
 # ---------------------------------------------------------------------------
@@ -303,7 +305,7 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
         MinHashLSH,
         fn_constructor_args=(text_col, key_col, k, num_perm, bands),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
 
     def add_salt(t: pa.Table) -> pa.Table:
@@ -576,7 +578,7 @@ def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
         SimHashBands,
         fn_constructor_args=(text_col, key_col, k, n_tables),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
 
     def add_salt(t: pa.Table) -> pa.Table:

@@ -20,6 +20,7 @@ from typing import Callable
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from .. import runtime as _rt
 
 
 class LRUCache:
@@ -130,8 +131,9 @@ class DirectoryMissSink:
 
 
 def enrich(ds, resolve: Callable, key_col: str, out_col: str,
-           maxsize: int = 1024, concurrency=(1, 8), batch_size: int = 4096,
+           maxsize: int = 1024, concurrency=None, batch_size: int = 4096,
            miss_sink: Callable | None = None):
+    concurrency = concurrency or _rt.auto_pool()
     return ds.map_batches(
         CachedEnricher,
         fn_constructor_args=(resolve, key_col, out_col, maxsize, miss_sink),

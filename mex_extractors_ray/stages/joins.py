@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 
 from mex_extractors_ray.hashing import assign_partitions
 
+from .. import runtime as _rt
+
 
 class BroadcastJoin:
     """map_batches actor: probe-side stream ⋈ broadcast build side.
@@ -59,7 +61,7 @@ def broadcast_join(ds, build_df: pd.DataFrame, on, how: str = "inner"):
         BroadcastJoin,
         fn_constructor_args=(ref, on, how),
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
 
 

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from mex_extractors_ray.hashing import hash_string_array
+from .. import runtime as _rt
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -81,8 +82,9 @@ def media_content_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("payload_hash", pa.array(h.astype(np.int64)))
 
 
-def extract_media_features(ds, concurrency=(1, 4), batch_size: int = 64):
+def extract_media_features(ds, concurrency=None, batch_size: int = 64):
     """The real Ray plumbing: actor pool, small batches, typed output."""
+    concurrency = concurrency or _rt.auto_pool()
     return ds.map_batches(
         MediaFeatures,
         batch_format="pyarrow",

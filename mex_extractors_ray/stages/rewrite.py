@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .. import runtime as _rt
 
 
 class ReferenceRewriter:
@@ -116,8 +117,9 @@ class ReferenceRewriter:
 
 def rewrite_references(ds, fields_by_type: dict[str, list[str]], type_col: str,
                        allowed, replacement: dict | None = None, fallback=None,
-                       concurrency=(1, 8)):
+                       concurrency=None):
     """Dataset helper (broadcast sets ship once per actor via constructor)."""
+    concurrency = concurrency or _rt.auto_pool()
     return ds.map_batches(
         ReferenceRewriter,
         fn_constructor_args=(fields_by_type, type_col, allowed, replacement, fallback),

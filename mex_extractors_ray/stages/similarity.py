@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .. import runtime as _rt
+
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, d) float64 from a fixed-length list<float> column, zero-copy-ish."""
@@ -105,7 +107,7 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
         fn_constructor_args=(ref, k, vec_col, key_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
     return finalize_topk(partials.to_pandas(), k, key_col)
 
@@ -197,7 +199,7 @@ def embedding_near_duplicates(ds, dim: int, threshold: float = 0.95, n_bits: int
         EmbeddingLSHBands,
         fn_constructor_args=(dim, vec_col, key_col, n_bits, n_tables),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
 
     def add_salt(t: pa.Table) -> pa.Table:
@@ -321,7 +323,7 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
         fn_constructor_args=(index_ref,),
         fn_constructor_kwargs={"vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
     probes = index.probe(np.asarray(query_matrix, dtype=np.float64), nprobe)
     wanted = sorted({int(b) for row in probes for b in row})
@@ -355,6 +357,6 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
         fn_constructor_args=(qref, k, vec_col, key_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_rt.auto_pool(),
     )
     return finalize_topk(partials.to_pandas(), k, key_col)

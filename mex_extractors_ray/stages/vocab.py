@@ -37,6 +37,7 @@ import json
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from .. import runtime as _rt
 
 
 class FieldMapping:
@@ -97,9 +98,10 @@ class VocabMapper:
         return batch
 
 
-def map_vocab(ds, specs: list[dict], concurrency=(1, 8)):
+def map_vocab(ds, specs: list[dict], concurrency=None):
     """Dataset helper: apply the mapping specs as a stateless-per-batch,
     compiled-per-actor stage."""
+    concurrency = concurrency or _rt.auto_pool()
     return ds.map_batches(
         VocabMapper,
         fn_constructor_args=(json.dumps(specs),),
