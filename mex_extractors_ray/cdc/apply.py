@@ -125,7 +125,13 @@ def resolve_and_partition(
         h = np.asarray(t["_h"], dtype=np.int64).view(np.uint64)
         batch = t.drop_columns(["_h"])
     pid = (h % np.uint64(num_partitions)).astype(np.int32)
-    return batch.append_column("pid", pa.array(pid))
+    batch = batch.append_column("pid", pa.array(pid))
+    # `_shard` routes the shuffle through a pid→aggregator-bucket bijection
+    # (see hashing.shuffle_labels): no hash-shuffle partition is ever
+    # empty, so no schema-less RefBundles reach the streaming executor.
+    from mex_extractors_ray.hashing import shard_tags
+
+    return batch.append_column("_shard", shard_tags(pid, num_partitions))
 
 
 def _reduce_per_doc(group: pa.Table, mode: str = "last_wins") -> pa.Table:
@@ -452,41 +458,23 @@ def ingest_change_log(
 
         atomic_write_bytes(meta_path, _json.dumps({"num_partitions": num_partitions}).encode())
 
-    ctx = ray.data.DataContext.get_current()
-    # NOTE: DataContext is process-global and execution is lazy, but this
-    # function fully materializes its (tiny) metrics output before
-    # returning, so we set the knobs here and RESTORE them in the finally
-    # below — leaking HASH_SHUFFLE into unrelated later groupbys (with
-    # Ray's default 200-partition aggregator fleet) can deadlock small
-    # clusters waiting for aggregator actors that never fit.
-    agg_attr_present = hasattr(ctx, "max_hash_shuffle_aggregators")
-    saved = (ctx.shuffle_strategy, getattr(ctx, "max_hash_shuffle_aggregators", None))
-    if shuffle == "hash":
-        # the apply only needs co-location by pid, not global order (it
-        # re-sorts by (doc_id, lsn) inside the group) — hash shuffle skips
-        # the sample + sorted exchange of the sort-based shuffle
-        try:
-            from ray.data.context import ShuffleStrategy
+    # the apply only needs co-location by pid, not global order (it
+    # re-sorts by (doc_id, lsn) inside the group) — hash shuffle skips
+    # the sample + sorted exchange of the sort-based shuffle. The
+    # runtime.hash_shuffle context owns the knobs (A/B-measured 1
+    # aggregator/CPU cap, half-cluster reservation deadlock guard) and
+    # restores them on exit — this function fully materializes its (tiny)
+    # metrics output before returning, so nothing leaks.
+    import contextlib
 
-            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            # one aggregator actor per CPU, not per partition: with
-            # num_partitions > cluster CPUs the default aggregator fleet
-            # oversubscribes small clusters and serializes the pipeline
-            import ray as _ray
+    from mex_extractors_ray import runtime as _rt
 
-            import os as _os
-
-            cpus = int(_ray.cluster_resources().get("CPU", 8))
-            # ONE aggregator per CPU (A/B-measured, same machine window):
-            # 2/cpu oversubscribes the small cluster badly (8-CPU leg 65.0 s
-            # -> 45.5 s at 1/cpu) and costs even the big one (32-CPU 22.3 s
-            # -> 20.0 s); override with MEX_AGG_PER_CPU
-            per_cpu = float(_os.environ.get("MEX_AGG_PER_CPU", "1"))
-            ctx.max_hash_shuffle_aggregators = max(1, min(num_partitions, int(per_cpu * cpus)))
-        except ImportError:
-            pass
-
-    try:
+    shuffle_ctx = (
+        _rt.hash_shuffle(max_aggregators=num_partitions)
+        if shuffle == "hash"
+        else contextlib.nullcontext()
+    )
+    with shuffle_ctx:
         metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
             resolve_concurrency, mode, delta, compact_threshold, skip_sources,
@@ -506,18 +494,6 @@ def ingest_change_log(
         _awb(Path(lake_dir, "_ingest_state.json"),
              _j.dumps({"completed_lsn": completed}).encode())
         return metrics
-    finally:
-        ctx.shuffle_strategy = saved[0]
-        # restore the literal prior state (including None) — guarding on
-        # `is not None` would leak this ingest's aggregator cap into
-        # unrelated later hash-shuffle jobs when the attr was unset/None
-        if agg_attr_present:
-            ctx.max_hash_shuffle_aggregators = saved[1]
-        else:
-            try:
-                delattr(ctx, "max_hash_shuffle_aggregators")
-            except AttributeError:
-                pass
 
 
 def _run_ingest(
@@ -555,9 +531,11 @@ def _run_ingest(
         delta=delta, compact_threshold=compact_threshold,
     )
     try:
-        grouped = ds.groupby("pid", num_partitions=num_partitions)
+        # shuffle on `_shard` (bijective pid relabeling) — one group per
+        # pid as before, but no aggregator bucket is empty
+        grouped = ds.groupby("_shard", num_partitions=num_partitions)
     except TypeError:  # older Ray without num_partitions
-        grouped = ds.groupby("pid")
+        grouped = ds.groupby("_shard")
     metrics_ds = grouped.map_groups(fn, batch_format="pyarrow")
     out = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
     return out.sort_by([("partition", "ascending")])

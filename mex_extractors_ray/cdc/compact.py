@@ -286,9 +286,11 @@ def repartition_lake(
         return pa.table({"partition": pa.array([pid], pa.int32()), "rows": pa.array([t.num_rows], pa.int64())})
 
     try:
-        grouped = ds.groupby("pid", num_partitions=new_num_partitions)
+        # `_shard` = bijective pid relabeling from resolve_and_partition:
+        # no empty aggregator buckets, no schema-less RefBundles
+        grouped = ds.groupby("_shard", num_partitions=new_num_partitions)
     except TypeError:
-        grouped = ds.groupby("pid")
+        grouped = ds.groupby("_shard")
     out = grouped.map_groups(write_partition, batch_format="pyarrow").take_all()
 
     # redistribute tombstones to their new partitions — DISTRIBUTED: the
@@ -296,16 +298,16 @@ def repartition_lake(
     # through the same groupby(pid) shuffle as the data (never a
     # driver-side dict; the old O(T×P) per-partition list scan is gone)
     if tomb_files:
-        from mex_extractors_ray.hashing import assign_partitions as _ap
+        from mex_extractors_ray.hashing import assign_partitions as _ap, shard_tags as _st
 
         def tag_tomb(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_npid", pa.array(_ap(t["doc_id"], new_num_partitions))
-            )
+            npid = _ap(t["doc_id"], new_num_partitions)
+            t = t.append_column("_npid", pa.array(npid))
+            return t.append_column("_tshard", _st(npid, new_num_partitions))
 
         def write_tombstones(g: pa.Table) -> pa.Table:
             pid = int(g["_npid"][0].as_py())
-            tt = g.drop_columns(["_npid"]).sort_by([("doc_id", "ascending")])
+            tt = g.drop_columns(["_npid", "_tshard"]).sort_by([("doc_id", "ascending")])
             pdir = partition_dir(new, pid)
             pdir.mkdir(parents=True, exist_ok=True)
             name = f"tombstones-{pid:05d}-{watermark:020d}.parquet"
@@ -327,7 +329,7 @@ def repartition_lake(
         (
             ray.data.read_parquet(tomb_files, columns=["doc_id", "lsn"])
             .map_batches(tag_tomb, batch_format="pyarrow")
-            .groupby("_npid")
+            .groupby("_tshard", num_partitions=new_num_partitions)
             .map_groups(write_tombstones, batch_format="pyarrow")
             .take_all()
         )

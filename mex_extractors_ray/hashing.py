@@ -18,6 +18,8 @@ ranges are resolved from the offsets buffer and reduced with
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -127,6 +129,53 @@ def assign_partitions(keys: pa.Array | pa.ChunkedArray, num_partitions: int) -> 
     """Partition id in [0, num_partitions) per row — the engine's one shuffle
     key. Accepts string (doc_id) or integer (orderkey-style) key columns."""
     return (hash_key_array(keys) % np.uint64(num_partitions)).astype(np.int32)
+
+
+@_functools.lru_cache(maxsize=32)
+def shuffle_labels(num_partitions: int) -> np.ndarray:
+    """``labels[i]`` = smallest non-negative int64 whose Ray hash-shuffle
+    bucket is ``i`` — a bijection from a controlled key space ``0..P-1``
+    onto the P aggregator partitions of a ``groupby(key,
+    num_partitions=P)`` hash shuffle.
+
+    Why: Ray 2.49's hash-shuffle aggregators emit EMPTY output blocks with
+    no schema for buckets no key hashed to, and map UDFs pass empty input
+    blocks through uncalled (``plan_udf_map_op.py``: "For empty input
+    blocks, we directly output them without calling the UDF"), so every
+    empty bucket becomes a schema-less RefBundle and a streaming-executor
+    schema-divergence warning downstream. When the shuffle key space is a
+    dense 0..P-1 (every coarse-partition tag in this engine), routing the
+    tag through these labels makes key→bucket bijective: no bucket is
+    empty, every block carries a real schema.
+
+    Faithfulness: the probe replicates ``hash_partition`` in Ray's
+    ``transform_pyarrow`` — ``hash(tuple(col[i] for col in key_cols)) %
+    P`` over a single int64 key column. Python int hashes ignore
+    PYTHONHASHSEED, so driver and workers agree. Purely an optimization:
+    if Ray's partitioner ever changes, keys just collide into shared
+    aggregator blocks again and per-group splitting keeps results exact.
+    """
+    labels = np.full(num_partitions, -1, dtype=np.int64)
+    found, base = 0, 0
+    while found < num_partitions:
+        cand = pa.table(
+            {"k": pa.array(range(base, base + 4 * num_partitions), pa.int64())}
+        ).column(0)
+        for i in range(len(cand)):
+            b = hash((cand[i],)) % num_partitions
+            if labels[b] < 0:
+                labels[b] = base + i
+                found += 1
+                if found == num_partitions:
+                    break
+        base += 4 * num_partitions
+    return labels
+
+
+def shard_tags(parts: np.ndarray, num_partitions: int) -> pa.Array:
+    """int64 shuffle tag per row for a 0..P-1 coarse-partition array —
+    ``shuffle_labels`` applied vectorized (see there for why)."""
+    return pa.array(shuffle_labels(num_partitions)[parts], pa.int64())
 
 
 def rolling_fingerprints(arr: pa.Array | pa.ChunkedArray, window: int = 16) -> np.ndarray:

@@ -18,6 +18,7 @@ Catalog discipline (driver contract):
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 from pathlib import Path
 
@@ -934,8 +935,58 @@ def q_cdc_partition_metrics(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# Pipelines that chain a SECOND shuffle after a map_groups whose groups can
+# legitimately produce zero rows (the banded near-dup family: a bucket with
+# <2 distinct docs emits zero candidate pairs) stay on the sort-based
+# strategy. Why: Ray passes zero-row blocks through map UDFs UNCALLED
+# (``plan_udf_map_op.py``: "For empty input blocks, we directly output them
+# without calling the UDF"), so a zero-pair block can never be given the
+# next shuffle's key column — and hash-shuffle finalize then raises
+# ArrowInvalid ("No match for FieldRef.Name(_kpart)") when the key-less
+# empty block reaches its aggregator. The sort-based exchange tolerates
+# the stale empty schema (round-2 proven, hash-green). Single-shuffle
+# pipelines are immune: their shuffle keys are minted on never-empty read
+# batches.
+_SORT_STRATEGY_ONLY = {
+    "minhash_near_dups",
+    "ngram_overlap_pairs",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "embedding_near_dups_exact",
+}
+
+
+def _hash_shuffled(fn):
+    """Run a catalog query under the hash-shuffle strategy (see
+    runtime.hash_shuffle): every wide op in this catalog needs key
+    co-location only — each per-group kernel re-sorts inside its block —
+    so the sort-based default's sample pass + ordered exchange is wasted
+    work, and the bijective shard labels keep every aggregator bucket
+    non-empty (schema-stable blocks, no executor warnings). Explicit
+    ``ds.sort``/``limit`` stages are strategy-independent and unaffected.
+
+    ``MEX_CATALOG_SHUFFLE=sort`` opts out (A/B escape hatch: the strategy
+    is a pure executor concern, results are identical either way)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        if os.environ.get("MEX_CATALOG_SHUFFLE", "hash") == "sort":
+            return fn(sf_dir)
+        with _rt.hash_shuffle():
+            return fn(sf_dir)
+
+    return wrapped
+
+
 def queries():
     return {
+        name: (fn if name in _SORT_STRATEGY_ONLY else _hash_shuffled(fn))
+        for name, fn in _QUERY_FNS.items()
+    }
+
+
+_QUERY_FNS = {
         "cdc_final_state": q_cdc_final_state,
         "cdc_first_wins_state": q_cdc_first_wins_state,
         "cdc_live_counts": q_cdc_live_counts,

@@ -13,6 +13,7 @@ cap on a small cluster costs nothing.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 
@@ -42,3 +43,79 @@ def auto_pool(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     if cap is not None:
         hi = min(hi, cap)
     return (lo, max(lo, hi))
+
+
+@contextlib.contextmanager
+def hash_shuffle(agg_per_cpu: float | None = None, max_aggregators: int | None = None):
+    """Run a pipeline's *construction and execution* under Ray's hash-shuffle
+    strategy, restored afterwards.
+
+    Why: this engine's wide ops only need key co-location, never global
+    order (every per-group kernel re-sorts inside its block), so the
+    sort-based default wastes a sample pass + ordered exchange. Hash
+    shuffle skips both — and combined with the bijective shard labels
+    (``hashing.shuffle_labels``) no aggregator bucket is empty, so the
+    executor sees schema-stable blocks end to end.
+
+    DataContext is captured when a Dataset is CREATED, so enter this
+    context before ``read_parquet`` and keep it open through the terminal
+    ``to_pandas``/``take_all``/``write_parquet``. The aggregator fleet is
+    capped at ``agg_per_cpu`` actors per cluster CPU (default from
+    ``MEX_AGG_PER_CPU``, 1/cpu — A/B-measured in BASELINE.md: Ray's
+    default one-aggregator-per-partition fleet oversubscribes small
+    clusters and serializes the pipeline).
+
+    Deadlock guard: Ray sizes aggregator actors at 0.0625 CPU *per
+    partition* regardless of cluster size, so a 64-partition shuffle
+    reserves 4.0 logical CPUs — the WHOLE of a 4-CPU test cluster — while
+    an upstream map task holds one of them, and the pipeline deadlocks
+    (observed: ``Shuffle(...): Tasks: 0 [backpressured]; Resources: 4.0
+    CPU`` forever). We bound the whole fleet's reservation to half the
+    cluster by scaling the per-partition CPU override for the engine's
+    worst-case partition count (256 ≥ minhash's bands×salt=128 and the
+    200-partition default of native groupby aggregates); ops with fewer
+    partitions reserve proportionally less — always the safe direction.
+    Actual parallelism still comes from the aggregator-count cap above."""
+    import ray
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    _ATTRS = (
+        "max_hash_shuffle_aggregators",
+        "hash_shuffle_operator_actor_num_cpus_per_partition_override",
+        "hash_aggregate_operator_actor_num_cpus_per_partition_override",
+    )
+    saved = {a: (hasattr(ctx, a), getattr(ctx, a, None)) for a in _ATTRS}
+    saved_strategy = ctx.shuffle_strategy
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = cluster_cpus()
+        per_cpu = agg_per_cpu if agg_per_cpu is not None else float(
+            os.environ.get("MEX_AGG_PER_CPU", "1")
+        )
+        agg = max(1, int(per_cpu * cpus))
+        if max_aggregators is not None:
+            agg = min(agg, max_aggregators)
+        ctx.max_hash_shuffle_aggregators = agg
+        # total reservation = override × num_partitions ≤ cpus/2 at the
+        # engine's worst-case partition count
+        worst_case_partitions = 256
+        override = max(0.001, (cpus / 2) / worst_case_partitions)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = override
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = override
+        yield ctx
+    finally:
+        ctx.shuffle_strategy = saved_strategy
+        # restore the literal prior state (including unset) — guarding on
+        # `is not None` would leak this job's knobs into unrelated later
+        # hash-shuffle jobs
+        for a, (present, val) in saved.items():
+            if present:
+                setattr(ctx, a, val)
+            else:
+                try:
+                    delattr(ctx, a)
+                except AttributeError:
+                    pass

@@ -59,7 +59,11 @@ def asof_join(left, right, on: str, by: str, direction: str = "backward",
                 for c in all_cols
             }
             out = pa.table(cols)
-            out = out.append_column("_bucket", pa.array(assign_partitions(t[by], num_buckets)))
+            from mex_extractors_ray.hashing import shard_tags
+
+            out = out.append_column(
+                "_bucket", shard_tags(assign_partitions(t[by], num_buckets), num_buckets)
+            )
             return out.append_column("_side", pa.array([side] * n))
 
         return _p
@@ -90,4 +94,8 @@ def asof_join(left, right, on: str, by: str, direction: str = "backward",
         )
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby("_bucket").map_groups(match, batch_format="pyarrow")
+    try:
+        grouped = both.groupby("_bucket", num_partitions=num_buckets)
+    except TypeError:
+        grouped = both.groupby("_bucket")
+    return grouped.map_groups(match, batch_format="pyarrow")

@@ -67,16 +67,25 @@ def _keyed_blocks(ds, key: str, block_fn, num_partitions: int = 64):
     group calls, not one per key (millions of keys ⇒ millions of dispatches
     with a naive ``groupby(key).map_groups``). All rows of a key land in the
     same block, so any per-key reduction is exact."""
-    from mex_extractors_ray.hashing import assign_partitions
+    from mex_extractors_ray.hashing import assign_partitions, shard_tags
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.append_column("_kpart", pa.array(assign_partitions(t[key], num_partitions)))
+        # coarse partition routed through the bijective shard labels: under
+        # hash shuffle every aggregator bucket is non-empty (schema-stable
+        # blocks); under sort shuffle the labels are just as good a key
+        return t.append_column(
+            "_kpart", shard_tags(assign_partitions(t[key], num_partitions), num_partitions)
+        )
 
     def run(g: pa.Table) -> pa.Table:
         return block_fn(g.drop_columns(["_kpart"]))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
-    return tagged.groupby("_kpart").map_groups(run, batch_format="pyarrow")
+    try:
+        grouped = tagged.groupby("_kpart", num_partitions=num_partitions)
+    except TypeError:
+        grouped = tagged.groupby("_kpart")
+    return grouped.map_groups(run, batch_format="pyarrow")
 
 
 def exact_dedup(ds, key: str, order_by: str | list[str] | None = None,
@@ -308,11 +317,15 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
         concurrency=_rt.auto_pool(),
     )
 
+    n_groups = bands * salt
+
     def add_salt(t: pa.Table) -> pa.Table:
         g = np.asarray(t["band"], dtype=np.int64) * salt + (
             np.asarray(t["band_hash"], dtype=np.int64) % salt
         )
-        return t.append_column("_g", pa.array(g.astype(np.int32)))
+        from mex_extractors_ray.hashing import shard_tags
+
+        return t.append_column("_g", shard_tags(g, n_groups))
 
     def pairs_in_block(g: pa.Table) -> pa.Table:
         t = g.sort_by(
@@ -325,11 +338,13 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
         kt = t[key_col].type
         return pa.table({"a": pa.array(a, kt), "b": pa.array(b, kt)})
 
-    cand = (
-        exploded.map_batches(add_salt, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(pairs_in_block, batch_format="pyarrow")
-        .map_batches(_pair_tag, batch_format="pyarrow")
+    salted = exploded.map_batches(add_salt, batch_format="pyarrow")
+    try:
+        grouped = salted.groupby("_g", num_partitions=n_groups)
+    except TypeError:
+        grouped = salted.groupby("_g")
+    cand = grouped.map_groups(pairs_in_block, batch_format="pyarrow").map_batches(
+        _pair_tag, batch_format="pyarrow"
     )
     # a pair found by several bands is deduped DISTRIBUTED (coarse hash
     # shuffle on the pair id + boundary mask), not with a driver to_pandas
@@ -581,11 +596,15 @@ def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
         concurrency=_rt.auto_pool(),
     )
 
+    n_groups = n_tables * salt
+
     def add_salt(t: pa.Table) -> pa.Table:
         g = np.asarray(t["t"], dtype=np.int64) * salt + (
             np.asarray(t["band"], dtype=np.int64) % salt
         )
-        return t.append_column("_g", pa.array(g.astype(np.int32)))
+        from mex_extractors_ray.hashing import shard_tags
+
+        return t.append_column("_g", shard_tags(g, n_groups))
 
     def pairs_in_block(g: pa.Table) -> pa.Table:
         t = g.sort_by([("t", "ascending"), ("band", "ascending"), (key_col, "ascending")])
@@ -603,11 +622,13 @@ def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
         return pa.table({"a": pa.array(a[keep], kt), "b": pa.array(b[keep], kt),
                          "hamming": pa.array(d[keep])})
 
-    cand = (
-        exploded.map_batches(add_salt, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(pairs_in_block, batch_format="pyarrow")
-        .map_batches(_pair_tag, batch_format="pyarrow")
+    salted = exploded.map_batches(add_salt, batch_format="pyarrow")
+    try:
+        grouped = salted.groupby("_g", num_partitions=n_groups)
+    except TypeError:
+        grouped = salted.groupby("_g")
+    cand = grouped.map_groups(pairs_in_block, batch_format="pyarrow").map_batches(
+        _pair_tag, batch_format="pyarrow"
     )
     # same pair from several tables carries the same hamming — distributed
     # first-wins dedup on the pair id

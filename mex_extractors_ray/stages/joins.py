@@ -221,7 +221,11 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner
                 for c in all_cols
             }
             out = pa.table(cols)
-            out = out.append_column("_bucket", pa.array(assign_partitions(t[on], num_buckets)))
+            from mex_extractors_ray.hashing import shard_tags
+
+            out = out.append_column(
+                "_bucket", shard_tags(assign_partitions(t[on], num_buckets), num_buckets)
+            )
             return out.append_column("_side", pa.array([side] * n))
 
         return _p
@@ -246,7 +250,11 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32, how: str = "inner
         merged = l.merge(r, on=on, how=how, suffixes=("", "_r"))
         return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+    try:
+        grouped = both.groupby("_bucket", num_partitions=num_buckets)
+    except TypeError:
+        grouped = both.groupby("_bucket")
+    return grouped.map_groups(join_bucket, batch_format="pyarrow")
 
 
 class GetOrCreateDimension:

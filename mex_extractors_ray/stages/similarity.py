@@ -202,11 +202,15 @@ def embedding_near_duplicates(ds, dim: int, threshold: float = 0.95, n_bits: int
         concurrency=_rt.auto_pool(),
     )
 
+    n_groups = n_tables * salt
+
     def add_salt(t: pa.Table) -> pa.Table:
         g = np.asarray(t["t"], dtype=np.int64) * salt + (
             np.asarray(t["band"], dtype=np.int64) % salt
         )
-        return t.append_column("_g", pa.array(g.astype(np.int32)))
+        from mex_extractors_ray.hashing import shard_tags
+
+        return t.append_column("_g", shard_tags(g, n_groups))
 
     from mex_extractors_ray.stages.dedup import _pair_tag, _pairs_from_buckets, exact_dedup
 
@@ -243,11 +247,13 @@ def embedding_near_duplicates(ds, dim: int, threshold: float = 0.95, n_bits: int
             }
         )
 
-    cand = (
-        exploded.map_batches(add_salt, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(pairs_in_block, batch_format="pyarrow")
-        .map_batches(_pair_tag, batch_format="pyarrow")
+    salted = exploded.map_batches(add_salt, batch_format="pyarrow")
+    try:
+        grouped = salted.groupby("_g", num_partitions=n_groups)
+    except TypeError:
+        grouped = salted.groupby("_g")
+    cand = grouped.map_groups(pairs_in_block, batch_format="pyarrow").map_batches(
+        _pair_tag, batch_format="pyarrow"
     )
     # the same pair found by several tables carries the same cosine —
     # distributed first-wins dedup on the pair id
