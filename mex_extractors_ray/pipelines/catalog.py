@@ -74,6 +74,25 @@ def _rd():
     return ray.data
 
 
+def _read_pq(path, columns=None, **kw):
+    """``read_parquet`` with the schema's ``b'pandas'`` metadata stripped.
+
+    The testdata parquet files are written by pandas, whose metadata makes
+    ``hash(pa.Schema)`` raise (TypeError: unhashable 'dict') — so every
+    downstream schema-dedup in Ray (``transform_pyarrow.unify_schemas``,
+    shuffle aggregators, the READ task's own SplitBlocks unify) logs
+    "Failed to hash the schemas" per block and falls off its fast path.
+    Passing an explicit metadata-free ``schema=`` cleans the blocks at the
+    source — a post-read strip stage can't reach the read task's internal
+    unify. With ``columns=`` the schema must match the projection (Ray
+    builds each batch against it verbatim)."""
+    first = path if isinstance(path, str) else path[0]
+    s = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        s = pa.schema([s.field(c) for c in columns])
+    return _rd().read_parquet(path, schema=s, columns=columns, **kw)
+
+
 def _cents(col, scale: int = 100) -> pa.Array:
     """floor(x*scale + 0.5) as int64 — matches the SQL side bit-for-bit."""
     v = np.asarray(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, dtype=np.float64)
@@ -246,7 +265,7 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """Grouped aggregate with per-batch partial combining (SURVEY.md §2.6)."""
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -297,7 +316,7 @@ def q_revenue_by_nation(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     # dims collapsed driver-side (tiny), then ONE Arrow index_in probe per
     # batch on the big orders stream — no pandas conversion on the hot path
     named = joins.broadcast_lookup(
@@ -323,12 +342,12 @@ def q_revenue_by_nation(sf_dir: str):
 
 def q_parts_semi_join(sf_dir: str):
     """Semi join + regex predicate (ifsg shape, ``ifsg/filter.py:10-30``)."""
-    part = _rd().read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"])
+    part = _read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"])
     econ = part.map_batches(
         lambda t: t.filter(pc.match_substring_regex(t["p_type"], r"^ECONOMY")),
         batch_format="pyarrow",
     ).to_pandas()
-    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    line = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
     # semi join + brand lookup FUSED in one zero-copy Arrow pass: index_in
     # against the broadcast key array, take of the brand array, inner filter
     branded = joins.broadcast_lookup(
@@ -352,9 +371,9 @@ def q_parts_semi_join(sf_dir: str):
 def q_customers_without_orders(sf_dir: str):
     """Anti join (obsolete-assets shape, ``system/main.py:118-128``):
     customers with no big (>350k) order."""
-    big = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     custkeys = big.filter(expr="o_totalprice > 350000").unique("o_custkey")
-    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     out = joins.anti_join(cust, "c_custkey", custkeys)
     return out.to_pandas()
 
@@ -363,8 +382,8 @@ def q_order_priority_revenue(sf_dir: str):
     """Large-large bucketed hash join (both sides streamed, co-partitioned
     on hash(key) % B — no broadcast): orders ⋈ lineitem on orderkey,
     revenue per order priority."""
-    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    line = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep_o(b: pa.Table) -> pa.Table:
         return pa.table({"k": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]})
@@ -410,7 +429,7 @@ def q_order_priority_revenue(sf_dir: str):
 
 def q_first_event_per_user(sf_dir: str):
     """First-seen dedup (``synopse/transform.py:286-289`` family)."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"])
     firsts = dedup.exact_dedup(ev, "user_id", order_by=["ts", "event_id"])
 
     def project(b: pa.Table) -> pa.Table:
@@ -425,7 +444,7 @@ def q_single_line_orders(sf_dir: str):
     """Drop-ALL-duplicates (``ff_projects/filter.py:144-157``): keep
     lineitem rows whose order has exactly one line — a duplicated key drops
     ALL its rows, not all-but-first."""
-    line = _rd().read_parquet(
+    line = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_linenumber"]
     )
     return dedup.drop_all_duplicates(line, "l_orderkey").to_pandas()
@@ -433,13 +452,13 @@ def q_single_line_orders(sf_dir: str):
 
 def q_event_type_sets(sf_dir: str):
     """Collect-distinct-sorted valueSet (``synopse/transform.py:200-202``)."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
     return aggregates.collect_distinct_sorted(ev, "user_id", "event_type", out="value_set").to_pandas()
 
 
 def q_signup_violations(sf_dir: str):
     """Uniqueness assertion (``publisher/filter.py:40-52``): users with >1 signup."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
     signups = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "signup")), batch_format="pyarrow"
     )
@@ -448,14 +467,14 @@ def q_signup_violations(sf_dir: str):
 
 def q_rule_filter_kept(sf_dir: str):
     """Declarative rule filter — kept stream (``filters.py:18-84`` analog)."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value", "props"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value", "props"])
     kept = filters.apply_rule_filter(ev, EVENT_RULES)
     return kept.select_columns(["event_id", "user_id", "event_type", "value"]).to_pandas()
 
 
 def q_rule_filter_rejects(sf_dir: str):
     """Rejection lineage: count per firing rule (``logging.py:13-32`` analog)."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value", "props"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value", "props"])
     tagged = ev.map_batches(
         filters.RuleFilter(EVENT_RULES), batch_format="pyarrow"
     ).map_batches(filters.rejected, batch_format="pyarrow")
@@ -468,14 +487,14 @@ def q_rule_filter_rejects(sf_dir: str):
 
 def q_top_orders(sf_dir: str):
     """Sort + limit (top-k, SURVEY.md §2.7)."""
-    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
     return top.to_pandas()
 
 
 def q_union_streams(sf_dir: str):
     """Union of filtered streams + grouped count (``publisher/main.py:155-160``)."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type"])
     a = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow")
     b = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "signup")), batch_format="pyarrow")
     return aggregates.grouped_count(a.union(b), "event_type", alias="n").to_pandas()
@@ -483,7 +502,7 @@ def q_union_streams(sf_dir: str):
 
 def q_events_per_day(sf_dir: str):
     """Temporal grouped aggregate (daily rollup)."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
         day = pc.strftime(b["ts"], format="%Y-%m-%d")
@@ -510,7 +529,7 @@ def q_events_per_day(sf_dir: str):
 def q_source_dimension(sf_dir: str):
     """Get-or-create dimension (``grippeweb/transform.py:191-223`` family):
     deterministic ids for the distinct natural keys."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["source"])
     uniq = sorted(docs.unique("source"))
     return pa.table(
         {"source": pa.array(uniq), "org_id": pa.array(np.arange(1, len(uniq) + 1, dtype=np.int64))}
@@ -530,7 +549,7 @@ def q_list_overlap_filter(sf_dir: str):
     filter.py:24-54``: keep items whose funderOrCommissioner list intersects
     the org-id set): docs whose word list intersects a broadcast key set.
     Vectorized flatten + is_in + segmented any; no shuffle."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
 
     def to_words(b: pa.Table) -> pa.Table:
         return b.append_column("words", pc.split_pattern(b["text"], " "))
@@ -547,7 +566,7 @@ def q_asof_join(sf_dir: str):
     pandas.merge_asof."""
     from mex_extractors_ray.stages.asof import asof_join
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
 
     def signup_prep(b: pa.Table) -> pa.Table:
@@ -573,7 +592,7 @@ def q_tumbling_window(sf_dir: str):
     notes the reference has no windows)."""
     from mex_extractors_ray.stages.windows import tumbling_window
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "value"])
     return tumbling_window(ev, "ts", "value", WINDOW_W).to_pandas()
 
 
@@ -582,7 +601,7 @@ def q_hopping_window(sf_dir: str):
     optimization (rows collapse to hop-sized panes before the explode)."""
     from mex_extractors_ray.stages.windows import hopping_window
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "value"])
     return hopping_window(ev, "ts", "value", WINDOW_W, WINDOW_HOP, panes=True).to_pandas()
 
 
@@ -591,7 +610,7 @@ def q_doi_urls(sf_dir: str):
     derive a raw identifier per doc, then the vectorized build: bare 10.*
     ids get the https://doi.org/ prefix, blocked prefixes and invalid
     shapes go null."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def raw(b: pa.Table) -> pa.Table:
         did = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
@@ -620,7 +639,7 @@ def q_year_rule_filter(sf_dir: str):
     keep the survivors — grouped count per year."""
     from mex_extractors_ray.stages.temporal import parse_temporal, year_threshold_mask
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def keep_mask(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
@@ -650,7 +669,7 @@ def q_reference_rewrite(sf_dir: str):
     event) are rewritten to the fallback id -1; other types untouched."""
     from mex_extractors_ray.stages.rewrite import rewrite_references
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     allowed = ev.filter(expr="event_type == 'error'").unique("user_id")
     rewritten = rewrite_references(
         ev,
@@ -677,7 +696,7 @@ def q_vocab_mapped(sf_dir: str):
     """Vocab/value mapping (the mapping-YAML discipline): translate
     event_type through two field specs (multi-value forValues, first-wins
     precedence, default rule, passthrough) then grouped count."""
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type"])
     mapped = vocab.map_vocab(ev, VOCAB_SPECS)
     from ray.data.aggregate import Count
 
@@ -692,7 +711,7 @@ def q_enriched_users(sf_dir: str):
     function of the key."""
     from mex_extractors_ray.stages import enrich
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def resolve(uid) -> str:
         return f"user-{int(uid):06d}"
@@ -714,7 +733,7 @@ def q_exact_dup_docs(sf_dir: str):
     100 TB, same class as an md5 key)."""
     from mex_extractors_ray.hashing import hash_string_array
 
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hashes(b: pa.Table) -> pa.Table:
         h1 = hash_string_array(b["text"])
@@ -749,13 +768,13 @@ def q_exact_dup_docs(sf_dir: str):
 
 
 def q_token_counts(sf_dir: str):
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text.token_counts, batch_format="pyarrow").select_columns(["doc_id", "n_words"])
     return out.to_pandas()
 
 
 def q_quality_counts(sf_dir: str):
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     scored = docs.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=_rt.auto_pool())
     return scored.select_columns(["doc_id", "n_chars", "n_words", "n_stop"]).to_pandas()
 
@@ -766,13 +785,13 @@ def q_lang_id(sf_dir: str):
     exact for the ASCII corpus — see its docstring for the parity
     contract). ``lang_conf`` stays out of the compared columns (float
     summation-order noise); the prediction itself is the checked value."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text.LangId, batch_format="pyarrow", concurrency=_rt.auto_pool())
     return out.select_columns(["doc_id", "lang_pred"]).to_pandas()
 
 
 def q_doc_fingerprints(sf_dir: str):
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text.fingerprint_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"]).to_pandas()
 
@@ -782,7 +801,7 @@ def q_minhash_near_dups(sf_dir: str):
     distributed: salted LSH bucket shuffle → vectorized pair emission →
     candidates ⋈ texts (bucketed joins) → vectorized per-batch Jaccard.
     No whole-corpus driver materialization anywhere on the path."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id", k=3, num_perm=64, bands=16)
     verified = dedup.jaccard_verify_distributed(
         cand, docs, text_col="text", key_col="doc_id", k=3, threshold=0.5
@@ -799,7 +818,7 @@ def q_ngram_overlap_pairs(sf_dir: str):
     shuffle on pair → run-length count. Bounded to doc_id < 200 only to
     keep the oracle's O(n²) CROSS JOIN cheap; the Ray path itself has no
     all-pairs step."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
         expr="doc_id < 200"
     )
     out = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=5).to_pandas()
@@ -812,7 +831,7 @@ def q_simhash_near_dups(sf_dir: str):
     """Distributed SimHash near-dups: map_batches simhash+banding → salted
     band-bucket shuffle → vectorized in-block Hamming → distributed pair
     dedup (the MinHash design applied to SimHash — no driver-side corpus)."""
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = dedup.simhash_near_duplicates(docs, "text", "doc_id", k=2, max_dist=6, n_tables=8)
     return (
         out.select_columns(["a", "b", "hamming"]).to_pandas()
@@ -827,7 +846,7 @@ def q_ann_topk(sf_dir: str):
     q = emb.filter(qmask)
     qmat = similarity._to_matrix(q["embedding"])
     qids = np.asarray(q["vec_id"], dtype=np.int64)
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet").filter(
         expr="vec_id >= 4"
     )
     out = similarity.ann_topk(ds, qmat, qids, k=10)
@@ -847,7 +866,7 @@ def q_ann_topk_ivf(sf_dir: str):
     q = emb.filter(pc.less(emb["vec_id"], 4))
     qmat = similarity._to_matrix(q["embedding"])
     qids = np.asarray(q["vec_id"], dtype=np.int64)
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
     out = similarity.ivf_topk(ds, qmat, qids, k=10, n_centroids=16, nprobe=4)
     return out[["query_id", "vec_id", "rank"]].astype("int64")
 
@@ -860,13 +879,13 @@ def q_ann_topk_ivf_full(sf_dir: str):
     q = emb.filter(pc.less(emb["vec_id"], 4))
     qmat = similarity._to_matrix(q["embedding"])
     qids = np.asarray(q["vec_id"], dtype=np.int64)
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id >= 4")
     out = similarity.ivf_topk(ds, qmat, qids, k=10, n_centroids=16, nprobe=16)
     return out[["query_id", "vec_id", "rank"]].astype("int64")
 
 
 def q_embedding_near_dups(sf_dir: str):
-    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet")
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])["embedding"][0])
     out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.4, n_bits=6)
     return out.to_pandas()
@@ -880,7 +899,7 @@ def q_embedding_near_dups_exact(sf_dir: str):
     DuckDB oracle is a brute-force self-join on a bounded subset (the
     ``ngram_overlap_pairs`` discipline: the bound keeps the ORACLE's cross
     join cheap, not the engine honest)."""
-    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id < 200")
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id < 200")
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])["embedding"][0])
     out = similarity.embedding_near_duplicates(
         emb, dim=dim, threshold=0.4, n_bits=0, n_tables=2
@@ -895,7 +914,7 @@ def q_media_features(sf_dir: str):
     """Multimodal plumbing (decode stubbed — rows-only check)."""
     from mex_extractors_ray.stages.multimodal import extract_media_features
 
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_media(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -957,24 +976,26 @@ _SORT_STRATEGY_ONLY = {
 
 
 def _hash_shuffled(fn):
-    """Run a catalog query under the hash-shuffle strategy (see
-    runtime.hash_shuffle): every wide op in this catalog needs key
-    co-location only — each per-group kernel re-sorts inside its block —
-    so the sort-based default's sample pass + ordered exchange is wasted
-    work, and the bijective shard labels keep every aggregator bucket
-    non-empty (schema-stable blocks, no executor warnings). Explicit
-    ``ds.sort``/``limit`` stages are strategy-independent and unaffected.
-
-    ``MEX_CATALOG_SHUFFLE=sort`` opts out (A/B escape hatch: the strategy
-    is a pure executor concern, results are identical either way)."""
+    """Optionally run a catalog query under the hash-shuffle strategy
+    (``MEX_CATALOG_SHUFFLE=hash``; see runtime.hash_shuffle). Default is
+    the sort-based strategy: A/B at sf0.1/32 CPUs (same machine window,
+    BASELINE.md) measured hash-shuffle aggregator-fleet startup dominating
+    every per-query time — first_event_per_user 28.3 s (hash) vs 3.0 s
+    (sort), event_type_sets 29.4 vs 3.3, exact_dup_docs 14.1 vs 5.8 —
+    because each query pays a fresh fleet of aggregator actors for
+    shuffles that move only a few hundred MB. The CDC ingest keeps hash
+    shuffle internally (its 2M-event shuffle is the A/B-measured winner);
+    at a scale where a catalog query shuffles minutes of data, flip this
+    env. The strategy is a pure executor concern — results are identical
+    either way (test_hash_shuffle.py proves it on the dedup kernel)."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(sf_dir: str):
-        if os.environ.get("MEX_CATALOG_SHUFFLE", "hash") == "sort":
-            return fn(sf_dir)
-        with _rt.hash_shuffle():
-            return fn(sf_dir)
+        if os.environ.get("MEX_CATALOG_SHUFFLE", "sort") == "hash":
+            with _rt.hash_shuffle():
+                return fn(sf_dir)
+        return fn(sf_dir)
 
     return wrapped
 
