@@ -14,7 +14,50 @@ cap on a small cluster costs nothing.
 from __future__ import annotations
 
 import contextlib
+import logging
 import os
+import re
+
+
+class _EmptyBlockSchemaNoise(logging.Filter):
+    """Drop ONLY the cosmetic "RefBundle with a different schema … new
+    schema: ." executor warning for ZERO-COLUMN bundles.
+
+    Ray's sort-based exchange (which backs ``groupby().map_groups`` under
+    the default strategy) emits empty partitions as blocks with an empty
+    schema, and map UDFs are never invoked on zero-row blocks — verified
+    against ray 2.49.2 (``grouped_data.py:map_groups`` → ``sort`` →
+    ``_apply_udf_to_groups`` yields nothing for an empty block), so no
+    user code can give those bundles a schema. A genuinely-empty sort
+    partition is normal whenever keys ≪ partitions (e.g. a near-dup
+    candidate-pair dedup at small scale). Real mismatches — two DIFFERENT
+    non-empty schemas, the bug this warning exists for — still log."""
+
+    _EMPTY = re.compile(
+        r"new schema:\s*\.?\s*(This may lead|$)"  # … new schema: <empty>.
+        r"|Previous schema:\s*,\s*new schema:"    # Previous schema: <empty>, …
+    )
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        if "produced a RefBundle with a different schema" not in msg:
+            return True
+        return not self._EMPTY.search(msg)
+
+
+def silence_empty_block_schema_warnings() -> None:
+    """Install :class:`_EmptyBlockSchemaNoise` once (idempotent)."""
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(isinstance(f, _EmptyBlockSchemaNoise) for f in logger.filters):
+        logger.addFilter(_EmptyBlockSchemaNoise())
+
+
+silence_empty_block_schema_warnings()
 
 
 def cluster_cpus(default: int = 8) -> int:
