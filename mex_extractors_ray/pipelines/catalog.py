@@ -950,6 +950,85 @@ def q_cdc_partition_metrics(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# training-data operators: sessionize / top-k per key / quota / packing /
+# decontamination
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 28_800      # 8 h — sf events have ~7 h median per-user gaps
+TOPK_PER_CUSTOMER = 2
+SOURCE_QUOTA_K = 10
+PACK_MAX_LEN = 2_048
+DECON_MOD = 7               # benchmark set = doc_id % DECON_MOD == 0
+DECON_K = 5                 # word 5-grams
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (training-data/clickstream extension; the
+    window-aggregate family of SURVEY.md §2.10). One coarse shuffle on
+    user_id, vectorized per-block session assignment + rollup."""
+    from mex_extractors_ray.stages.sessions import sessionize
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return sessionize(ev, "user_id", "ts", gap_s=SESSION_GAP_S,
+                      order_cols=("event_id",)).to_pandas()
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Distributed row_number()-per-key top-k (k>1 generalization of the
+    reference's first-seen selections)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return aggregates.keyed_topk(
+        o, "o_custkey",
+        order_by=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        k=TOPK_PER_CUSTOMER,
+    ).to_pandas()
+
+
+def q_source_quota(sf_dir: str):
+    """Per-source document quota (source balancing for training mixes):
+    keep the first ``SOURCE_QUOTA_K`` docs per source by doc_id."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return aggregates.keyed_topk(
+        docs, "source", order_by=[("doc_id", "ascending")], k=SOURCE_QUOTA_K,
+    ).to_pandas()
+
+
+def q_packed_sequences(sf_dir: str):
+    """Deterministic concat-and-chunk sequence packing per source shard
+    (weight = n_chars; the tokenized-sequence table packs on n_tok the
+    same way)."""
+    from mex_extractors_ray.stages.packing import pack_sequences
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    return pack_sequences(docs, "source", "n_chars", "doc_id",
+                          max_len=PACK_MAX_LEN).to_pandas()
+
+
+def q_contaminated_docs(sf_dir: str):
+    """Train/test decontamination: corpus docs sharing any word 5-gram
+    with the (broadcast-small) benchmark set. Build side is a distributed
+    distinct-shingle collect; probe side is one streaming pass with a
+    vectorized searchsorted membership test — no shuffle."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.equal(_mod_col(t["doc_id"], DECON_MOD), 0)),
+        batch_format="pyarrow",
+    )
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.not_equal(_mod_col(t["doc_id"], DECON_MOD), 0)),
+        batch_format="pyarrow",
+    )
+    shingles = dedup.collect_shingle_hashes(bench, "text", k=DECON_K)
+    return dedup.decontaminate(corpus, shingles, "text", "doc_id", k=DECON_K).to_pandas()
+
+
+def _mod_col(col, m: int):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(np.asarray(col, dtype=np.int64) % m)
+
+
+# ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
 
@@ -1052,6 +1131,11 @@ _QUERY_FNS = {
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "media_features": q_media_features,
+        "user_sessions": q_user_sessions,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "source_quota": q_source_quota,
+        "packed_sequences": q_packed_sequences,
+        "contaminated_docs": q_contaminated_docs,
     }
 
 
@@ -1281,5 +1365,60 @@ scored AS (
 SELECT query_id, vec_id, CAST(row_number() OVER
        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 10
+""",
+        "user_sessions": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, session_id
+""",
+        "top_orders_per_customer": f"""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= {TOPK_PER_CUSTOMER}
+""",
+        "source_quota": f"""
+SELECT doc_id, source, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+  FROM documents) WHERE rank <= {SOURCE_QUOTA_K}
+""",
+        "packed_sequences": f"""
+WITH c AS (
+  SELECT source, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM documents)
+SELECT source, CAST(prev // {PACK_MAX_LEN} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS weight_sum
+FROM c GROUP BY source, pack_id
+""",
+        "contaminated_docs": f"""
+WITH bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % {DECON_MOD} = 0),
+bsh AS (SELECT DISTINCT array_to_string(w[i:i+{DECON_K - 1}], ' ') AS s
+        FROM bw, UNNEST(generate_series(1, GREATEST(len(w) - {DECON_K - 1}, 1))) AS t(i)),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % {DECON_MOD} <> 0),
+csh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+{DECON_K - 1}], ' ') AS s
+        FROM cw, UNNEST(generate_series(1, GREATEST(len(w) - {DECON_K - 1}, 1))) AS t(i))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM csh JOIN bsh USING (s) GROUP BY doc_id
 """,
     }

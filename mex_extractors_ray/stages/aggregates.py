@@ -93,3 +93,32 @@ def grouped_count(ds, keys: list[str] | str, alias: str = "n"):
         .groupby(keys[0] if len(keys) == 1 else keys)
         .aggregate(Sum("_partial_n", alias_name=alias))
     )
+
+
+def keyed_topk(ds, key: str, order_by: list[tuple[str, str]], k: int,
+               rank_col: str = "rank", num_partitions: int = 64):
+    """Top-k rows per key under an explicit deterministic ordering — the
+    distributed ``row_number() OVER (PARTITION BY key ORDER BY …) <= k``.
+
+    The reference's per-group "keep the first/best" selections are all
+    k=1 specializations (first-seen dedup, ``exact_dedup``); k>1 is the
+    training-data form (per-source quality quota, best-k variants per
+    cluster). Scale shape: ONE coarse hash shuffle on the key
+    (``dedup._keyed_blocks``), then per block a single Arrow sort + run
+    ordinal (arange minus the repeated run start) + one filter — no
+    per-key dispatch, and the shuffle ships raw rows only once.
+
+    ``order_by`` must make the ordering total (include a tie-break
+    column), or the kept set is nondeterministic across runs."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def block(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(key, "ascending")] + list(order_by))
+        n = t.num_rows
+        starts = np.flatnonzero(_run_starts(t[key]))
+        counts = np.diff(np.append(starts, n))
+        ordinal = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        t = t.append_column(rank_col, pa.array(ordinal))
+        return t.filter(pa.array(ordinal <= k))
+
+    return _keyed_blocks(ds, key, block, num_partitions)

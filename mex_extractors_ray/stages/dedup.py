@@ -665,3 +665,85 @@ def hamming_candidates(sim: np.ndarray, keys: np.ndarray, max_dist: int = 3,
                 if d <= max_dist:
                     out.append((keys[i], keys[j], d))
     return pd.DataFrame(out, columns=["a", "b", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: flag corpus docs sharing any k-word shingle with a
+# (small) benchmark set — the standard train/test-leak scan.
+# ---------------------------------------------------------------------------
+
+def collect_shingle_hashes(ds, text_col: str, k: int = 5, *,
+                           lower: bool = False, split: str = " ") -> np.ndarray:
+    """Sorted distinct uint64 shingle hashes of a SMALL dataset, collected
+    to the driver — the build side of :func:`decontaminate`. The benchmark
+    set is broadcast-small by contract (eval suites are KBs–MBs next to a
+    100 TB corpus); only the per-batch distinct hashes ever leave the
+    workers, never the texts."""
+    def sh(t: pa.Table) -> pa.Table:
+        h, _ = _shingle_hashes(t[text_col], k, lower=lower, split=split)
+        return pa.table({"sh": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [np.asarray(b["sh"], dtype=np.int64)
+             for b in ds.map_batches(sh, batch_format="pyarrow").iter_batches(
+                 batch_size=None, batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts).view(np.uint64))
+
+
+class ShingleContamination:
+    """map_batches actor: per doc, count DISTINCT k-word shingles that hit
+    the broadcast benchmark shingle set; emit only the hits.
+
+    The benchmark hashes are deref'd ONCE per actor from a ``ray.put``
+    handle (never re-shipped per batch) and probed with a vectorized
+    ``searchsorted`` membership test. Matching is on the 64-bit shingle
+    hash — a cross-collision (two different shingles, equal hash) is a
+    false POSITIVE at ~1e-19 per comparison, the conventional trade for
+    never shipping benchmark text to every worker."""
+
+    def __init__(self, shingles_ref, text_col: str, key_col: str, k: int = 5,
+                 lower: bool = False, split: str = " "):
+        import ray
+
+        self.bench = np.sort(np.asarray(ray.get(shingles_ref), dtype=np.uint64))
+        self.text_col, self.key_col, self.k = text_col, key_col, k
+        self.lower, self.split = lower, split
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kt = batch[self.key_col].type
+        h, offsets = _shingle_hashes(batch[self.text_col], self.k,
+                                     lower=self.lower, split=self.split)
+        n_sh = np.diff(offsets)
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_sh)
+        pos = np.searchsorted(self.bench, h)
+        pos[pos == len(self.bench)] = 0
+        hit = len(self.bench) > 0 and self.bench[pos] == h
+        if np.isscalar(hit):  # empty bench set
+            return pa.table({self.key_col: pa.array([], kt),
+                             "n_hits": pa.array([], pa.int64())})
+        r, v = _distinct_per_row(rows[hit], h[hit])
+        counts = np.bincount(r, minlength=batch.num_rows)
+        keep = np.flatnonzero(counts > 0)
+        keys = batch[self.key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({self.key_col: keys.take(pa.array(keep)),
+                         "n_hits": pa.array(counts[keep].astype(np.int64))})
+
+
+def decontaminate(ds, bench_shingles: np.ndarray, text_col: str, key_col: str,
+                  k: int = 5, *, lower: bool = False, split: str = " "):
+    """(key, n_hits) for every corpus doc sharing ≥1 distinct k-word
+    shingle with the benchmark set — one streaming pass over the corpus,
+    benchmark broadcast via ``ray.put``, no shuffle at all."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(np.sort(np.asarray(bench_shingles, dtype=np.uint64))))
+    return ds.map_batches(
+        ShingleContamination,
+        fn_constructor_args=(ref, text_col, key_col, k),
+        fn_constructor_kwargs={"lower": lower, "split": split},
+        batch_format="pyarrow",
+        concurrency=_rt.auto_pool(),
+    )

@@ -1,0 +1,92 @@
+"""Gap-based sessionization — assign events to sessions per key where a
+new session starts after an inactivity gap.
+
+The reference has no sessionizer (its closest concept is the
+run-timestamp sensor partitioning, ``mex/extractors/pipeline`` sensors);
+this is a training-data / clickstream extension in the same family as the
+window aggregates (``stages/windows.py``).
+
+Scale shape: ONE coarse hash shuffle on the session key
+(``dedup._keyed_blocks`` — all rows of a key land in one block), then a
+single vectorized pass per block: one Arrow sort, one run-boundary mask,
+numpy cumsum/reduceat for the per-session rollup. No per-key dispatch, no
+Python row loop; the shuffle is the only exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+
+def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 epoch microseconds from a timestamp column. Raises on
+    non-timestamp input — integer columns are ambiguous (seconds? µs?),
+    the lesson of ``windows._epoch_seconds`` (ADVICE r2)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_timestamp(col.type):
+        raise TypeError(
+            f"sessionize expects a timestamp column, got {col.type}; "
+            "cast explicitly if your epoch unit is unambiguous"
+        )
+    if col.null_count:
+        raise ValueError("sessionize: null timestamps are ambiguous — filter or fill first")
+    return np.asarray(col.cast(pa.timestamp("us")).cast(pa.int64()))
+
+
+def sessionize(ds, key: str, ts_col: str, gap_s: float,
+               order_cols: tuple[str, ...] = (), num_partitions: int = 64):
+    """One row per (key, session): ``session_id`` (1-based per key, in time
+    order), ``n_events``, ``start_us``, ``end_us``.
+
+    A new session starts at a key's first event and whenever the gap from
+    the previous event exceeds ``gap_s`` seconds. ``order_cols`` breaks
+    timestamp ties deterministically (e.g. an event id)."""
+    gap_us = int(round(gap_s * 1_000_000))
+
+    def block(g: pa.Table) -> pa.Table:
+        kt = g[key].type
+        empty = pa.table({
+            key: pa.array([], kt),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        sort_keys = [(key, "ascending"), (ts_col, "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        t = g.sort_by(sort_keys)
+        us = _epoch_us(t[ts_col])
+        new_key = _run_starts(t[key])
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (us[1:] - us[:-1]) > gap_us
+        new_sess = new_key | gap_break
+
+        # per-key session ordinal: global cumsum minus the value at the
+        # key run's first row (+1) — no per-key loop
+        cum = np.cumsum(new_sess)
+        key_starts = np.flatnonzero(new_key)
+        key_counts = np.diff(np.append(key_starts, n))
+        sess_id = cum - np.repeat(cum[key_starts], key_counts) + 1
+
+        # per-session rollup over contiguous runs (block is sorted)
+        s_starts = np.flatnonzero(new_sess)
+        s_counts = np.diff(np.append(s_starts, n))
+        s_last = np.append(s_starts[1:], n) - 1
+        return pa.table({
+            key: t[key].take(pa.array(s_starts)),
+            "session_id": pa.array(sess_id[s_starts].astype(np.int64)),
+            "n_events": pa.array(s_counts.astype(np.int64)),
+            "start_us": pa.array(us[s_starts].astype(np.int64)),
+            "end_us": pa.array(us[s_last].astype(np.int64)),
+        })
+
+    return _keyed_blocks(ds, key, block, num_partitions)
