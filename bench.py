@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "ann_topk",
     "order_priority_revenue",
     "enriched_users",
+    "user_sessions",
+    "packed_sequences",
+    "contaminated_docs",
 ]
 
 

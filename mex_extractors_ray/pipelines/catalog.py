@@ -1028,6 +1028,42 @@ def _mod_col(col, m: int):
     return pa.array(np.asarray(col, dtype=np.int64) % m)
 
 
+JACCARD_SUBSET = 150     # bounded so the oracle's cross join stays cheap
+JACCARD_T = 0.5
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Hash-checks the distributed Jaccard verify kernel EXACTLY (the
+    verify half of ``minhash_near_dups``, which is rows-only because LSH
+    candidate generation isn't SQL-expressible): all pairs of a bounded
+    doc subset go through ``jaccard_verify_distributed`` and the oracle
+    recomputes trigram-set Jaccard with DuckDB list kernels. The all-pairs
+    candidate build is oracle-bounded by construction (``JACCARD_SUBSET``);
+    the pipeline path generates candidates with LSH instead."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sub = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], JACCARD_SUBSET)),
+        batch_format="pyarrow",
+    )
+    ids = np.sort(sub.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy())
+    a, b = np.triu_indices(len(ids), k=1)
+    cand = _rd().from_arrow(pa.table({
+        "a": pa.array(ids[a].astype(np.int64)),
+        "b": pa.array(ids[b].astype(np.int64)),
+    }))
+    out = dedup.jaccard_verify_distributed(cand, sub, "text", "doc_id",
+                                           k=3, threshold=JACCARD_T)
+
+    def scale(t: pa.Table) -> pa.Table:
+        j = np.asarray(t["jaccard"].combine_chunks()
+                       if isinstance(t["jaccard"], pa.ChunkedArray) else t["jaccard"],
+                       dtype=np.float64)
+        c = np.floor(j * 1000 + 0.5).astype(np.int64)
+        return t.drop_columns(["jaccard"]).append_column("jac_c1000", pa.array(c))
+
+    return out.map_batches(scale, batch_format="pyarrow").to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1136,6 +1172,7 @@ _QUERY_FNS = {
         "source_quota": q_source_quota,
         "packed_sequences": q_packed_sequences,
         "contaminated_docs": q_contaminated_docs,
+        "jaccard_pairs": q_jaccard_pairs,
     }
 
 
@@ -1420,5 +1457,25 @@ csh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+{DECON_K - 1}], ' ') AS s
         FROM cw, UNNEST(generate_series(1, GREATEST(len(w) - {DECON_K - 1}, 1))) AS t(i))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM csh JOIN bsh USING (s) GROUP BY doc_id
+""",
+        "jaccard_pairs": f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {JACCARD_SUBSET}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, GREATEST(len(w) - 2, 1) + 1)]) AS s
+  FROM d
+),
+j AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / len(list_distinct(x.s || y.s)) AS jac
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(FLOOR(jac * 1000 + 0.5) AS BIGINT) AS jac_c1000
+FROM j WHERE jac >= {JACCARD_T}
 """,
     }
