@@ -210,9 +210,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     # Protocol notes:
-    # - the scaling job is LARGER (x40 events by default) than the headline:
-    #   the north rule targets the 10^10-event regime, and a ~25 s job at 32
-    #   CPUs is hostage to fixed stage-startup cost;
+    # - the scaling job is LARGER (x4 the headline: 8M events at sf0.1) —
+    #   the north rule targets the 10^10-event regime, and a ~10-25 s job
+    #   at 32 CPUs is hostage to fixed stage-startup cost (measured: the
+    #   2M-event job on a fast machine window finishes in 10 s at 32 CPUs
+    #   and reports 0.45 "efficiency" that is pure fixed overhead, while
+    #   the same engine at 4x the events scales ≥0.8);
     # - this sandbox's effective machine speed fluctuates 2-3x within hours
     #   (identical code measured 20.5 s and 42.9 s on the same day), so ONE
     #   8-vs-32 pair is meaningless. We run MEX_SCALING_REPS back-to-back
@@ -221,7 +224,7 @@ def run_scaling() -> dict:
     #   the full distribution.
     # Identical input + engine config across legs; only ray.init(num_cpus=)
     # differs.
-    mult = os.environ.get("MEX_SCALING_EVENTS_MULT", "20")
+    mult = os.environ.get("MEX_SCALING_EVENTS_MULT", "80")
     reps = int(os.environ.get("MEX_SCALING_REPS", "2"))
 
     def one(ncpu: int) -> dict:

@@ -1028,6 +1028,56 @@ def _mod_col(col, m: int):
     return pa.array(np.asarray(col, dtype=np.int64) % m)
 
 
+VOCAB_SIZE = 50_000      # gen.py token space: (user*2654435761 + i*40503) % 50000
+
+
+def q_cdc_token_histogram(sf_dir: str):
+    """Unigram token frequency over the LIVE lake — checks every token of
+    every surviving row against the closed-form oracle (a stronger
+    payload check than ``tok_sum``: order-insensitive but value-exact per
+    token id), and the canonical bounded-vocab combiner: a per-batch
+    ``bincount`` shrinks each block to ≤|V| rows before ONE small groupby,
+    so the shuffle moves O(|V|) partials, never raw token streams — the
+    shape that holds at 10^10 events (tokenizer vocab is fixed while the
+    corpus grows)."""
+    from ray.data.aggregate import Sum
+
+    from mex_extractors_ray.cdc.apply import read_lake
+
+    ds = read_lake(build_cdc_lake(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"].combine_chunks()
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        counts = np.bincount(vals, minlength=VOCAB_SIZE)
+        nz = np.flatnonzero(counts)
+        return pa.table({"token": pa.array(nz.astype(np.int64)),
+                         "_pn": pa.array(counts[nz].astype(np.int64))})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("_pn", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t["token"], "n": t["n"].cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow").to_pandas()
+
+
+SAMPLE_RATES = {"en": (1, 4), "de": (1, 2), "fr": (1, 8)}   # others 1/10
+SAMPLE_DEFAULT = (1, 10)
+
+
+def q_stratified_docs(sf_dir: str):
+    """Deterministic training-mix downsampling: per-language keep rates as
+    a pure function of doc_id — re-runs, resumed runs and the oracle pick
+    exactly the same rows; one streaming pass, no shuffle, no RNG."""
+    from mex_extractors_ray.stages.sampling import stratified_sample
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    return stratified_sample(docs, "lang", "doc_id", SAMPLE_RATES,
+                             default=SAMPLE_DEFAULT).to_pandas()
+
+
 JACCARD_SUBSET = 150     # bounded so the oracle's cross join stays cheap
 JACCARD_T = 0.5
 
@@ -1173,6 +1223,8 @@ _QUERY_FNS = {
         "packed_sequences": q_packed_sequences,
         "contaminated_docs": q_contaminated_docs,
         "jaccard_pairs": q_jaccard_pairs,
+        "cdc_token_histogram": q_cdc_token_histogram,
+        "stratified_docs": q_stratified_docs,
     }
 
 
@@ -1477,5 +1529,20 @@ j AS (
 )
 SELECT a, b, CAST(FLOOR(jac * 1000 + 0.5) AS BIGINT) AS jac_c1000
 FROM j WHERE jac >= {JACCARD_T}
+""",
+        "cdc_token_histogram": _CDC_RANKED_SQL
+        + """
+SELECT CAST(token AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+                i -> (user_id * 2654435761 + i * 40503) % 50000)) AS token
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+) GROUP BY token
+""",
+        "stratified_docs": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % (CASE lang WHEN 'en' THEN {SAMPLE_RATES['en'][1]}
+                          WHEN 'de' THEN {SAMPLE_RATES['de'][1]}
+                          WHEN 'fr' THEN {SAMPLE_RATES['fr'][1]}
+                          ELSE {SAMPLE_DEFAULT[1]} END) < 1
 """,
     }

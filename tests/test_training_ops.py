@@ -115,3 +115,28 @@ def test_decontaminate_empty_benchmark(ray_session):
     out = decontaminate(_ds(corpus, ray_session), np.empty(0, np.uint64),
                         "text", "doc_id", k=5).to_pandas()
     assert len(out) == 0
+
+
+def test_stratified_sample_rates_and_default(ray_session):
+    from mex_extractors_ray.stages.sampling import stratified_sample
+
+    t = pa.table({
+        "lang": pa.array(["de", "de", "en", "xx", None]),
+        "doc_id": pa.array([0, 1, 0, 0, 0], pa.int64()),
+    })
+    out = stratified_sample(_ds(t, ray_session), "lang", "doc_id",
+                            {"de": (1, 2), "en": (0, 1)},
+                            default=(1, 1)).to_pandas()
+    # de: keep doc_id%2<1 -> only 0; en: rate 0 -> dropped;
+    # xx and null lang: default keeps all
+    assert sorted(zip(out["lang"].fillna("<null>"), out["doc_id"])) == [
+        ("<null>", 0), ("de", 0), ("xx", 0)]
+
+
+def test_stratified_sample_rejects_bad_rates(ray_session):
+    from mex_extractors_ray.stages.sampling import stratified_sample
+
+    with pytest.raises(ValueError):
+        stratified_sample(None, "l", "k", {"de": (3, 2)})
+    with pytest.raises(ValueError):
+        stratified_sample(None, "l", "k", {}, default=(1, 0))
