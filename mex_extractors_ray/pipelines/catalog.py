@@ -188,20 +188,23 @@ def q_cdc_live_counts(sf_dir: str) -> pa.Table:
 
 
 def q_cdc_tombstones(sf_dir: str) -> pa.Table:
+    # Arrow end to end — tombstone ids never become Python objects (the
+    # same discipline as the repartition/audit fixes: under a delete-heavy
+    # mix tombstones are corpus-proportional)
     lake_dir = build_cdc_lake(sf_dir)
-    ids, lsns = [], []
+    parts = []
     for pid in range(CDC_PARTITIONS):
         m = read_manifest(lake_dir, pid)
         if m and m.tombstone_file:
-            t = pq.read_table(lake_dir / f"partition={pid:05d}" / m.tombstone_file)
-            ids.extend(t["doc_id"].to_pylist())
-            lsns.extend(t["lsn"].to_pylist())
-    order = np.argsort(np.array(ids, dtype=object), kind="stable")
-    return pa.table(
-        {
-            "doc_id": pa.array(np.array(ids, dtype=object)[order].tolist(), pa.string()),
-            "last_lsn": pa.array(np.array(lsns)[order].astype(np.int64)),
-        }
+            t = pq.read_table(lake_dir / f"partition={pid:05d}" / m.tombstone_file,
+                              columns=["doc_id", "lsn"])
+            parts.append(t.rename_columns(["doc_id", "last_lsn"]))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "last_lsn": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+    return out.set_column(
+        out.column_names.index("last_lsn"), "last_lsn", out["last_lsn"].cast(pa.int64())
     )
 
 
