@@ -252,3 +252,37 @@ def test_check_yaml_to_rules_shapes():
     assert check_yaml_to_rules("x_items_abs_change_more_than: {value: 10}") == [
         {"type": "x_items_abs_change_more_than", "value": 10}
     ]
+
+
+def test_empty_block_schema_filter_keeps_real_mismatches():
+    """The executor-warning filter drops ONLY the zero-column-bundle noise;
+    a genuine mismatch between two non-empty schemas must still log."""
+    import logging
+
+    from mex_extractors_ray.runtime import _EmptyBlockSchemaNoise
+
+    f = _EmptyBlockSchemaNoise()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "x", 1, msg, None, None)
+
+    noise_new = rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64\nb: double, new schema: . "
+        "This may lead to unexpected behavior."
+    )
+    noise_prev = rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: , new schema: a: int64. "
+        "This may lead to unexpected behavior."
+    )
+    real = rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64, new schema: a: double. "
+        "This may lead to unexpected behavior."
+    )
+    other = rec("some unrelated warning")
+    assert f.filter(noise_new) is False
+    assert f.filter(noise_prev) is False
+    assert f.filter(real) is True
+    assert f.filter(other) is True
