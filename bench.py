@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "user_sessions",
     "packed_sequences",
     "contaminated_docs",
+    "epoch_shuffle",
+    "kmeans_assign",
+    "redacted_docs",
+    "repetition_quality",
 ]
 
 

@@ -1117,6 +1117,88 @@ def q_jaccard_pairs(sf_dir: str):
     return out.map_batches(scale, batch_format="pyarrow").to_pandas()
 
 
+EPOCH_SEED, EPOCH_N, EPOCH_HEAD = 17, 3, 200
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle (training-order randomization): shuffle
+    key = fmix64(doc_id ^ salt(seed, epoch)) minted in one streaming pass,
+    then ONE distributed range-partition sort; the head of the epoch order
+    is hash-checked against a DuckDB HUGEINT reimplementation of fmix64.
+    Resume/sharding need no state — the key is a pure function of the id."""
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = epoch_shuffle(docs, "doc_id", seed=EPOCH_SEED, epoch=EPOCH_N)
+    return out.limit(EPOCH_HEAD).select_columns(["doc_id", "shuffle_key"]).to_pandas()
+
+
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment over the embedding column: centroids
+    (k×d) broadcast once via ray.put, per-batch V@Cᵀ argmin — no shuffle.
+    Hash-checked against DuckDB list_distance with the same deterministic
+    init (centroids = embeddings of vec_id < k) and tie-break (lowest id)."""
+    from mex_extractors_ray.stages import clustering
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c = clustering.seed_centroids(emb, KMEANS_K)
+    out = clustering.kmeans_assign(emb, c, concurrency=_rt.auto_pool())
+    return out.select_columns(["vec_id", "cluster"]).to_pandas()
+
+
+def q_kmeans_train(sf_dir: str):
+    """Lloyd's k-means, 3 iterations (rows-only: the trained centroids are
+    float reductions whose driver-side accumulation order follows batch
+    arrival, so low bits are run-dependent — no stable SQL hash). Each
+    iteration is one streaming pass emitting constant-size partials; driver
+    state is O(k·d)."""
+    from mex_extractors_ray.stages import clustering
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c = clustering.kmeans_train(emb, KMEANS_K, n_iter=3)
+    assigned = clustering.kmeans_assign(emb, c)
+    from ray.data.aggregate import Count
+
+    out = assigned.groupby("cluster").aggregate(Count(alias_name="size"))
+    return out.to_pandas().sort_values("cluster").reset_index(drop=True)
+
+
+REDACT_PATTERNS = [
+    # fake-PII for the synthetic corpus: the generic stage takes any RE2
+    # pattern list (emails/phones/ids in real corpora)
+    (r"\b(customer|merge)\b", "<PII>"),
+    (r"<PII> <PII>", "<PII>"),
+]
+
+
+def q_redacted_docs(sf_dir: str):
+    """Sequential regex redaction (PII scrub) — Arrow RE2 kernels, applied
+    in pattern order; DuckDB's regexp_replace is the same RE2, so the
+    redacted text hash-matches exactly. Embarrassingly parallel."""
+    from mex_extractors_ray.stages.text import RegexRedactor
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        RegexRedactor,
+        fn_constructor_kwargs={"patterns": REDACT_PATTERNS},
+        batch_format="pyarrow",
+        concurrency=_rt.auto_pool(),
+    )
+    return out.select_columns(["doc_id", "redacted"]).to_pandas()
+
+
+def q_repetition_quality(sf_dir: str):
+    """Gopher-style within-doc repetition features (dup-word fraction,
+    top adjacent-bigram count) — one vectorized streaming pass, fractions
+    emitted as scaled ints so the DuckDB oracle hash-matches."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text.repetition_features, batch_format="pyarrow")
+    return out.to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1228,6 +1310,11 @@ _QUERY_FNS = {
         "jaccard_pairs": q_jaccard_pairs,
         "cdc_token_histogram": q_cdc_token_histogram,
         "stratified_docs": q_stratified_docs,
+        "epoch_shuffle": q_epoch_shuffle,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_train": q_kmeans_train,
+        "redacted_docs": q_redacted_docs,
+        "repetition_quality": q_repetition_quality,
     }
 
 
@@ -1548,4 +1635,24 @@ WHERE doc_id % (CASE lang WHEN 'en' THEN {SAMPLE_RATES['en'][1]}
                           WHEN 'fr' THEN {SAMPLE_RATES['fr'][1]}
                           ELSE {SAMPLE_DEFAULT[1]} END) < 1
 """,
+        "epoch_shuffle": _epoch_shuffle_oracle(),
+        "kmeans_assign": _clustering().kmeans_assign_sql("embeddings", KMEANS_K),
+        "redacted_docs": "SELECT doc_id, redacted FROM ("
+        + text.redact_sql("documents", REDACT_PATTERNS) + ")",
+        "repetition_quality": text.repetition_sql(),
     }
+
+
+def _clustering():
+    from mex_extractors_ray.stages import clustering
+
+    return clustering
+
+
+def _epoch_shuffle_oracle() -> str:
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    sub = epoch_shuffle_sql("(SELECT doc_id FROM documents)", "doc_id",
+                            seed=EPOCH_SEED, epoch=EPOCH_N)
+    return (f"SELECT doc_id, shuffle_key FROM {sub} "
+            f"ORDER BY shuffle_key LIMIT {EPOCH_HEAD}")

@@ -268,3 +268,140 @@ def clean_strings(batch: pa.Table, col: str, out: str | None = None) -> pa.Table
         i = batch.column_names.index(col)
         return batch.set_column(i, col, c)
     return batch.append_column(out, c)
+
+
+class RegexRedactor:
+    """Actor stage: sequential regex redaction (PII scrubbing). Patterns are
+    applied in order with ``pc.replace_substring_regex`` — Arrow's RE2, the
+    same engine DuckDB uses, so oracle parity is exact. Compiled state
+    (the pattern list) lives once per actor.
+
+    Reference analog: per-record string scrubbing (``get_clean_string``,
+    ``mex/extractors/biospecimen/extract.py:94-110``) promoted to a
+    corpus-scale vectorized pass. At 100 TB this is embarrassingly parallel:
+    no shuffle, CPU-bound on the RE2 scan, so size ``concurrency`` to cores.
+    """
+
+    def __init__(self, patterns: list[tuple[str, str]],
+                 text_col: str = "text", out_col: str = "redacted"):
+        if not patterns:
+            raise ValueError("RegexRedactor: need at least one (pattern, replacement)")
+        self.patterns = list(patterns)
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch[self.text_col], "")
+        for pat, rep in self.patterns:
+            s = pc.replace_substring_regex(s, pat, rep)
+        return batch.append_column(self.out_col, s)
+
+
+def redact_sql(table: str, patterns: list[tuple[str, str]],
+               text_col: str = "text", out_col: str = "redacted") -> str:
+    """DuckDB mirror of ``RegexRedactor`` (regexp_replace global, RE2)."""
+    expr = f"COALESCE({text_col}, '')"
+    for pat, rep in patterns:
+        lit = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', '{rep}', 'g')"
+    return f"SELECT *, {expr} AS {out_col} FROM {table}"
+
+
+def repetition_features(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style within-document repetition features, fully vectorized:
+
+    - ``n_words``: space-separated non-empty tokens,
+    - ``dup_word_frac_c10k``: ``1 - distinct/total`` scaled ×10000 half-up,
+    - ``top_bigram_count``: occurrences of the most frequent adjacent pair.
+
+    Fractions are emitted as scaled ints so the DuckDB oracle hash-matches.
+    Implementation: split → flatten → hash words → lexsort (row, hash) →
+    run-boundary masks; bigrams are ``mix(h[i], h[i+1])`` within a row. A
+    64-bit in-row hash collision would merge two distinct words; acceptable
+    for a quality FILTER (collision prob per doc ≈ L²/2⁶⁴).
+
+    One streaming pass, no shuffle — at 100 TB this runs at read speed.
+    """
+    from mex_extractors_ray.hashing import hash_string_array
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    words = pc.split_pattern(text, " ")
+    flat = words.flatten()
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    rows = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets))
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64) > 0
+    h = hash_string_array(flat)[nonempty]
+    rows = rows[nonempty]
+    n = batch.num_rows
+
+    n_words = np.bincount(rows, minlength=n).astype(np.int64)
+
+    # distinct words per row: sort by (row, hash), count run starts per row
+    order = np.lexsort((h, rows))
+    rs, hs = rows[order], h[order]
+    starts = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        starts[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    n_distinct = np.bincount(rs[starts], minlength=n).astype(np.int64)
+
+    with np.errstate(invalid="ignore"):
+        frac = np.where(n_words > 0, 1.0 - n_distinct / np.maximum(n_words, 1), 0.0)
+    dup_c10k = np.floor(frac * 10000 + 0.5).astype(np.int64)
+
+    # adjacent bigrams within a row: pair (h[i], h[i+1]) where rows match
+    adj = rows[1:] == rows[:-1] if len(rows) > 1 else np.empty(0, dtype=bool)
+    with np.errstate(over="ignore"):
+        bh = h[:-1][adj] * np.uint64(0x9E3779B97F4A7C15) + h[1:][adj]
+    br = rows[:-1][adj]
+    top = np.zeros(n, dtype=np.int64)
+    if len(bh):
+        order = np.lexsort((bh, br))
+        rs, hs = br[order], bh[order]
+        bstart = np.ones(len(hs), dtype=bool)
+        bstart[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        idx = np.flatnonzero(bstart)
+        runlen = np.diff(np.concatenate([idx, [len(hs)]]))
+        np.maximum.at(top, rs[idx], runlen)
+
+    ids = batch[id_col]
+    return pa.table({
+        id_col: ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+        "n_words": pa.array(n_words),
+        "dup_word_frac_c10k": pa.array(dup_c10k),
+        "top_bigram_count": pa.array(top),
+    })
+
+
+def repetition_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB mirror of ``repetition_features`` (split on single space,
+    drop empties, scaled-int fraction, max adjacent-bigram count)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         list_filter(string_split(COALESCE({text_col}, ''), ' '),
+                     x -> x <> '') AS l
+  FROM {table}
+), counts AS (
+  SELECT {id_col}, len(l) AS n_words,
+         len(list_distinct(l)) AS n_distinct
+  FROM w
+), pairs AS (
+  SELECT {id_col}, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+  FROM w WHERE len(l) >= 2
+), bi AS (
+  SELECT {id_col}, MAX(c) AS top_bigram_count
+  FROM (SELECT {id_col}, p, COUNT(*) AS c FROM pairs GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT counts.{id_col} AS {id_col},
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(FLOOR(CASE WHEN n_words = 0 THEN 0.0
+                       ELSE 1.0 - n_distinct / n_words END * 10000 + 0.5)
+            AS BIGINT) AS dup_word_frac_c10k,
+       CAST(COALESCE(top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM counts LEFT JOIN bi USING ({id_col})
+"""
