@@ -160,6 +160,24 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.pipelines.training_export import export_training_data
+    from mex_extractors_ray.runtime import read_parquet_clean
+
+    docs = read_parquet_clean(args.docs, columns=["doc_id", "text", "lang"])
+    manifest = export_training_data(
+        docs, args.out,
+        min_quality=args.min_quality,
+        max_dup_word_frac=args.max_dup_word_frac,
+        seed=args.seed, epoch=args.epoch, num_shards=args.shards,
+    )
+    print(json.dumps({"shards": manifest["num_shards"],
+                      "files": len(manifest["files"])}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mex_extractors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -202,6 +220,16 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--max-polls", type=int, default=None)
     tl.add_argument("-p", "--partitions", type=int, default=32)
     tl.set_defaults(fn=cmd_tail)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--docs", required=True, help="documents parquet path")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--min-quality", type=float, default=0.0)
+    ex.add_argument("--max-dup-word-frac", type=float, default=1.0)
+    ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--epoch", type=int, default=0)
+    ex.add_argument("--shards", type=int, default=16)
+    ex.set_defaults(fn=cmd_export)
 
     rp = sub.add_parser("repartition")
     rp.add_argument("--lake", required=True)

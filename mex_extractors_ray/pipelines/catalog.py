@@ -75,22 +75,8 @@ def _rd():
 
 
 def _read_pq(path, columns=None, **kw):
-    """``read_parquet`` with the schema's ``b'pandas'`` metadata stripped.
-
-    The testdata parquet files are written by pandas, whose metadata makes
-    ``hash(pa.Schema)`` raise (TypeError: unhashable 'dict') — so every
-    downstream schema-dedup in Ray (``transform_pyarrow.unify_schemas``,
-    shuffle aggregators, the READ task's own SplitBlocks unify) logs
-    "Failed to hash the schemas" per block and falls off its fast path.
-    Passing an explicit metadata-free ``schema=`` cleans the blocks at the
-    source — a post-read strip stage can't reach the read task's internal
-    unify. With ``columns=`` the schema must match the projection (Ray
-    builds each batch against it verbatim)."""
-    first = path if isinstance(path, str) else path[0]
-    s = pq.read_schema(first).remove_metadata()
-    if columns is not None:
-        s = pa.schema([s.field(c) for c in columns])
-    return _rd().read_parquet(path, schema=s, columns=columns, **kw)
+    """See ``runtime.read_parquet_clean`` (shared with the CLI export)."""
+    return _rt.read_parquet_clean(path, columns=columns, **kw)
 
 
 def _cents(col, scale: int = 100) -> pa.Array:
@@ -1117,6 +1103,63 @@ def q_jaccard_pairs(sf_dir: str):
     return out.map_batches(scale, batch_format="pyarrow").to_pandas()
 
 
+def q_media_stats(sf_dir: str):
+    """REAL multimodal codecs, oracle-checked end to end: per doc_id a
+    payload is built with the real encoders (binary PPM for even ids,
+    PCM-16 WAV for odd — both pure numpy/struct), then the MediaStats
+    actor pool DECODES the bytes and emits exact-integer stats (pixel
+    sums, sample counts, peak amplitude). The DuckDB oracle computes the
+    same stats in closed form from doc_id — any header, layout, or
+    round-trip bug in encoder or parser breaks the hash. The per-row
+    encode/decode loop is inherent to variable-size payloads."""
+    from mex_extractors_ray.stages import multimodal as mm
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build_payloads(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()
+                         if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"],
+                         dtype=np.int64)
+        payloads, types = [], []
+        for i in ids:
+            i = int(i)
+            if i % 2 == 0:
+                w, h = 4 + i % 5, 3 + i % 4
+                img = np.empty((h, w, 3), np.uint8)
+                img[..., 0], img[..., 1], img[..., 2] = (
+                    i * 7 % 256, i * 13 % 256, i * 29 % 256)
+                payloads.append(mm.encode_ppm(img))
+                types.append("image/x-portable-pixmap")
+            else:
+                n = 200 + i % 300
+                amp = ((i * 31) % 8000) / 10000.0
+                payloads.append(mm.encode_wav(np.full(n, amp), rate=8000))
+                types.append("audio/wav")
+        return pa.table({
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(build_payloads, batch_format="pyarrow")
+    return mm.media_stats(media, concurrency=_rt.auto_pool()).to_pandas()
+
+
+_MEDIA_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 4 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4) * ((doc_id * 7) % 256) ELSE 0 END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4) * ((doc_id * 13) % 256) ELSE 0 END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4) * ((doc_id * 29) % 256) ELSE 0 END AS BIGINT) AS sum_b,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 200 + doc_id % 300 ELSE 0 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN (200 + doc_id % 300) * 1000 // 8000 ELSE 0 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN FLOOR(((doc_id * 31) % 8000) / 10000 * 32767 + 0.5) ELSE 0 END AS BIGINT) AS peak_int16
+FROM documents
+"""
+
+
 EPOCH_SEED, EPOCH_N, EPOCH_HEAD = 17, 3, 200
 
 
@@ -1315,6 +1358,7 @@ _QUERY_FNS = {
         "kmeans_train": q_kmeans_train,
         "redacted_docs": q_redacted_docs,
         "repetition_quality": q_repetition_quality,
+        "media_stats": q_media_stats,
     }
 
 
@@ -1640,6 +1684,7 @@ WHERE doc_id % (CASE lang WHEN 'en' THEN {SAMPLE_RATES['en'][1]}
         "redacted_docs": "SELECT doc_id, redacted FROM ("
         + text.redact_sql("documents", REDACT_PATTERNS) + ")",
         "repetition_quality": text.repetition_sql(),
+        "media_stats": _MEDIA_STATS_SQL,
     }
 
 

@@ -1,0 +1,165 @@
+"""End-to-end training-data export — the composed flagship pipeline.
+
+A user preparing LM training data runs, in order: quality filtering →
+repetition filtering → redaction → exact dedup → stratified mix → epoch
+shuffle → sharded parquet export. Every stage here is one of the engine's
+catalog operators; this module composes them into a single lazy Dataset
+pipeline (ONE coarse shuffle for the dedup, everything else streaming) and
+lands resumable output: one parquet directory per shard, plus a manifest
+with per-shard row counts and content checksums committed atomically after
+all shards land (the two-phase discipline of the CDC lake,
+``cdc/manifest.py``).
+
+Determinism contract: every stage is a pure function of the row (hash
+sampling, fmix64 shuffle keys, content-hash dedup keepers ordered by
+doc_id), so a re-run — even a partial, resumed one — selects exactly the
+same rows into exactly the same shards. Physical file layout (block
+boundaries, file names) follows runtime scheduling, so equality is at the
+row-set level; readers recover a canonical order by sorting a shard on
+``shuffle_key``. That, not speed, is what makes 100-TB exports operable:
+a failed run re-exports only the shards missing from the manifest.
+
+Reference analog: the fan-out ``load()`` sink over transformed sources
+(``mex/extractors/pipeline/base.py``), extended to the training-data
+domain.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from mex_extractors_ray.cdc.manifest import atomic_write_bytes, sha256_file
+
+
+def export_training_data(
+    docs,
+    out_dir: str | Path,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str | None = "lang",
+    rates: dict[str, tuple[int, int]] | None = None,
+    min_quality: float = 0.0,
+    max_dup_word_frac: float = 1.0,
+    redact_patterns: list[tuple[str, str]] | None = None,
+    seed: int = 0,
+    epoch: int = 0,
+    num_shards: int = 16,
+    concurrency=None,
+) -> dict:
+    """Run the full export; returns the committed manifest dict.
+
+    Stages (all lazy, executed by one streaming run at ``write_parquet``):
+
+    1. quality gate    — ``text.QualityScore``, keep ``quality >= min_quality``
+    2. repetition gate — ``text.repetition_features`` semantics inline
+                         (dup-word fraction), keep ``<= max_dup_word_frac``
+    3. redaction       — optional ``text.RegexRedactor`` (replaces text)
+    4. exact dedup     — 128-bit content hash, keeper = lowest id
+    5. stratified mix  — deterministic per-stratum keep rates
+    6. epoch shuffle   — fmix64 key; shard = key % num_shards (NO global
+                         sort: shard routing only needs the key, so the
+                         export's only all-to-all is the dedup shuffle;
+                         within a shard, readers order by shuffle_key)
+    """
+    from mex_extractors_ray import runtime as _rt
+    from mex_extractors_ray.stages import dedup
+    from mex_extractors_ray.stages.sampling import stratified_sample
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle
+    from mex_extractors_ray.stages.text import QualityScore, RegexRedactor, repetition_features
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pool = concurrency if concurrency is not None else _rt.auto_pool()
+
+    ds = docs
+    if min_quality > 0.0:
+        ds = ds.map_batches(QualityScore, batch_format="pyarrow",
+                            fn_constructor_kwargs={"text_col": text_col},
+                            concurrency=pool)
+
+        def quality_gate(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.greater_equal(t["quality"], min_quality)
+            return t.filter(keep).drop_columns(
+                [c for c in ("n_chars", "n_words", "n_punct", "n_stop",
+                             "punct_ratio", "stop_ratio", "mean_word_len",
+                             "quality") if c in t.column_names])
+
+        ds = ds.map_batches(quality_gate, batch_format="pyarrow")
+
+    if max_dup_word_frac < 1.0:
+        thresh = int(np.floor(max_dup_word_frac * 10000 + 0.5))
+
+        def repetition_gate(t: pa.Table) -> pa.Table:
+            feats = repetition_features(t, text_col=text_col, id_col=id_col)
+            mask = np.asarray(feats["dup_word_frac_c10k"]) <= thresh
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(repetition_gate, batch_format="pyarrow")
+
+    if redact_patterns:
+        def swap_text(t: pa.Table) -> pa.Table:
+            i = t.column_names.index(text_col)
+            return t.set_column(i, text_col, t["redacted"]).drop_columns(["redacted"])
+
+        ds = ds.map_batches(RegexRedactor, batch_format="pyarrow",
+                            fn_constructor_kwargs={"patterns": redact_patterns,
+                                                   "text_col": text_col},
+                            concurrency=pool).map_batches(
+            swap_text, batch_format="pyarrow")
+
+    # exact dedup on content: keeper = lowest id per 128-bit content key
+    # (the export's single all-to-all — a coarse hash shuffle on h1)
+    def add_keys(t: pa.Table) -> pa.Table:
+        from mex_extractors_ray.hashing import hash_string_array
+
+        h1 = hash_string_array(t[text_col])
+        h2 = hash_string_array(t[text_col], seed=0x9E3779B97F4A7C15)
+        return t.append_column("_h1", pa.array(h1.view(np.int64))).append_column(
+            "_h2", pa.array(h2.view(np.int64)))
+
+    def dedup_block(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("_h1", "ascending"), ("_h2", "ascending"),
+                       (id_col, "ascending")])
+        starts = dedup._run_starts(t["_h1"]) | dedup._run_starts(t["_h2"])
+        return t.filter(pa.array(starts)).drop_columns(["_h1", "_h2"])
+
+    ds = dedup._keyed_blocks(ds.map_batches(add_keys, batch_format="pyarrow"),
+                             "_h1", dedup_block)
+
+    if rates and stratum_col:
+        ds = stratified_sample(ds, stratum_col, id_col, rates)
+
+    ds = epoch_shuffle(ds, id_col, seed=seed, epoch=epoch, sort=False)
+
+    def route(t: pa.Table) -> pa.Table:
+        shard = (np.asarray(t["shuffle_key"], dtype=np.uint64)
+                 % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("shard", pa.array(shard))
+
+    ds = ds.map_batches(route, batch_format="pyarrow")
+    # bound file count: coalesce writer blocks to ≥64k rows per file (tiny
+    # inputs land one file per shard instead of one per read block); the
+    # 2M cap keeps individual files re-exportable after a partial failure
+    ds.write_parquet(str(out), partition_cols=["shard"],
+                     min_rows_per_file=64 * 1024,
+                     max_rows_per_file=2 * 1024 * 1024)
+
+    files = sorted(p for p in out.rglob("*.parquet"))
+    manifest = {
+        "num_shards": num_shards,
+        "seed": seed,
+        "epoch": epoch,
+        "files": [{"name": str(p.relative_to(out)),
+                   "sha256_checksum": sha256_file(p)} for p in files],
+        "write_completed_at": datetime.now(timezone.utc).isoformat(),
+    }
+    atomic_write_bytes(out / "manifest.json", json.dumps(manifest, indent=1).encode())
+    return manifest

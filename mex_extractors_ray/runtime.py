@@ -88,6 +88,27 @@ def auto_pool(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     return (lo, max(lo, hi))
 
 
+def read_parquet_clean(path, columns=None, **kw):
+    """``read_parquet`` with the schema's ``b'pandas'`` metadata stripped.
+
+    Pandas-written parquet carries schema metadata containing a dict, which
+    makes ``hash(pa.Schema)`` raise — every downstream schema-dedup in Ray
+    (read-task SplitBlocks unify, shuffle aggregators, Write) then logs
+    "Failed to hash the schemas" per block and falls off its fast path.
+    Passing an explicit metadata-free ``schema=`` cleans blocks at the
+    source; a post-read strip stage can't reach the read task's internal
+    unify. With ``columns=`` the schema must match the projection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    first = path if isinstance(path, str) else path[0]
+    s = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        s = pa.schema([s.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=s, columns=columns, **kw)
+
+
 @contextlib.contextmanager
 def hash_shuffle(agg_per_cpu: float | None = None, max_aggregators: int | None = None):
     """Run a pipeline's *construction and execution* under Ray's hash-shuffle

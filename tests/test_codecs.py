@@ -1,0 +1,94 @@
+"""Round-trip tests for the real dependency-free media codecs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from mex_extractors_ray.stages.multimodal import (
+    StdlibCodec,
+    decode_ppm,
+    decode_wav,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav,
+    resize_nearest,
+)
+
+
+def test_ppm_roundtrip_rgb_and_gray():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+
+
+def test_ppm_header_comments_tolerated():
+    img = np.full((2, 3, 3), 9, np.uint8)
+    raw = encode_ppm(img)
+    # inject a comment line after the magic
+    commented = b"P6\n# made by a test\n" + raw[3:]
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_ppm_rejects_non_netpbm_and_16bit():
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG\r\n")
+    img = np.zeros((1, 1, 3), np.uint8)
+    deep = encode_ppm(img).replace(b"255", b"65535")
+    with pytest.raises(ValueError):
+        decode_ppm(deep)
+
+
+def test_resize_nearest_exact_on_integer_scale():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[::2, ::2], img)
+    down = resize_nearest(up, 2, 2)
+    assert np.array_equal(down, img)
+
+
+def test_wav_roundtrip_int16_and_float():
+    pcm = np.array([0, 1000, -1000, 32767, -32767], dtype=np.int16)
+    got, rate = decode_wav_pcm16(encode_wav(pcm, rate=8000))
+    assert rate == 8000 and np.array_equal(got, pcm)
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0])
+    gotf, _ = decode_wav(encode_wav(f, rate=16000))
+    assert np.allclose(gotf, f, atol=1.5 / 32767)
+
+
+def test_wav_tolerates_extra_riff_chunks():
+    pcm = np.array([7, -7], dtype=np.int16)
+    raw = encode_wav(pcm, rate=8000)
+    # splice a LIST chunk between fmt and data (odd size -> pad byte)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    got, rate = decode_wav_pcm16(spliced)
+    assert rate == 8000 and np.array_equal(got, pcm)
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"OggS" + b"\x00" * 40)
+    raw = bytearray(encode_wav(np.array([1], dtype=np.int16)))
+    raw[20] = 3  # fmt code -> IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(raw))
+
+
+def test_stdlib_codec_dispatch_and_honest_stub():
+    img = np.full((2, 2, 3), 4, np.uint8)
+    c = StdlibCodec()
+    assert np.array_equal(
+        c.decode(encode_ppm(img), "image/x-portable-pixmap"), img)
+    wav = encode_wav(np.array([100], dtype=np.int16))
+    assert c.decode(wav, "audio/wav").shape == (1,)
+    with pytest.raises(NotImplementedError):
+        c.decode(b"\x89PNG", "image/png")  # PIL absent in this container
+    with pytest.raises(NotImplementedError):
+        c.decode(b"x", "video/mp4")

@@ -1,0 +1,106 @@
+"""End-to-end test of the composed training-data export pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _docs_table() -> pa.Table:
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "the", "of", "to",
+                      "in", "is", "customer", "merge"])
+    texts, langs = [], []
+    for i in range(300):
+        texts.append(" ".join(rng.choice(words, size=int(rng.integers(5, 40)))))
+        langs.append(["en", "de", "fr"][i % 3])
+    # plant exact duplicates: docs 200..219 copy docs 0..19
+    for j in range(20):
+        texts[200 + j] = texts[j]
+    # plant a degenerate high-repetition doc
+    texts[250] = "spam " * 30
+    return pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+    })
+
+
+def _run(tmp_path, name):
+    import ray.data
+
+    from mex_extractors_ray.pipelines.training_export import export_training_data
+
+    ds = ray.data.from_arrow(_docs_table())
+    return export_training_data(
+        ds, tmp_path / name,
+        rates={"en": (1, 1), "de": (1, 2), "fr": (1, 1)},
+        max_dup_word_frac=0.92,
+        redact_patterns=[(r"\bcustomer\b", "<PII>")],
+        seed=5, epoch=2, num_shards=4, concurrency=2,
+    )
+
+
+def _read_shards(root) -> dict[int, pa.Table]:
+    out = {}
+    for d in sorted(root.glob("shard=*")):
+        shard = int(d.name.split("=")[1])
+        t = pa.concat_tables([pq.read_table(p) for p in sorted(d.glob("*.parquet"))])
+        out[shard] = t.sort_by([("shuffle_key", "ascending")])
+    return out
+
+
+def test_export_end_to_end(ray_session, tmp_path):
+    manifest = _run(tmp_path, "run1")
+    shards = _read_shards(tmp_path / "run1")
+    assert set(shards) == {0, 1, 2, 3}
+
+    all_rows = pa.concat_tables(
+        [t.select(["doc_id", "text", "lang"]) for t in shards.values()],
+        promote_options="default").to_pandas()
+
+    # dedup: the 20 planted copies lost to their doc_id<20 originals
+    assert not set(range(200, 220)) & set(all_rows["doc_id"])
+    assert set(range(0, 20)) <= set(all_rows["doc_id"]) | {
+        i for i in range(20)}  # originals eligible (may drop via lang rate)
+
+    # repetition gate: the degenerate doc is gone
+    assert 250 not in set(all_rows["doc_id"])
+
+    # stratified mix: de rows obey doc_id % 2 < 1
+    de = all_rows[all_rows["lang"] == "de"]
+    assert (de["doc_id"] % 2 < 1).all()
+
+    # redaction applied
+    assert not all_rows["text"].str.contains("customer").any()
+
+    # shard routing is the shuffle-key residue
+    for shard, t in shards.items():
+        keys = np.asarray(t["shuffle_key"], dtype=np.uint64)
+        assert (keys % 4 == shard).all()
+
+    # manifest lists every parquet file with a valid checksum
+    from mex_extractors_ray.cdc.manifest import sha256_file
+
+    listed = {f["name"]: f["sha256_checksum"] for f in manifest["files"]}
+    on_disk = {str(p.relative_to(tmp_path / "run1"))
+               for p in (tmp_path / "run1").rglob("*.parquet")}
+    assert set(listed) == on_disk and len(on_disk) > 0
+    for name, digest in listed.items():
+        assert sha256_file(tmp_path / "run1" / name) == digest
+    assert json.loads((tmp_path / "run1" / "manifest.json").read_text())["num_shards"] == 4
+
+
+def test_export_rerun_selects_identical_rows(ray_session, tmp_path):
+    _run(tmp_path, "a")
+    _run(tmp_path, "b")
+    a, b = _read_shards(tmp_path / "a"), _read_shards(tmp_path / "b")
+    assert set(a) == set(b)
+    for shard in a:
+        ta = a[shard].select(["doc_id", "text", "shuffle_key"])
+        tb = b[shard].select(["doc_id", "text", "shuffle_key"])
+        assert ta.equals(tb), f"shard {shard} differs between re-runs"
