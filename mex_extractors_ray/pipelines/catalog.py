@@ -1242,6 +1242,73 @@ def q_repetition_quality(sf_dir: str):
     return out.to_pandas()
 
 
+QTY_BRACKETS = [("tiny", 1, 10), ("mid", 5, 25), ("big", 20, 51), ("all", 1, 51)]
+
+
+def q_quantity_brackets(sf_dir: str):
+    """Broadcast range join with OVERLAPPING intervals (one row may land in
+    several brackets): lineitem.l_quantity vs a small bracket table shipped
+    once via ray.put, matched with two binary searches per interval — no
+    shuffle. Aggregated to (bracket, n, sum_qty_c100) so the oracle is a
+    plain BETWEEN join."""
+    from ray.data.aggregate import Count, Sum
+
+    from mex_extractors_ray.stages.joins import interval_join_broadcast
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    iv = pa.table({
+        "bracket": pa.array([b[0] for b in QTY_BRACKETS]),
+        "lo": pa.array([float(b[1]) for b in QTY_BRACKETS]),
+        "hi": pa.array([float(b[2]) for b in QTY_BRACKETS]),
+    })
+    joined = interval_join_broadcast(li, iv, "l_quantity")
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("qty_c100", _cents(t["l_quantity"]))
+
+    out = joined.map_batches(cents, batch_format="pyarrow").groupby(
+        "bracket").aggregate(Count(alias_name="n"),
+                             Sum("qty_c100", alias_name="sum_qty_c100"))
+    df = out.to_pandas()
+    df["sum_qty_c100"] = df["sum_qty_c100"].astype("int64")
+    return df
+
+
+SAMPLE_PER_SOURCE_K = 5
+
+
+def q_sampled_per_source(sf_dir: str):
+    """Deterministic per-key sampling (reservoir-style without RNG state):
+    keep the k docs with the smallest fmix64 sample key per source —
+    uniform, reproducible, resumable. One coarse shuffle via keyed_topk;
+    the oracle is ROW_NUMBER() over the same SQL-mirrored key."""
+    from mex_extractors_ray.stages.aggregates import keyed_topk
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    keyed = epoch_shuffle(docs, "doc_id", seed=EPOCH_SEED, epoch=0,
+                          out_col="sample_key", sort=False)
+    out = keyed_topk(keyed, "source",
+                     [("sample_key", "ascending"), ("doc_id", "ascending")],
+                     k=SAMPLE_PER_SOURCE_K)
+    return out.select_columns(["source", "doc_id", "rank"]).to_pandas()
+
+
+def _sampled_per_source_oracle() -> str:
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    sub = epoch_shuffle_sql("(SELECT doc_id, source FROM documents)", "doc_id",
+                            seed=EPOCH_SEED, epoch=0, out_col="sample_key")
+    return f"""
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY sample_key, doc_id) AS rank
+  FROM {sub}
+) WHERE rank <= {SAMPLE_PER_SOURCE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1359,6 +1426,8 @@ _QUERY_FNS = {
         "redacted_docs": q_redacted_docs,
         "repetition_quality": q_repetition_quality,
         "media_stats": q_media_stats,
+        "quantity_brackets": q_quantity_brackets,
+        "sampled_per_source": q_sampled_per_source,
     }
 
 
@@ -1685,6 +1754,15 @@ WHERE doc_id % (CASE lang WHEN 'en' THEN {SAMPLE_RATES['en'][1]}
         + text.redact_sql("documents", REDACT_PATTERNS) + ")",
         "repetition_quality": text.repetition_sql(),
         "media_stats": _MEDIA_STATS_SQL,
+        "quantity_brackets": f"""
+SELECT b.bracket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100
+FROM lineitem l JOIN (VALUES {', '.join(f"('{n}', {lo}, {hi})" for n, lo, hi in QTY_BRACKETS)})
+     AS b(bracket, lo, hi)
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.bracket
+""",
+        "sampled_per_source": _sampled_per_source_oracle(),
     }
 
 

@@ -308,3 +308,69 @@ def composite_key(batch: pa.Table, cols: list[str], out: str = "_key", sep: str 
 
     parts = [_pc.fill_null(_pc.cast(batch[c], pa.string()), "") for c in cols]
     return batch.append_column(out, _pc.binary_join_element_wise(*parts, sep))
+
+
+def interval_join_broadcast(ds, intervals: pa.Table, value_col: str,
+                            lo_col: str = "lo", hi_col: str = "hi",
+                            closed: str = "left"):
+    """Range join of a big dataset against a SMALL interval table
+    (``value in [lo, hi)`` by default): one output row per (row, interval)
+    match, intervals may OVERLAP (a row can match several).
+
+    Scale shape: the interval table is broadcast (``ray.put`` once, read by
+    every task — never re-shipped per batch) and matching is vectorized:
+    the batch's values are sorted once, then per interval two binary
+    searches bound its matching slice (O(B log B + I log B + matches) per
+    batch, I = interval count). No shuffle at any scale. For a LARGE
+    interval side, pre-bucket both sides on a range grid instead — this
+    operator documents the small-side assumption and asserts nothing else.
+
+    The reference's closest analog is the year-rule filter
+    (``mex/extractors/seq_repo/filter.py``), a 1-interval special case.
+    ``closed``: "left" = [lo, hi), "both" = [lo, hi]."""
+    import numpy as np
+    import ray
+
+    if closed not in ("left", "both"):
+        raise ValueError(f"interval_join_broadcast: bad closed={closed!r}")
+    if intervals.num_rows == 0:
+        raise ValueError("interval_join_broadcast: empty interval table")
+    ref = ray.put(intervals.combine_chunks())
+
+    class Match:
+        def __init__(self):
+            t = ray.get(ref)
+            self.lo = np.asarray(t[lo_col], dtype=np.float64)
+            self.hi = np.asarray(t[hi_col], dtype=np.float64)
+            self.meta = t
+            self.side = "right" if closed == "both" else "left"
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b[value_col]
+            vals = np.asarray(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v,
+                              dtype=np.float64)
+            order = np.argsort(vals, kind="stable")
+            sv = vals[order]
+            starts = np.searchsorted(sv, self.lo, side="left")
+            ends = np.searchsorted(sv, self.hi, side=self.side)
+            counts = np.maximum(ends - starts, 0)
+            if counts.sum() == 0:
+                row_idx = np.empty(0, np.int64)
+                iv_idx = np.empty(0, np.int64)
+            else:
+                iv_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+                # flat positions into sv per interval: starts[i] .. ends[i]
+                offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                flat = np.arange(counts.sum(), dtype=np.int64) - np.repeat(offs, counts) \
+                    + np.repeat(starts, counts)
+                row_idx = order[flat]
+            out = b.take(pa.array(row_idx))
+            for name in self.meta.column_names:
+                if name in (lo_col, hi_col) or name in out.column_names:
+                    continue
+                out = out.append_column(
+                    name, self.meta[name].combine_chunks().take(pa.array(iv_idx)))
+            return out
+
+    return ds.map_batches(Match, batch_format="pyarrow",
+                          concurrency=_rt.auto_pool())

@@ -121,3 +121,30 @@ def test_repetition_matches_duckdb_oracle(ray_session):
     oracle = con.sql(repetition_sql()).df().sort_values("doc_id").reset_index(drop=True)
     for col in ("n_words", "dup_word_frac_c10k", "top_bigram_count"):
         assert list(mine[col]) == list(oracle[col]), col
+
+
+def test_interval_join_broadcast_overlaps_and_bounds(ray_session):
+    from mex_extractors_ray.stages.joins import interval_join_broadcast
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([1.0, 5.0, 10.0, None]),
+    })
+    iv = pa.table({
+        "bracket": pa.array(["a", "b"]),
+        "lo": pa.array([1.0, 5.0]),
+        "hi": pa.array([10.0, 10.0]),
+    })
+    out = interval_join_broadcast(_ds(t), iv, "v").to_pandas()
+    pairs = sorted(zip(out["id"], out["bracket"]))
+    # [lo, hi): v=10 excluded, v=5 matches both, null never matches
+    assert pairs == [(1, "a"), (2, "a"), (2, "b")]
+
+    both = interval_join_broadcast(_ds(t), iv, "v", closed="both").to_pandas()
+    pairs = sorted(zip(both["id"], both["bracket"]))
+    assert pairs == [(1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b")]
+
+    with pytest.raises(ValueError):
+        interval_join_broadcast(_ds(t), iv, "v", closed="nope")
+    with pytest.raises(ValueError):
+        interval_join_broadcast(_ds(t), iv.slice(0, 0), "v")
