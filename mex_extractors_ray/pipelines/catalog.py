@@ -393,7 +393,10 @@ def q_order_priority_revenue(sf_dir: str):
         orders.map_batches(prep_o, batch_format="pyarrow"),
         line.map_batches(prep_l, batch_format="pyarrow"),
         on="k",
-        num_buckets=16,
+        # ≥2 buckets per CPU so the per-bucket merge never caps join
+        # parallelism (A/B at 32 CPUs: 16→4.21s, 32→4.33s, 64→3.83s,
+        # 128→3.93s; BASELINE.md round-3 notes)
+        num_buckets=max(64, 2 * _rt.cluster_cpus()),
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1309,6 +1312,50 @@ SELECT source, doc_id, rank FROM (
 """
 
 
+WORD_TOPK = 50
+
+
+def q_word_topk(sf_dir: str):
+    """Global heavy hitters: map-side value_counts combine (the shuffle
+    ships per-batch distinct-word partials, not the exploded corpus), one
+    coarse word shuffle, per-block top-k prune, tiny global sort+limit.
+    Deterministic (count DESC, word ASC) tie-break, hash-checked."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return aggregates.word_topk(docs, "text", k=WORD_TOPK).to_pandas()
+
+
+_WORD_TOPK_SQL = f"""
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+                                x -> x <> '')) AS w
+      FROM documents)
+GROUP BY w ORDER BY n DESC, w ASC LIMIT {WORD_TOPK}
+"""
+
+
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_nchar_quantiles(sf_dir: str):
+    """Exact distributed quantiles of a bounded-vocab int column
+    (doc length): per-batch value_counts partials → one small groupby →
+    O(|V|) driver cumsum; nearest-rank (ceil(q·n)) integer definition, so
+    the SQL window-function oracle matches exactly."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return aggregates.bounded_quantiles(docs, "n_chars", QUANTILE_QS).to_pandas()
+
+
+def _nchar_quantiles_oracle() -> str:
+    legs = [f"""
+SELECT CAST({int(round(q * 100))} AS BIGINT) AS q_c100,
+       CAST(MIN(v) AS BIGINT) AS value
+FROM (SELECT n_chars AS v, SUM(COUNT(*)) OVER (ORDER BY n_chars) AS cum
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars)
+WHERE cum >= CEIL({q} * (SELECT COUNT(n_chars) FROM documents))
+""" for q in QUANTILE_QS]
+    return " UNION ALL ".join(legs)
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1428,6 +1475,8 @@ _QUERY_FNS = {
         "media_stats": q_media_stats,
         "quantity_brackets": q_quantity_brackets,
         "sampled_per_source": q_sampled_per_source,
+        "word_topk": q_word_topk,
+        "nchar_quantiles": q_nchar_quantiles,
     }
 
 
@@ -1763,6 +1812,8 @@ FROM lineitem l JOIN (VALUES {', '.join(f"('{n}', {lo}, {hi})" for n, lo, hi in 
 GROUP BY b.bracket
 """,
         "sampled_per_source": _sampled_per_source_oracle(),
+        "word_topk": _WORD_TOPK_SQL,
+        "nchar_quantiles": _nchar_quantiles_oracle(),
     }
 
 

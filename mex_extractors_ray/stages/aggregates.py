@@ -122,3 +122,94 @@ def keyed_topk(ds, key: str, order_by: list[tuple[str, str]], k: int,
         return t.filter(pa.array(ordinal <= k))
 
     return _keyed_blocks(ds, key, block, num_partitions)
+
+
+def word_topk(ds, text_col: str, k: int = 50, num_partitions: int = 64,
+              pattern: str = " "):
+    """Global top-k frequent words (heavy hitters) over a text corpus.
+
+    The canonical massive-shuffle aggregate, built scale-safe:
+
+    1. map-side combine: per batch, ``pc.value_counts`` over the flattened
+       split — the shuffle ships one (word, partial_count) row per DISTINCT
+       word per batch, never the exploded corpus;
+    2. one coarse hash shuffle on the word (``dedup._keyed_blocks``), each
+       block summing its words with a single Arrow group_by;
+    3. global top-k: per-block ``sort + head(k)`` prune (each block keeps
+       only its own top-k candidates — the true global top-k is a subset),
+       then one tiny ``sort(count desc, word asc).limit(k)``.
+
+    Deterministic tie-break: (count DESC, word ASC). Reference analog: the
+    per-asset count checks (``mex/extractors/pipeline/checks/main.py``)
+    promoted to corpus scale."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table({
+            "word": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    def block(g: pa.Table) -> pa.Table:
+        summed = g.group_by("word").aggregate([("n", "sum")]).rename_columns(
+            ["word", "n"])
+        # per-block prune: only a block's own top-k can reach the global top-k
+        # (all rows of a word live in one block after the shuffle)
+        t = summed.sort_by([("n", "descending"), ("word", "ascending")])
+        return t.slice(0, k)
+
+    pruned = _keyed_blocks(ds.map_batches(partial, batch_format="pyarrow"),
+                           "word", block, num_partitions)
+    return pruned.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def bounded_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                      num_partitions: int = 32) -> pa.Table:
+    """EXACT quantiles of a bounded-cardinality integer column (lengths,
+    token counts, scores): per-batch ``value_counts`` partials (the shuffle
+    ships one row per distinct value per batch), one small groupby-sum,
+    then a driver-side cumsum over the |V|-row histogram — driver state is
+    O(|V|), never O(rows). Nearest-rank definition: quantile q = the
+    smallest value whose cumulative count ≥ ceil(q·n); integer logic, so
+    the SQL oracle matches bit-for-bit. Nulls are excluded. For unbounded
+    or float columns use a sketch instead — this operator's contract is
+    the bounded value space (same as the token-histogram combiner)."""
+    from ray.data.aggregate import Sum
+
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"bounded_quantiles: q={q} outside (0, 1]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(c.drop_null())
+        return pa.table({
+            "v": vc.field("values").cast(pa.int64()),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n")))
+    rows = hist.sort("v").take_all()  # |V| rows — the documented bound
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if total == 0:
+            continue
+        rank = int(np.ceil(q * total))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(vals[idx]))
+    return pa.table({"q_c100": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -148,3 +148,32 @@ def test_interval_join_broadcast_overlaps_and_bounds(ray_session):
         interval_join_broadcast(_ds(t), iv, "v", closed="nope")
     with pytest.raises(ValueError):
         interval_join_broadcast(_ds(t), iv.slice(0, 0), "v")
+
+
+def test_word_topk_matches_counter(ray_session):
+    from collections import Counter
+
+    from mex_extractors_ray.stages.aggregates import word_topk
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+             for _ in range(200)]
+    t = pa.table({"text": pa.array(texts + ["", None])})
+    out = word_topk(_ds(t), "text", k=10, num_partitions=8).to_pandas()
+    c = Counter(w for s in texts for w in s.split())
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["word"], out["n"])) == expect
+
+
+def test_bounded_quantiles_nearest_rank(ray_session):
+    from mex_extractors_ray.stages.aggregates import bounded_quantiles
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 21, 34, None]
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    out = bounded_quantiles(_ds(t), "x", (0.5, 0.9, 1.0)).to_pandas()
+    # n=9 non-null: q50 -> rank ceil(4.5)=5 -> 5th smallest = 5;
+    # q90 -> rank ceil(8.1)=9 -> 34; q100 -> rank 9 -> 34
+    assert dict(zip(out["q_c100"], out["value"])) == {50: 5, 90: 34, 100: 34}
+    with pytest.raises(ValueError):
+        bounded_quantiles(_ds(t), "x", (0.0,))
