@@ -12,12 +12,18 @@ all shards land (the two-phase discipline of the CDC lake,
 
 Determinism contract: every stage is a pure function of the row (hash
 sampling, fmix64 shuffle keys, content-hash dedup keepers ordered by
-doc_id), so a re-run — even a partial, resumed one — selects exactly the
-same rows into exactly the same shards. Physical file layout (block
-boundaries, file names) follows runtime scheduling, so equality is at the
-row-set level; readers recover a canonical order by sorting a shard on
-``shuffle_key``. That, not speed, is what makes 100-TB exports operable:
-a failed run re-exports only the shards missing from the manifest.
+doc_id), so a re-run selects exactly the same rows into exactly the same
+shards. Physical file layout (block boundaries, file names) follows
+runtime scheduling, so equality is at the row-set level; readers recover
+a canonical order by sorting a shard on ``shuffle_key``.
+
+Failure discipline: the manifest is the COMMIT MARKER. A re-run over an
+out-dir with a valid manifest verifies checksums and returns without
+recomputing (idempotent); a crashed run left no manifest, and the re-run
+rewrites the directory from scratch (``mode="overwrite"`` — stale partial
+files cannot mix into the new export). For multi-epoch 100-TB exports,
+drive one ``export_training_data`` per epoch/out-dir so each commit is
+independently resumable.
 
 Reference analog: the fan-out ``load()`` sink over transformed sources
 (``mex/extractors/pipeline/base.py``), extended to the training-data
@@ -34,6 +40,23 @@ import numpy as np
 import pyarrow as pa
 
 from mex_extractors_ray.cdc.manifest import atomic_write_bytes, sha256_file
+
+
+def _verified_manifest(out: Path) -> dict | None:
+    """Committed-and-intact check: the manifest exists and every listed
+    file hashes to its recorded checksum (and no extra parquet strays)."""
+    mpath = out / "manifest.json"
+    if not mpath.exists():
+        return None
+    manifest = json.loads(mpath.read_text())
+    listed = {f["name"]: f["sha256_checksum"] for f in manifest.get("files", [])}
+    on_disk = {str(p.relative_to(out)) for p in out.rglob("*.parquet")}
+    if set(listed) != on_disk:
+        return None
+    for name, digest in listed.items():
+        if sha256_file(out / name) != digest:
+            return None
+    return manifest
 
 
 def export_training_data(
@@ -75,6 +98,16 @@ def export_training_data(
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    params = {
+        "min_quality": min_quality, "max_dup_word_frac": max_dup_word_frac,
+        "redact_patterns": redact_patterns or [], "rates":
+        {k: list(v) for k, v in (rates or {}).items()},
+        "stratum_col": stratum_col if rates else None,
+        "seed": seed, "epoch": epoch, "num_shards": num_shards,
+    }
+    prior = _verified_manifest(out)
+    if prior is not None and prior.get("params") == json.loads(json.dumps(params)):
+        return prior
     pool = concurrency if concurrency is not None else _rt.auto_pool()
 
     ds = docs
@@ -147,16 +180,19 @@ def export_training_data(
     ds = ds.map_batches(route, batch_format="pyarrow")
     # bound file count: coalesce writer blocks to ≥64k rows per file (tiny
     # inputs land one file per shard instead of one per read block); the
-    # 2M cap keeps individual files re-exportable after a partial failure
+    # 2M cap bounds single-file rewrite cost. mode="overwrite" clears any
+    # crashed partial output (no manifest = not committed).
     ds.write_parquet(str(out), partition_cols=["shard"],
                      min_rows_per_file=64 * 1024,
-                     max_rows_per_file=2 * 1024 * 1024)
+                     max_rows_per_file=2 * 1024 * 1024,
+                     mode="overwrite")
 
     files = sorted(p for p in out.rglob("*.parquet"))
     manifest = {
         "num_shards": num_shards,
         "seed": seed,
         "epoch": epoch,
+        "params": json.loads(json.dumps(params)),
         "files": [{"name": str(p.relative_to(out)),
                    "sha256_checksum": sha256_file(p)} for p in files],
         "write_completed_at": datetime.now(timezone.utc).isoformat(),

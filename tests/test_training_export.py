@@ -104,3 +104,30 @@ def test_export_rerun_selects_identical_rows(ray_session, tmp_path):
         ta = a[shard].select(["doc_id", "text", "shuffle_key"])
         tb = b[shard].select(["doc_id", "text", "shuffle_key"])
         assert ta.equals(tb), f"shard {shard} differs between re-runs"
+
+
+def test_export_commit_marker_skip_and_invalidate(ray_session, tmp_path):
+    m1 = _run(tmp_path, "c")
+    # committed + intact + same params -> returned without recompute
+    m2 = _run(tmp_path, "c")
+    assert m2["write_completed_at"] == m1["write_completed_at"]
+
+    # tampering with a shard file invalidates the commit -> full re-export
+    victim = next((tmp_path / "c").rglob("*.parquet"))
+    victim.write_bytes(victim.read_bytes() + b"x")
+    m3 = _run(tmp_path, "c")
+    assert m3["write_completed_at"] != m1["write_completed_at"]
+    from mex_extractors_ray.pipelines.training_export import _verified_manifest
+
+    assert _verified_manifest(tmp_path / "c") is not None
+
+    # different parameters over the same dir also re-export
+    import ray.data
+
+    from mex_extractors_ray.pipelines.training_export import export_training_data
+
+    m4 = export_training_data(
+        ray.data.from_arrow(_docs_table()), tmp_path / "c",
+        seed=99, epoch=0, num_shards=4, concurrency=2)
+    assert m4["params"]["seed"] == 99
+    assert m4["write_completed_at"] != m3["write_completed_at"]
