@@ -330,6 +330,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
 
     data_name = f"part-{pid:05d}-{last_lsn:020d}.parquet"
     tomb_name = f"tombstones-{pid:05d}-{last_lsn:020d}.parquet"
+    dlog_name = f"deletelog-{pid:05d}-{last_lsn:020d}.parquet"
 
     if write_delta:
         # ---- delta path: write ONLY this window's winners --------------
@@ -356,6 +357,17 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # predating per-file checksums)
         while len(old_checksums) < len(old_files):
             old_checksums.append(sha256_file(pdir / old_files[len(old_checksums)]))
+        # as-of history: append this window's delete EVENTS (the tombstone
+        # snapshot forgets them on resurrect/overwrite); floor freezes at
+        # the last fold's watermark
+        delete_logs = list(manifest.delete_logs) if manifest else []
+        if deletes.num_rows:
+            delete_logs = delete_logs + [dlog_name]
+        history_floor = (
+            manifest.history_floor
+            if manifest and manifest.history_floor != -2
+            else watermark
+        )
     else:
         # ---- fold path: merge base + deltas + this window into one base
         tables = [
@@ -367,12 +379,21 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         files = [data_name]
         old_checksums = []
         row_count = data_tbl.num_rows
+        # a RE-fold squashes history: as-of below it is unanswerable and
+        # prior delete logs are GC'd. A FIRST write (no prior manifest) is
+        # a fold of nothing — state before it was empty, which the as-of
+        # lsn filter reproduces exactly, so no floor (-1).
+        delete_logs = []
+        history_floor = last_lsn if manifest else -1
 
     # phase 1: deterministic files (tmp + atomic rename to tolerate concurrent retries)
     import os
     import uuid
 
-    for name, tbl in ((data_name, data_tbl), (tomb_name, tomb_table)):
+    to_write = [(data_name, data_tbl), (tomb_name, tomb_table)]
+    if dlog_name in delete_logs:
+        to_write.append((dlog_name, deletes.select(["doc_id", "lsn"])))
+    for name, tbl in to_write:
         tmp = pdir / f".tmp-{uuid.uuid4().hex}"
         pq.write_table(tbl, tmp, compression="snappy")
         os.replace(tmp, pdir / name)
@@ -391,6 +412,8 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             file_checksums=checksums,
             row_count=row_count,
             tombstone_count=tomb_table.num_rows,
+            delete_logs=delete_logs,
+            history_floor=history_floor,
         ),
     )
     return _metrics_row(
@@ -614,3 +637,105 @@ def read_lake_arrow(lake_dir: str | Path, registry: SchemaRegistry | None = None
             [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
         ).empty_table()
     return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+
+
+def _read_partition_asof(pdir: Path, manifest: PartitionManifest,
+                         registry: SchemaRegistry, cols: list[str],
+                         lsn: int) -> pa.Table:
+    """Partition state AS OF ``lsn`` (exact at ingest-window boundaries):
+    last-wins over committed rows with ``lsn <= X``, minus docs whose last
+    delete EVENT at or below X is newer than their last surviving row. The
+    tombstone snapshot is not consulted — it forgets history; the
+    append-only delete logs carry it."""
+    # floor semantics: -1 = full history (first write was this partition's
+    # base, nothing before it existed); -2 = unknown provenance (pre-feature
+    # or compactor manifest) -> only the current watermark is answerable
+    floor = manifest.history_floor if manifest.history_floor != -2 else manifest.last_lsn
+    if floor != -1 and lsn < floor:
+        raise ValueError(
+            f"read_lake_asof: partition {manifest.partition} history floor is "
+            f"{floor} (a fold squashed earlier state); cannot answer as-of {lsn}"
+        )
+    cutoff = pa.scalar(lsn, pa.int64())
+    tables = []
+    for f in manifest.files:
+        t = registry.resolve_table(pq.read_table(pdir / f)).select(cols)
+        tables.append(t.filter(pc.less_equal(t["lsn"], cutoff)))
+    if not tables:
+        return pa.schema(
+            [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table().select(cols)
+    live = _reduce_per_doc(pa.concat_tables(tables), "last_wins")
+    dl = [pq.read_table(pdir / f) for f in manifest.delete_logs
+          if (pdir / f).exists()]
+    if dl and live.num_rows:
+        d = pa.concat_tables(dl)
+        d = d.filter(pc.less_equal(d["lsn"], cutoff))
+        if d.num_rows:
+            d = _reduce_per_doc(d, "last_wins")
+            idx = pc.index_in(live["doc_id"], value_set=d["doc_id"].combine_chunks())
+            del_lsn = d["lsn"].combine_chunks().take(idx)
+            keep = pc.or_kleene(
+                pc.is_null(del_lsn), pc.less(del_lsn, live["lsn"].combine_chunks())
+            )
+            live = live.filter(pc.fill_null(keep, True))
+    return live
+
+
+def read_lake_asof_arrow(lake_dir: str | Path, lsn: int,
+                         registry: SchemaRegistry | None = None) -> pa.Table:
+    """Driver-side time-travel read, sorted by doc_id (tests/oracles).
+
+    Semantics: the committed state considering only events with
+    ``lsn <= X`` — EXACT when X is an ingest-window boundary (only window
+    winners are persisted, so intra-window supersessions below a boundary
+    were never visible at any boundary). Horizon: a fold/compaction
+    squashes history; as-of below a partition's ``history_floor`` raises.
+    The reference has no lake, but this is the distributed analog of its
+    run-timestamp-versioned re-extraction (``mex/extractors/pipeline/
+    base.py:51-105`` sensor watermarks)."""
+    registry = registry or sequence_registry()
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    parts = []
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m:
+            parts.append(
+                _read_partition_asof(partition_dir(lake_dir, pid), m, registry, cols, lsn)
+            )
+    if not parts:
+        return pa.schema(
+            [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+
+
+def read_lake_asof(lake_dir: str | Path, lsn: int,
+                   registry: SchemaRegistry | None = None):
+    """Distributed time-travel read: one task per partition (same no-shuffle
+    shape as :func:`read_lake`), each doing the partition-local as-of merge."""
+    import ray.data
+
+    registry = registry or sequence_registry()
+    registry_json = registry.to_json()
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    pids = _manifested_pids(lake_dir)
+    if not pids:
+        schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
+        return ray.data.from_arrow(schema.empty_table())
+    lake = str(lake_dir)
+
+    def load(batch: dict) -> pa.Table:
+        reg = SchemaRegistry.from_json(registry_json)
+        out = []
+        for pid in batch["item"]:
+            m = read_manifest(lake, int(pid))
+            if m:
+                out.append(
+                    _read_partition_asof(partition_dir(lake, int(pid)), m, reg, cols, lsn)
+                )
+        return pa.concat_tables(out) if out else pa.schema(
+            [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table().select(cols)
+
+    return ray.data.from_items(pids).map_batches(load, batch_size=1, batch_format="numpy")

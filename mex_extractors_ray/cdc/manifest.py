@@ -43,6 +43,15 @@ class PartitionManifest:
     file_checksums: list[str] = field(default_factory=list)
     row_count: int = 0
     tombstone_count: int = 0
+    # append-only per-window delete-event logs (doc_id, lsn) — the history
+    # that AS-OF reads need (the tombstone_file is a point-in-time SNAPSHOT:
+    # resurrections erase entries, newer deletes overwrite lsn)
+    delete_logs: list[str] = field(default_factory=list)
+    # time-travel horizon: the watermark of the newest FOLD (history at or
+    # below it is squashed into the base). -2 = unknown (manifest written by
+    # a pre-feature engine or a compactor) — readers treat it as last_lsn,
+    # i.e. no history guaranteed before the current watermark.
+    history_floor: int = -2
     write_completed_at: str = ""  # informational only; excluded from equality checks
 
     def to_json(self) -> str:
@@ -88,8 +97,8 @@ def commit_manifest(lake_dir: str | Path, manifest: PartitionManifest) -> None:
     manifest.write_completed_at = datetime.now(timezone.utc).isoformat()
     atomic_write_bytes(manifest_path(lake_dir, manifest.partition), manifest.to_json().encode())
     if old is not None:
-        keep = set(manifest.files) | {manifest.tombstone_file}
-        for name in [*old.files, old.tombstone_file]:
+        keep = set(manifest.files) | {manifest.tombstone_file} | set(manifest.delete_logs)
+        for name in [*old.files, old.tombstone_file, *old.delete_logs]:
             if name and name not in keep:
                 try:
                     os.unlink(pdir / name)

@@ -160,6 +160,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_asof(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.apply import read_lake_asof
+
+    ds = read_lake_asof(args.lake, args.lsn)
+    if args.out:
+        ds.write_parquet(args.out)
+        ds = read_lake_asof(args.lake, args.lsn)  # count on a fresh plan
+    print(json.dumps({"lsn": args.lsn, "rows": ds.count(), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     ray = _ray()
     from mex_extractors_ray.pipelines.training_export import export_training_data
@@ -220,6 +233,12 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--max-polls", type=int, default=None)
     tl.add_argument("-p", "--partitions", type=int, default=32)
     tl.set_defaults(fn=cmd_tail)
+
+    ao = sub.add_parser("asof")
+    ao.add_argument("--lake", required=True)
+    ao.add_argument("--lsn", type=int, required=True)
+    ao.add_argument("--out", default=None, help="optional parquet output dir")
+    ao.set_defaults(fn=cmd_asof)
 
     ex = sub.add_parser("export")
     ex.add_argument("--docs", required=True, help="documents parquet path")

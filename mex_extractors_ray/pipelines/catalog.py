@@ -92,30 +92,45 @@ def _cents(col, scale: int = 100) -> pa.Array:
 _LAKE_CACHE: dict[tuple[str, str], Path] = {}
 
 
-def build_cdc_lake(sf_dir: str, mode: str = "last_wins") -> Path:
+def build_cdc_lake(sf_dir: str, mode: str = "last_wins", windows: int = 1) -> Path:
     """Derive the closed-form change log from ``events``, ingest it through
     the full engine (resolve → shuffle → per-partition merge → manifest
-    commit). Cached per (sf_dir, mode) within a process."""
-    if (sf_dir, mode) in _LAKE_CACHE:
-        return _LAKE_CACHE[(sf_dir, mode)]
-    tag = hashlib.sha1(f"{sf_dir}|{mode}".encode()).hexdigest()[:10]
+    commit). Cached per (sf_dir, mode, windows) within a process.
+
+    ``windows=2`` splits the log at ``cut = max(lsn) // 2`` and ingests two
+    windows — window 1 lands as the base fold, window 2 as delta files +
+    delete logs, which is the layout time-travel reads need."""
+    key = (sf_dir, mode, windows)
+    if key in _LAKE_CACHE:
+        return _LAKE_CACHE[key]
+    tag = hashlib.sha1(f"{sf_dir}|{mode}|{windows}".encode()).hexdigest()[:10]
     base = WORK_ROOT / f"cdc-{tag}"
     shutil.rmtree(base, ignore_errors=True)
     log_dir, lake_dir = base / "log", base / "lake"
     log_dir.mkdir(parents=True)
     events = pq.read_table(f"{sf_dir}/events.parquet")
     log = change_log_from_events(events)
-    paths = []
+    if windows == 2:
+        cut = int(pc.max(log["lsn"]).as_py()) // 2
+        splits = [log.filter(pc.less_equal(log["lsn"], cut)),
+                  log.filter(pc.greater(log["lsn"], cut))]
+    else:
+        splits = [log]
     shard_rows = 100_000
-    for i, start in enumerate(range(0, log.num_rows, shard_rows)):
-        p = log_dir / f"log-{i:05d}.parquet"
-        pq.write_table(log.slice(start, shard_rows), p, compression="snappy")
-        paths.append(str(p))
-    metrics = ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode)
+    last_metrics = None
+    for w, chunk in enumerate(splits):
+        paths = []
+        for i, start in enumerate(range(0, chunk.num_rows, shard_rows)):
+            p = log_dir / f"log-w{w}-{i:05d}.parquet"
+            pq.write_table(chunk.slice(start, shard_rows), p, compression="snappy")
+            paths.append(str(p))
+        last_metrics = ingest_change_log(
+            paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode)
     from mex_extractors_ray.state.checks import append_lineage
 
-    append_lineage(lake_dir, metrics, run_id=f"{int(pc.max(metrics['last_lsn']).as_py()):020d}")
-    _LAKE_CACHE[(sf_dir, mode)] = lake_dir
+    append_lineage(lake_dir, last_metrics,
+                   run_id=f"{int(pc.max(last_metrics['last_lsn']).as_py()):020d}")
+    _LAKE_CACHE[key] = lake_dir
     return lake_dir
 
 
@@ -232,6 +247,30 @@ FROM ranked WHERE rn = 1
 
 _CDC_FINAL_SQL = (
     _CDC_RANKED_SQL
+    + """
+SELECT doc_id,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CASE WHEN lsn % 10 IN (8, 9)
+            THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+            ELSE 'de' END AS lang,
+       8 + (lsn % 120) AS n_tok,
+       lsn AS last_lsn,
+       CAST(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+            i -> (user_id * 2654435761 + i * 40503) % 50000)) AS BIGINT) AS tok_sum
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+)
+
+# state AS OF cut = max(lsn) // 2 — the window-1 boundary of the
+# two-window lake build (see build_cdc_lake(windows=2))
+_CDC_ASOF_SQL = (
+    f"""
+WITH log AS ({_CDC_LOG_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM log WHERE lsn <= (SELECT MAX(lsn) // 2 FROM log)
+)
+"""
     + """
 SELECT doc_id,
        'src' || CAST(user_id % 6 AS VARCHAR) AS source,
@@ -1106,6 +1145,32 @@ def q_jaccard_pairs(sf_dir: str):
     return out.map_batches(scale, batch_format="pyarrow").to_pandas()
 
 
+def q_cdc_asof_state(sf_dir: str) -> pa.Table:
+    """TIME TRAVEL, hash-checked end to end: the log is ingested in TWO
+    windows (base fold + delta files with append-only delete logs), then
+    ``read_lake_asof_arrow`` reconstructs the state AS OF the window-1
+    boundary — deletes later resurrected, rows later overwritten, and
+    docs inserted in window 2 must all roll back. The oracle replays the
+    closed-form log with ``lsn <= max(lsn) // 2``."""
+    from mex_extractors_ray.cdc.apply import read_lake_asof_arrow
+
+    lake = build_cdc_lake(sf_dir, windows=2)
+    # same cut as the builder/oracle: max closed-form log lsn // 2
+    log_max = int(pc.max(change_log_from_events(
+        pq.read_table(f"{sf_dir}/events.parquet"))["lsn"]).as_py())
+    asof = read_lake_asof_arrow(lake, log_max // 2)
+    return pa.table(
+        {
+            "doc_id": asof["doc_id"],
+            "source": asof["source"],
+            "lang": asof["lang"],
+            "n_tok": asof["n_tok"].cast(pa.int64()),
+            "last_lsn": asof["lsn"],
+            "tok_sum": _tok_sums(asof["tokens"]),
+        }
+    )
+
+
 def q_media_stats(sf_dir: str):
     """REAL multimodal codecs, oracle-checked end to end: per doc_id a
     payload is built with the real encoders (binary PPM for even ids,
@@ -1477,6 +1542,7 @@ _QUERY_FNS = {
         "sampled_per_source": q_sampled_per_source,
         "word_topk": q_word_topk,
         "nchar_quantiles": q_nchar_quantiles,
+        "cdc_asof_state": q_cdc_asof_state,
     }
 
 
@@ -1814,6 +1880,7 @@ GROUP BY b.bracket
         "sampled_per_source": _sampled_per_source_oracle(),
         "word_topk": _WORD_TOPK_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
+        "cdc_asof_state": _CDC_ASOF_SQL,
     }
 
 
