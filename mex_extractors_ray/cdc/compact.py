@@ -74,6 +74,9 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             file_checksums=[digest],
             row_count=merged.num_rows,
             tombstone_count=m.tombstone_count,
+            # a compaction is a fold: history below the watermark is
+            # squashed and the delete logs are GC'd by commit_manifest
+            history_floor=m.last_lsn,
         ),
     )
     return {"partition": pid, "action": "rewritten", "rows": merged.num_rows}
@@ -281,6 +284,9 @@ def repartition_lake(
                 sha256_checksum=digest,
                 file_checksums=[digest],
                 row_count=t.num_rows,
+                # repartition rewrites live state at the watermark —
+                # history is squashed, exactly like a fold
+                history_floor=watermark,
             ),
         )
         return pa.table({"partition": pa.array([pid], pa.int32()), "rows": pa.array([t.num_rows], pa.int64())})
@@ -317,6 +323,7 @@ def repartition_lake(
             m = read_manifest(new, pid) or PartitionManifest(
                 partition=pid, last_lsn=watermark, files=[],
                 schema_version=SchemaRegistry.from_json(rj).latest_version,
+                history_floor=watermark,
             )
             m.tombstone_file = name
             m.tombstone_count = tt.num_rows

@@ -103,6 +103,42 @@ def test_asof_horizon_raises_below_refold(ray_session, tmp_path):
     assert read_lake_asof_arrow(lake, 12).equals(read_lake_arrow(lake))
 
 
+def test_asof_after_compaction_floor_is_watermark(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", None, None, None, None),
+               ("b", 2, "insert", None, None, None, None)])
+    w2 = _log([("a", 11, "update", None, None, None, None),
+               ("b", 12, "delete", None, None, None, None)])
+    lake = _ingest(tmp_path, "lk4", [w1, w2])
+    assert read_lake_asof_arrow(lake, 2).num_rows == 2  # history alive
+    from mex_extractors_ray.cdc.compact import compact
+
+    compact(lake)
+    # compaction folds: history below the watermark is squashed and the
+    # delete logs are GC'd -> as-of below it raises
+    with pytest.raises(ValueError, match="history floor"):
+        read_lake_asof_arrow(lake, 2)
+    # the watermark itself stays answerable and equals live
+    assert read_lake_asof_arrow(lake, 12).equals(read_lake_arrow(lake))
+    # and the delete-log files are actually gone from disk
+    assert not list(lake.glob("partition=*/deletelog-*.parquet"))
+
+
+def test_asof_after_repartition_floor_is_watermark(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", None, None, None, None),
+               ("b", 2, "insert", None, None, None, None)])
+    w2 = _log([("b", 12, "delete", None, None, None, None)])
+    lake = _ingest(tmp_path, "lk5", [w1, w2])
+    from mex_extractors_ray.cdc.compact import repartition_lake
+
+    before = read_lake_arrow(lake)
+    repartition_lake(lake, 4)
+    assert read_lake_arrow(lake).equals(before)
+    # re-sharding rewrites live state at the watermark: history squashed
+    with pytest.raises(ValueError, match="history floor"):
+        read_lake_asof_arrow(lake, 2)
+    assert read_lake_asof_arrow(lake, 12).equals(before)
+
+
 def test_asof_replay_keeps_delete_logs_idempotent(ray_session, tmp_path):
     w1 = _log([("a", 1, "insert", None, None, None, None),
                ("b", 2, "insert", None, None, None, None)])
