@@ -1145,6 +1145,35 @@ def q_jaccard_pairs(sf_dir: str):
     return out.map_batches(scale, batch_format="pyarrow").to_pandas()
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """KMV (k-minimum-values) approximate COUNT(DISTINCT) — HASH-CHECKED
+    at k ≫ per-key cardinality, where the sketch degenerates to the exact
+    distinct count, verifying the whole mergeable-partial machinery
+    bit-for-bit (the ``ann_topk_ivf_full`` discipline; the approximate
+    regime's 1/√(k−1) error bound is unit-tested in test_sketch.py)."""
+    from mex_extractors_ray.stages.sketch import approx_distinct
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct(ev, "event_type", "user_id", k=4096,
+                           num_partitions=8).to_pandas()
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       TRUE AS exact
+FROM events GROUP BY event_type
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF top-3 terms per document, integer 'ppm' scoring
+    (tf·1e6 // df — order-equivalent to tf·idf for monotone idf, exact
+    arithmetic so the oracle matches bit-for-bit). Stage 1 ships per-batch
+    distinct-word df partials; stage 2 is shuffle-free (one row = one doc)."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.tfidf_topk(docs, "doc_id", "text", m=3).to_pandas()
+
+
 def q_cdc_asof_state(sf_dir: str) -> pa.Table:
     """TIME TRAVEL, hash-checked end to end: the log is ingested in TWO
     windows (base fold + delta files with append-only delete logs), then
@@ -1543,6 +1572,8 @@ _QUERY_FNS = {
         "word_topk": q_word_topk,
         "nchar_quantiles": q_nchar_quantiles,
         "cdc_asof_state": q_cdc_asof_state,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1881,6 +1912,8 @@ GROUP BY b.bracket
         "word_topk": _WORD_TOPK_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,
+        "distinct_users_per_type": _DISTINCT_USERS_SQL,
+        "tfidf_top_terms": text.tfidf_sql(m=3),
     }
 
 

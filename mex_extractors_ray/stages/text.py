@@ -405,3 +405,141 @@ SELECT counts.{id_col} AS {id_col},
        CAST(COALESCE(top_bigram_count, 0) AS BIGINT) AS top_bigram_count
 FROM counts LEFT JOIN bi USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus statistic × per-doc transform)
+# ---------------------------------------------------------------------------
+
+def _exploded_words(batch: pa.Table, id_col: str, text_col: str,
+                    pattern: str) -> pa.Table:
+    """(doc, word) rows for every non-empty word of every doc — vectorized
+    flatten with the parent row index repeated per word."""
+    words = pc.split_pattern(pc.fill_null(batch[text_col], ""), pattern)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    flat = words.flatten()
+    ids = batch[id_col].take(pa.array(parent))
+    t = pa.table({id_col: ids, "word": flat})
+    return t.filter(pc.greater(pc.utf8_length(t["word"]), 0))
+
+
+def term_doc_frequency(ds, id_col: str = "doc_id", text_col: str = "text",
+                       pattern: str = " "):
+    """Document frequency per word: in how many docs does the word occur.
+
+    Scale shape: per batch, DISTINCT (doc, word) pairs via one Arrow hash
+    group_by, then ``value_counts`` over the words — the shuffle ships one
+    (word, partial_df) row per distinct word per batch, never the exploded
+    corpus. One small groupby-sum finalizes. Output is vocabulary-sized
+    (the bounded-vocab contract, same as ``aggregates.bounded_quantiles``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        pairs = _exploded_words(b, id_col, text_col, pattern)
+        distinct = pairs.group_by([id_col, "word"]).aggregate([])
+        vc = pc.value_counts(distinct["word"].combine_chunks())
+        return pa.table({"word": vc.field("values"),
+                         "df": vc.field("counts").cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("df", alias_name="df")))
+
+
+def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text", m: int = 5,
+               pattern: str = " ", mode: str = "ppm", n_docs: int | None = None):
+    """Top-m terms per document by TF-IDF — the corpus-statistic ×
+    per-doc-transform composition every training-data pipeline needs
+    (keyword extraction, topic hints, relevance features).
+
+    Two stages over the same source:
+
+    1. :func:`term_doc_frequency` (combiner + one small groupby) → the
+       vocabulary-sized df table, broadcast ONCE via ``ray.put`` (zero-copy
+       per task, never re-shipped per batch);
+    2. a stateless per-batch pass: explode words, one Arrow hash group_by
+       for tf, ``pc.index_in`` probe into the broadcast vocabulary for df,
+       score, then per-doc top-m by one sort + run ordinal. A document's
+       words never cross a batch boundary (one row = one doc), so NO
+       shuffle is needed — the wide work is entirely in stage 1.
+
+    ``mode='ppm'`` scores ``tf * 1_000_000 // df`` — exact integer
+    arithmetic, so the DuckDB oracle matches bit-for-bit (ranking by tf/df
+    is order-equivalent to tf·idf for any monotone idf). ``mode='log'``
+    scores ``tf * (ln((N+1)/(df+1)) + 1)`` (requires ``n_docs``), the
+    conventional smoothed variant, as float64.
+
+    Deterministic total order: (score DESC, word ASC) per doc.
+    Reference analog: the keyword fields the reference copies verbatim
+    (``mex/extractors/datscha_web/models/item.py`` keywords) — here they
+    are COMPUTED from the corpus."""
+    import ray
+
+    if mode not in ("ppm", "log"):
+        raise ValueError(f"tfidf_topk: unknown mode {mode!r}")
+    if mode == "log" and not n_docs:
+        raise ValueError("tfidf_topk: mode='log' requires n_docs")
+
+    df_rows = term_doc_frequency(ds, id_col, text_col, pattern).take_all()
+    vocab = pa.array([r["word"] for r in df_rows], pa.string())
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.int64)
+    ref = ray.put({"vocab": vocab, "df": dfs})
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        from mex_extractors_ray.stages.dedup import _run_starts
+
+        pair = ray.get(ref)
+        pairs = _exploded_words(b, id_col, text_col, pattern)
+        tf = pairs.group_by([id_col, "word"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns([id_col, "word", "tf"])
+        idx = pc.index_in(tf["word"], value_set=pair["vocab"])
+        df = pair["df"][idx.combine_chunks().to_numpy(zero_copy_only=False)]
+        tf_np = tf["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        if mode == "ppm":
+            score = pa.array(tf_np * 1_000_000 // df, pa.int64())
+        else:
+            idf = np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+            score = pa.array(tf_np * idf, pa.float64())
+        t = pa.table({
+            id_col: tf[id_col], "word": tf["word"],
+            "tf": tf["tf"].combine_chunks().cast(pa.int64()), "score": score,
+        }).sort_by([(id_col, "ascending"), ("score", "descending"),
+                    ("word", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("rank", pa.array([], pa.int64()))
+        starts = np.flatnonzero(_run_starts(t[id_col]))
+        counts = np.diff(np.append(starts, n))
+        ordinal = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        t = t.append_column("rank", pa.array(ordinal))
+        return t.filter(pa.array(ordinal <= m))
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
+def tfidf_sql(table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text", m: int = 5) -> str:
+    """DuckDB mirror of ``tfidf_topk(mode='ppm')``."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, unnest(list_filter(
+           string_split(COALESCE({text_col}, ''), ' '), x -> x <> '')) AS word
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+), df AS (
+  SELECT word, COUNT(DISTINCT {id_col}) AS df FROM w GROUP BY 1
+), scored AS (
+  SELECT tf.{id_col} AS {id_col}, tf.word AS word, tf.tf AS tf,
+         tf.tf * 1000000 // df.df AS score,
+         row_number() OVER (PARTITION BY tf.{id_col}
+                            ORDER BY tf.tf * 1000000 // df.df DESC,
+                                     tf.word ASC) AS rank
+  FROM tf JOIN df USING (word)
+)
+SELECT {id_col}, word, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= {m}
+"""
