@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "kmeans_assign",
     "redacted_docs",
     "repetition_quality",
+    "distinct_users_per_type",
+    "tfidf_top_terms",
 ]
 
 
