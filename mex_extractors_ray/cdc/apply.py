@@ -192,6 +192,80 @@ def merge_live(tables: list[pa.Table], tombstone_ids: pa.Array | None = None) ->
     return t
 
 
+_NULL_KEY = "__null__"
+
+
+def _value_counts_dict(col: pa.ChunkedArray | pa.Array) -> dict[str, int]:
+    """value → count as a JSON-able dict (nulls under ``__null__``).
+    Per-partition |V| is bounded (the tracked-column contract), so the
+    Python dict is manifest-sized, never data-sized."""
+    s = pc.fill_null(pc.cast(col, pa.string()), _NULL_KEY)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    vc = pc.value_counts(s)
+    return {
+        k: int(v)
+        for k, v in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+    }
+
+
+def _dict_merge(prev: dict[str, int], sub: dict[str, int],
+                add: dict[str, int]) -> dict[str, int]:
+    out = dict(prev)
+    for k, v in sub.items():
+        out[k] = out.get(k, 0) - v
+    for k, v in add.items():
+        out[k] = out.get(k, 0) + v
+    bad = {k: v for k, v in out.items() if v < 0}
+    if bad:
+        raise AssertionError(f"maintained aggregate went negative: {bad}")
+    return {k: v for k, v in out.items() if v > 0}
+
+
+def _read_file_column(pdir: Path, fname: str, col: str,
+                      registry: SchemaRegistry) -> pa.Table:
+    """(doc_id, lsn, col) of one committed file, column-pruned. A file
+    written before ``col`` existed in the registry gets the declared
+    default (mirroring resolve_table's fill, so incremental and recompute
+    agree)."""
+    present = set(pq.read_schema(pdir / fname).names)
+    want = ["doc_id", "lsn"] + ([col] if col in present else [])
+    t = pq.read_table(pdir / fname, columns=want)
+    if col not in present:
+        default = registry.latest.defaults.get(col)
+        t = t.append_column(col, pa.array([default] * t.num_rows, pa.string()))
+    return t
+
+
+def read_live_value_counts(lake_dir: str | Path, col: str) -> pa.Table:
+    """Lake-wide GROUP BY ``col`` from the MAINTAINED per-partition
+    aggregates alone — O(P) manifest reads, zero data files touched, no
+    Ray job. The distributed analog of a materialized view kept fresh by
+    the CDC apply (each window commit updates its partition's counts in
+    the same atomic manifest rename as the data).
+
+    Raises if any partition does not maintain ``col`` (ingest with
+    ``track_value_counts=(col,)`` consistently — a partial view would be
+    silently wrong)."""
+    sums: dict[str, int] = {}
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m is None:
+            continue
+        if col not in (m.agg_counts or {}):
+            raise ValueError(
+                f"partition {m.partition} does not maintain counts for {col!r}; "
+                f"ingest with track_value_counts=({col!r},)"
+            )
+        for k, v in m.agg_counts[col].items():
+            sums[k] = sums.get(k, 0) + int(v)
+    keys = sorted(sums)
+    return pa.table({
+        col: pa.array(keys, pa.string()),
+        "n": pa.array([sums[k] for k in keys], pa.int64()),
+    })
+
+
 def _read_partition_live(pdir: Path, manifest: PartitionManifest,
                          registry: SchemaRegistry, cols: list[str]) -> pa.Table:
     tables = [
@@ -244,7 +318,8 @@ def _metrics_row(pid: int, **kw) -> pa.Table:
 
 def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
                     mode: str = "last_wins", delta: bool = True,
-                    compact_threshold: int = 8) -> pa.Table:
+                    compact_threshold: int = 8,
+                    track_value_counts: tuple = ()) -> pa.Table:
     """Merge one partition's change events into its lake state (one call per
     pid per run; returns a one-row metrics table).
 
@@ -368,6 +443,43 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             if manifest and manifest.history_floor != -2
             else watermark
         )
+        # ---- maintained aggregates, incremental update ------------------
+        # new = prev − counts(old values of touched∩old-live docs)
+        #            + counts(values of this window's surviving upserts).
+        # Resurrections: not in old-live → no sub, in upserts → +1. Deletes
+        # of non-live docs: neither side. first_wins: touched = new docs
+        # only, so sub is structurally empty (existing docs immutable).
+        agg_counts: dict = {}
+        prev_aggs = (manifest.agg_counts or {}) if manifest else {}
+        for c in track_value_counts:
+            add = _value_counts_dict(upsert_data[c])
+            if c in prev_aggs:
+                parts = []
+                for f in old_files:
+                    t = _read_file_column(pdir, f, c, registry)
+                    parts.append(t.filter(pc.is_in(t["doc_id"], value_set=touched)))
+                old_live_touched = _reduce_per_doc(pa.concat_tables(parts), "last_wins")
+                if old_tomb_ids.num_rows:
+                    old_live_touched = old_live_touched.filter(
+                        pc.invert(pc.is_in(
+                            old_live_touched["doc_id"],
+                            value_set=old_tomb_ids["doc_id"].combine_chunks(),
+                        ))
+                    )
+                sub = _value_counts_dict(old_live_touched[c])
+                agg_counts[c] = _dict_merge(prev_aggs[c], sub, add)
+            else:
+                # first-enable on an existing lake: one full recount of
+                # this partition's after-state (self-healing; incremental
+                # from the next window on)
+                full = merge_live(
+                    [
+                        _read_file_column(pdir, f, c, registry)
+                        for f in old_files
+                    ] + [upsert_data.select(["doc_id", "lsn", c])],
+                    tomb_table["doc_id"].combine_chunks() if tomb_table.num_rows else None,
+                )
+                agg_counts[c] = _value_counts_dict(full[c])
     else:
         # ---- fold path: merge base + deltas + this window into one base
         tables = [
@@ -385,6 +497,9 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # lsn filter reproduces exactly, so no floor (-1).
         delete_logs = []
         history_floor = last_lsn if manifest else -1
+        # fold: the full live state is in hand — recount directly
+        # (self-healing: any drift in the incremental path is erased here)
+        agg_counts = {c: _value_counts_dict(data_tbl[c]) for c in track_value_counts}
 
     # phase 1: deterministic files (tmp + atomic rename to tolerate concurrent retries)
     import os
@@ -414,6 +529,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             tombstone_count=tomb_table.num_rows,
             delete_logs=delete_logs,
             history_floor=history_floor,
+            agg_counts=agg_counts,
         ),
     )
     return _metrics_row(
@@ -446,8 +562,16 @@ def ingest_change_log(
     delta: bool = True,
     compact_threshold: int = 8,
     skip_sources: list[str] | None = None,
+    track_value_counts: tuple = (),
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
+
+    ``track_value_counts=(col, ...)`` maintains per-partition live
+    value→count aggregates in the manifests (bounded-cardinality lake
+    columns only); :func:`read_live_value_counts` then answers a lake-wide
+    GROUP BY from manifests alone. Pass it consistently on every window —
+    an untracked window drops the view (a stale view would be silently
+    wrong; the next tracked window recounts, self-healing).
 
     Streams: read → resolve/partition → shuffle-by-pid → per-partition apply.
     Never materializes the log on the driver; the only driver-side data is
@@ -501,6 +625,7 @@ def ingest_change_log(
         metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
             resolve_concurrency, mode, delta, compact_threshold, skip_sources,
+            track_value_counts,
         )
         # lake-level completion record: written only after EVERY partition
         # committed. A crash mid-ingest leaves some manifests ahead of this
@@ -522,7 +647,7 @@ def ingest_change_log(
 def _run_ingest(
     log_paths, lake_dir, num_partitions, registry_json, batch_size,
     resolve_concurrency, mode="last_wins", delta=True, compact_threshold=8,
-    skip_sources=None,
+    skip_sources=None, track_value_counts=(),
 ) -> pa.Table:
     import ray.data
 
@@ -552,6 +677,7 @@ def _run_ingest(
     fn = functools.partial(
         apply_partition, lake_dir=str(lake_dir), registry_json=registry_json, mode=mode,
         delta=delta, compact_threshold=compact_threshold,
+        track_value_counts=tuple(track_value_counts),
     )
     try:
         # shuffle on `_shard` (bijective pid relabeling) — one group per

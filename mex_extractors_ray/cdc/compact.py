@@ -54,7 +54,7 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
     pdir = partition_dir(lake_dir, pid)
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
     # delta fold: last-wins across base+deltas, minus tombstoned docs
-    from mex_extractors_ray.cdc.apply import _read_partition_live
+    from mex_extractors_ray.cdc.apply import _read_partition_live, _value_counts_dict
 
     merged = _read_partition_live(pdir, m, registry, cols)
     name = f"part-{pid:05d}-{m.last_lsn:020d}.parquet"
@@ -77,6 +77,11 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             # a compaction is a fold: history below the watermark is
             # squashed and the delete logs are GC'd by commit_manifest
             history_floor=m.last_lsn,
+            # maintained aggregates recounted from the folded state (the
+            # merged table is in hand — self-healing, like the apply fold)
+            agg_counts={
+                c: _value_counts_dict(merged[c]) for c in (m.agg_counts or {})
+            },
         ),
     )
     return {"partition": pid, "action": "rewritten", "rows": merged.num_rows}
@@ -217,6 +222,7 @@ def repartition_lake(
     import ray.data
 
     from mex_extractors_ray.cdc.apply import read_lake, resolve_and_partition
+    from mex_extractors_ray.cdc.apply import _value_counts_dict as _vcd
 
     registry = registry or sequence_registry()
     rj = registry.to_json()
@@ -244,10 +250,14 @@ def repartition_lake(
             "lagging partitions will be dropped as late on replay."
         )
     tomb_files: list[str] = []
+    tracked_cols: set[str] = set()
     for p in pids:
         m = read_manifest(old, p)
         if m and m.tombstone_file and (partition_dir(old, p) / m.tombstone_file).exists():
             tomb_files.append(str(partition_dir(old, p) / m.tombstone_file))
+        if m:
+            tracked_cols.update(m.agg_counts or {})
+    tracked = tuple(sorted(tracked_cols))
 
     new = Path(str(lake_dir) + f".repart-{new_num_partitions}")
     if new.exists():
@@ -287,6 +297,7 @@ def repartition_lake(
                 # repartition rewrites live state at the watermark —
                 # history is squashed, exactly like a fold
                 history_floor=watermark,
+                agg_counts={c: _vcd(t[c]) for c in tracked},
             ),
         )
         return pa.table({"partition": pa.array([pid], pa.int32()), "rows": pa.array([t.num_rows], pa.int64())})
@@ -324,6 +335,9 @@ def repartition_lake(
                 partition=pid, last_lsn=watermark, files=[],
                 schema_version=SchemaRegistry.from_json(rj).latest_version,
                 history_floor=watermark,
+                # tombstone-only partition: zero live docs, but the view
+                # must stay answerable for the tracked columns
+                agg_counts={c: {} for c in tracked},
             )
             m.tombstone_file = name
             m.tombstone_count = tt.num_rows

@@ -52,6 +52,12 @@ class PartitionManifest:
     # a pre-feature engine or a compactor) — readers treat it as last_lsn,
     # i.e. no history guaranteed before the current watermark.
     history_floor: int = -2
+    # MAINTAINED AGGREGATES: per tracked column, the live value→count map
+    # of THIS partition ({col: {value: n}}), updated transactionally with
+    # every window commit — a lake-wide GROUP BY col answers from P
+    # manifests without touching a data file. Bounded-cardinality columns
+    # only (the bounded-vocab contract). Empty = tracking off.
+    agg_counts: dict = field(default_factory=dict)
     write_completed_at: str = ""  # informational only; excluded from equality checks
 
     def to_json(self) -> str:

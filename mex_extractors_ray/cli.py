@@ -42,6 +42,9 @@ def _ray():
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    from mex_extractors_ray.runtime import silence_empty_block_schema_warnings
+
+    silence_empty_block_schema_warnings()
     return ray
 
 
@@ -68,6 +71,7 @@ def cmd_ingest(args) -> int:
     metrics = ingest_change_log(
         _log_paths(args.log), args.lake, num_partitions=args.partitions,
         delta=not args.no_delta, compact_threshold=args.compact_threshold,
+        track_value_counts=tuple(args.track_counts.split(",")) if args.track_counts else (),
     )
     run_id = f"{int(pc.max(metrics['last_lsn']).as_py() or 0):020d}"
     append_lineage(args.lake, metrics, run_id=run_id)
@@ -160,6 +164,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_counts(args) -> int:
+    # manifest-only read: no Ray session needed
+    from mex_extractors_ray.cdc.apply import read_live_value_counts
+
+    t = read_live_value_counts(args.lake, args.column)
+    print(json.dumps({
+        "column": args.column,
+        "counts": dict(zip(t[args.column].to_pylist(), t["n"].to_pylist())),
+    }))
+    return 0
+
+
 def cmd_asof(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.apply import read_lake_asof
@@ -211,6 +227,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="full-merge every window instead of delta files")
     i.add_argument("--compact-threshold", type=int, default=8,
                    help="fold base+deltas into one file at this many files")
+    i.add_argument("--track-counts", default="",
+                   help="comma-separated bounded-cardinality lake columns to "
+                        "maintain per-partition live value counts for "
+                        "(read back with `counts`)")
     i.set_defaults(fn=cmd_ingest)
 
     r = sub.add_parser("replay")
@@ -233,6 +253,11 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--max-polls", type=int, default=None)
     tl.add_argument("-p", "--partitions", type=int, default=32)
     tl.set_defaults(fn=cmd_tail)
+
+    co = sub.add_parser("counts")
+    co.add_argument("--lake", required=True)
+    co.add_argument("--column", default="source")
+    co.set_defaults(fn=cmd_counts)
 
     ao = sub.add_parser("asof")
     ao.add_argument("--lake", required=True)

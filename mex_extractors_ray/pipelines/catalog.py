@@ -125,7 +125,8 @@ def build_cdc_lake(sf_dir: str, mode: str = "last_wins", windows: int = 1) -> Pa
             pq.write_table(chunk.slice(start, shard_rows), p, compression="snappy")
             paths.append(str(p))
         last_metrics = ingest_change_log(
-            paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode)
+            paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode,
+            track_value_counts=("source",))
     from mex_extractors_ray.state.checks import append_lineage
 
     append_lineage(lake_dir, last_metrics,
@@ -1174,6 +1175,20 @@ def q_tfidf_top_terms(sf_dir: str):
     return text.tfidf_topk(docs, "doc_id", "text", m=3).to_pandas()
 
 
+def q_cdc_live_counts_mv(sf_dir: str) -> pa.Table:
+    """MAINTAINED AGGREGATE (materialized view), hash-checked: the lake is
+    ingested in TWO windows with ``track_value_counts=("source",)`` — the
+    second window updates each partition's per-source live counts
+    INCREMENTALLY (prev − old-values-of-touched + new-values) in the same
+    atomic manifest commit as the data — then the lake-wide GROUP BY is
+    answered from the P manifests alone, zero data files read. The oracle
+    recomputes the counts from the closed-form log."""
+    from mex_extractors_ray.cdc.apply import read_live_value_counts
+
+    lake = build_cdc_lake(sf_dir, windows=2)
+    return read_live_value_counts(lake, "source").rename_columns(["source", "n_docs"])
+
+
 def q_cdc_asof_state(sf_dir: str) -> pa.Table:
     """TIME TRAVEL, hash-checked end to end: the log is ingested in TWO
     windows (base fold + delta files with append-only delete logs), then
@@ -1574,6 +1589,7 @@ _QUERY_FNS = {
         "cdc_asof_state": q_cdc_asof_state,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "cdc_live_counts_mv": q_cdc_live_counts_mv,
     }
 
 
@@ -1914,6 +1930,12 @@ GROUP BY b.bracket
         "cdc_asof_state": _CDC_ASOF_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
+        "cdc_live_counts_mv": _CDC_RANKED_SQL + """
+SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY 1
+""",
     }
 
 

@@ -1,0 +1,106 @@
+"""Maintained per-partition aggregates (materialized GROUP BY views)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from mex_extractors_ray.cdc.apply import (
+    ingest_change_log,
+    read_lake_arrow,
+    read_live_value_counts,
+)
+
+TRACK = ("source",)
+
+
+def _log(rows) -> pa.Table:
+    """rows: (doc_id, lsn, op, source)"""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "lsn": pa.array([r[1] for r in rows], pa.int64()),
+        "op": pa.array([r[2] for r in rows]),
+        "source": pa.array([r[3] for r in rows]),
+        "lang": pa.array(["de"] * len(rows)),
+        "n_tok": pa.array([1] * len(rows), pa.int32()),
+        "tokens": pa.array([[7]] * len(rows), pa.list_(pa.int64())),
+        "schema_version": pa.array([3] * len(rows), pa.int32()),
+    })
+
+
+def _ingest(tmp_path, name, tables, track=TRACK, mode="last_wins"):
+    lake = tmp_path / name
+    for i, t in enumerate(tables):
+        p = tmp_path / f"{name}-log{i}.parquet"
+        pq.write_table(t, p)
+        ingest_change_log([str(p)], lake, num_partitions=2,
+                          track_value_counts=track, mode=mode)
+    return lake
+
+
+def _recount(lake) -> dict:
+    live = read_lake_arrow(lake)
+    vc = pc.value_counts(live["source"].combine_chunks())
+    return dict(zip(vc.field("values").to_pylist(),
+                    (int(x) for x in vc.field("counts").to_pylist())))
+
+
+def _view(lake) -> dict:
+    t = read_live_value_counts(lake, "source")
+    return dict(zip(t["source"].to_pylist(), t["n"].to_pylist()))
+
+
+def test_view_tracks_inserts_updates_deletes_resurrections(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1"), ("b", 2, "insert", "s1"),
+               ("c", 3, "insert", "s2")])
+    # window 2: a moves s1->s2, b deleted, d inserted into s3
+    w2 = _log([("a", 11, "update", "s2"), ("b", 12, "delete", "s1"),
+               ("d", 13, "insert", "s3")])
+    # window 3: b resurrected into s3, c deleted (s2 -1)
+    w3 = _log([("b", 21, "update", "s3"), ("c", 22, "delete", "s2")])
+    lake = _ingest(tmp_path, "mv1", [w1, w2, w3])
+    assert _view(lake) == _recount(lake) == {"s2": 1, "s3": 2}
+
+
+def test_view_idempotent_under_replay(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1"), ("b", 2, "insert", "s2")])
+    w2 = _log([("b", 12, "delete", "s2")])
+    lake = _ingest(tmp_path, "mv2", [w1, w2])
+    before = _view(lake)
+    _ingest(tmp_path, "mv2", [w1, w2])  # replay: all events late -> noop
+    assert _view(lake) == before == {"s1": 1}
+
+
+def test_view_first_enable_on_existing_lake(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1"), ("b", 2, "insert", "s2")])
+    lake = _ingest(tmp_path, "mv3", [w1], track=())  # window 1 untracked
+    with pytest.raises(ValueError, match="does not maintain"):
+        read_live_value_counts(lake, "source")
+    w2 = _log([("c", 11, "insert", "s2")])
+    _ingest(tmp_path, "mv3", [w2])  # tracked -> recount path
+    assert _view(lake) == _recount(lake) == {"s1": 1, "s2": 2}
+
+
+def test_view_survives_compact_and_repartition(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1"), ("b", 2, "insert", "s2"),
+               ("c", 3, "insert", "s2")])
+    w2 = _log([("b", 12, "delete", "s2")])
+    lake = _ingest(tmp_path, "mv4", [w1, w2])
+    expect = {"s1": 1, "s2": 1}
+    assert _view(lake) == expect
+    from mex_extractors_ray.cdc.compact import compact, repartition_lake
+
+    compact(lake)
+    assert _view(lake) == _recount(lake) == expect
+    repartition_lake(lake, 4)
+    assert _view(lake) == _recount(lake) == expect
+
+
+def test_view_first_wins_mode(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1")])
+    # first_wins: the a->s2 update is a no-op; b lands
+    w2 = _log([("a", 11, "update", "s2"), ("b", 12, "insert", "s2")])
+    lake = _ingest(tmp_path, "mv5", [w1, w2], mode="first_wins")
+    assert _view(lake) == {"s1": 1, "s2": 1}
