@@ -562,16 +562,19 @@ def ingest_change_log(
     delta: bool = True,
     compact_threshold: int = 8,
     skip_sources: list[str] | None = None,
-    track_value_counts: tuple = (),
+    track_value_counts: tuple | None = None,
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
 
     ``track_value_counts=(col, ...)`` maintains per-partition live
     value→count aggregates in the manifests (bounded-cardinality lake
     columns only); :func:`read_live_value_counts` then answers a lake-wide
-    GROUP BY from manifests alone. Pass it consistently on every window —
-    an untracked window drops the view (a stale view would be silently
-    wrong; the next tracked window recounts, self-healing).
+    GROUP BY from manifests alone. The default ``None`` INHERITS the
+    tracked set from the lake's existing manifests, so follow-on windows
+    (tail sensor, replays, other callers) keep an established view fresh
+    without re-stating it; pass ``()`` to explicitly drop the view (an
+    untracked window would make it stale = silently wrong; the next
+    tracked window recounts, self-healing).
 
     Streams: read → resolve/partition → shuffle-by-pid → per-partition apply.
     Never materializes the log on the driver; the only driver-side data is
@@ -621,6 +624,15 @@ def ingest_change_log(
         if shuffle == "hash"
         else contextlib.nullcontext()
     )
+    if track_value_counts is None:
+        # inherit: continue whatever view the lake already maintains
+        inherited: set[str] = set()
+        for pid in _manifested_pids(lake_dir):
+            m = read_manifest(lake_dir, pid)
+            if m:
+                inherited.update(m.agg_counts or {})
+        track_value_counts = tuple(sorted(inherited))
+
     with shuffle_ctx:
         metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,

@@ -71,7 +71,10 @@ def cmd_ingest(args) -> int:
     metrics = ingest_change_log(
         _log_paths(args.log), args.lake, num_partitions=args.partitions,
         delta=not args.no_delta, compact_threshold=args.compact_threshold,
-        track_value_counts=tuple(args.track_counts.split(",")) if args.track_counts else (),
+        # empty flag = inherit the lake's established view (None), never an
+        # implicit drop; `--track-counts ""` has no way to request a drop —
+        # that is deliberate (dropping a view is an API-level decision)
+        track_value_counts=tuple(args.track_counts.split(",")) if args.track_counts else None,
     )
     run_id = f"{int(pc.max(metrics['last_lsn']).as_py() or 0):020d}"
     append_lineage(args.lake, metrics, run_id=run_id)

@@ -98,6 +98,25 @@ def test_view_survives_compact_and_repartition(ray_session, tmp_path):
     assert _view(lake) == _recount(lake) == expect
 
 
+def test_view_inherited_by_default(ray_session, tmp_path):
+    """A follow-on ingest with the DEFAULT track arg (None) continues the
+    lake's established view — the tail-sensor path must not drop it."""
+    w1 = _log([("a", 1, "insert", "s1"), ("b", 2, "insert", "s2")])
+    lake = _ingest(tmp_path, "mv6", [w1])  # tracked
+    w2 = _log([("c", 11, "insert", "s1")])
+    p = tmp_path / "mv6-follow.parquet"
+    pq.write_table(w2, p)
+    ingest_change_log([str(p)], lake, num_partitions=2)  # default: inherit
+    assert _view(lake) == {"s1": 2, "s2": 1}
+    # explicit () drops the view
+    w3 = _log([("d", 21, "insert", "s2")])
+    p3 = tmp_path / "mv6-drop.parquet"
+    pq.write_table(w3, p3)
+    ingest_change_log([str(p3)], lake, num_partitions=2, track_value_counts=())
+    with pytest.raises(ValueError, match="does not maintain"):
+        read_live_value_counts(lake, "source")
+
+
 def test_view_first_wins_mode(ray_session, tmp_path):
     w1 = _log([("a", 1, "insert", "s1")])
     # first_wins: the a->s2 update is a no-op; b lands
