@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "repetition_quality",
     "distinct_users_per_type",
     "tfidf_top_terms",
+    "chunk_dedup_docs",
 ]
 
 

@@ -1175,6 +1175,43 @@ def q_tfidf_top_terms(sf_dir: str):
     return text.tfidf_topk(docs, "doc_id", "text", m=3).to_pandas()
 
 
+CHUNK_K = 16
+
+
+def q_chunk_dedup_docs(sf_dir: str):
+    """Chunk-level (span) dedup with reassembly: explode 16-word chunks,
+    corpus-wide keeper = min (doc_id, chunk_idx) per distinct chunk, docs
+    re-joined in chunk order. Two coarse shuffles (chunk, then doc);
+    hash-checked against a window-function oracle."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.chunk_dedup(docs, "doc_id", "text", k=CHUNK_K,
+                             num_partitions=32).to_pandas()
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                             x -> x <> '') AS l
+  FROM documents
+), chunks AS (
+  SELECT doc_id, g.i AS chunk_idx,
+         array_to_string(l[g.i * {CHUNK_K} + 1 : (g.i + 1) * {CHUNK_K}], ' ') AS chunk
+  FROM w CROSS JOIN LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(l) / {CHUNK_K}.0) AS BIGINT))) AS i) g
+), kept AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 def q_cdc_live_counts_mv(sf_dir: str) -> pa.Table:
     """MAINTAINED AGGREGATE (materialized view), hash-checked: the lake is
     ingested in TWO windows with ``track_value_counts=("source",)`` — the
@@ -1590,6 +1627,7 @@ _QUERY_FNS = {
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
     }
 
 
@@ -1936,6 +1974,7 @@ SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY 1
 """,
+        "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
     }
 
 

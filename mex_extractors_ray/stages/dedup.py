@@ -747,3 +747,91 @@ def decontaminate(ds, bench_shingles: np.ndarray, text_col: str, key_col: str,
         batch_format="pyarrow",
         concurrency=_rt.auto_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (explode → corpus dedup → reassemble)
+# ---------------------------------------------------------------------------
+
+def explode_chunks(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 16) -> pa.Table:
+    """Split each doc into fixed ``k``-word chunks → (id, chunk_idx, chunk)
+    rows. Fully vectorized: one split, one flatten, offset arithmetic, one
+    ``binary_join`` — no per-doc Python. The last chunk of a doc may be
+    short; chunks never span docs."""
+    words = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    # drop empty words while keeping per-doc counts consistent
+    keep_np = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), lens)[keep_np]
+    flat = flat.filter(nonempty)
+    lens = np.bincount(parent, minlength=len(batch)).astype(np.int64)
+
+    n_chunks = -(-lens // k)  # ceil; 0 for empty docs
+    doc_starts = np.cumsum(lens) - lens
+    total_chunks = int(n_chunks.sum())
+    if total_chunks == 0:
+        return pa.table({id_col: batch[id_col].slice(0, 0),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    chunk_doc = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    first_chunk_of_doc = np.cumsum(n_chunks) - n_chunks
+    chunk_idx = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+        first_chunk_of_doc, n_chunks)
+    starts = doc_starts[chunk_doc] + chunk_idx * k
+    # docs are contiguous in flat space, so each chunk ends where the next
+    # starts (the last ends at the total) — one monotone offsets vector
+    offsets = np.append(starts, len(flat)).astype(np.int64)
+    # int64 offsets unconditionally — a 2^31-word batch would silently
+    # overflow int32 list offsets
+    chunk_lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+    chunks = pc.binary_join(chunk_lists, " ")
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(chunk_doc)),
+        "chunk_idx": pa.array(chunk_idx),
+        "chunk": chunks,
+    })
+
+
+def chunk_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 16, num_partitions: int = 64):
+    """Corpus-wide chunk-level dedup with reassembly — the RefinedWeb-style
+    span dedup a training pipeline runs when whole-doc dedup is too blunt
+    (boilerplate headers, license blocks, repeated paragraphs).
+
+    1. explode: (doc, chunk_idx, chunk) via :func:`explode_chunks`;
+    2. corpus dedup: one chunk shuffle, keeper = min (doc, chunk_idx) per
+       distinct chunk text (``exact_dedup`` — total order, deterministic);
+    3. reassemble: one doc shuffle, surviving chunks re-joined in
+       chunk_idx order → (doc, clean_text, n_kept).
+
+    Docs whose every chunk was dropped disappear (their content exists
+    verbatim elsewhere). Duplicate chunks WITHIN a doc dedup too (the
+    first occurrence wins corpus-wide)."""
+    exploded = ds.map_batches(
+        lambda b: explode_chunks(b, id_col, text_col, k), batch_format="pyarrow")
+    kept = exact_dedup(exploded, "chunk", order_by=[id_col, "chunk_idx"],
+                       num_partitions=num_partitions)
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(id_col, "ascending"), ("chunk_idx", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: g[id_col].slice(0, 0),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        idx = np.flatnonzero(_run_starts(t[id_col]))
+        offsets = np.append(idx, n).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), t["chunk"].combine_chunks())
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(pa.array(idx)),
+            "clean_text": pc.binary_join(lists, " "),
+            "n_kept": pa.array(np.diff(offsets)),
+        })
+
+    return _keyed_blocks(kept, id_col, reassemble, num_partitions)

@@ -66,3 +66,29 @@ def test_tfidf_log_mode(ray_session):
     # aa: tf=1, df=1 -> idf = ln(3/2)+1 > bb's ln(3/3)+1
     assert d1["word"] == "aa"
     assert abs(d1["score"] - (np.log(3 / 2) + 1)) < 1e-12
+
+
+def test_explode_chunks_edges(ray_session):
+    from mex_extractors_ray.stages.dedup import explode_chunks
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a b c d e", "", None]})
+    out = explode_chunks(t, k=2)
+    assert out["doc_id"].to_pylist() == [1, 1, 1]      # empty/null docs: no chunks
+    assert out["chunk_idx"].to_pylist() == [0, 1, 2]
+    assert out["chunk"].to_pylist() == ["a b", "c d", "e"]  # short last chunk
+
+
+def test_chunk_dedup_reassembles_and_drops(ray_session):
+    from mex_extractors_ray.stages.dedup import chunk_dedup
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        # doc2 repeats doc1's first chunk; doc3 is entirely doc1's chunks
+        "text": ["x y z w", "x y q r", "x y z w"],
+    })
+    out = {r["doc_id"]: r for r in
+           chunk_dedup(ray.data.from_arrow(t), k=2).take_all()}
+    assert out[1]["clean_text"] == "x y z w" and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "q r" and out[2]["n_kept"] == 1
+    assert 3 not in out  # every chunk seen earlier -> doc disappears
