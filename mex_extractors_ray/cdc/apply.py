@@ -222,19 +222,53 @@ def _dict_merge(prev: dict[str, int], sub: dict[str, int],
     return {k: v for k, v in out.items() if v > 0}
 
 
-def _read_file_column(pdir: Path, fname: str, col: str,
-                      registry: SchemaRegistry) -> pa.Table:
-    """(doc_id, lsn, col) of one committed file, column-pruned. A file
-    written before ``col`` existed in the registry gets the declared
+def _read_file_columns(pdir: Path, fname: str, cols: list[str],
+                       registry: SchemaRegistry) -> pa.Table:
+    """(doc_id, lsn, *cols) of one committed file, column-pruned. A file
+    written before a column existed in the registry gets the declared
     default (mirroring resolve_table's fill, so incremental and recompute
     agree)."""
     present = set(pq.read_schema(pdir / fname).names)
-    want = ["doc_id", "lsn"] + ([col] if col in present else [])
+    want = ["doc_id", "lsn"] + [c for c in cols if c in present]
     t = pq.read_table(pdir / fname, columns=want)
-    if col not in present:
-        default = registry.latest.defaults.get(col)
-        t = t.append_column(col, pa.array([default] * t.num_rows, pa.string()))
+    for c in cols:
+        if c not in present:
+            default = registry.latest.defaults.get(c)
+            t = t.append_column(c, pa.array([default] * t.num_rows, pa.string()))
     return t
+
+
+def _group_stats_dict(tbl: pa.Table, g: str, v: str) -> dict[str, list[int]]:
+    """{group: [n_rows, sum(v)]} — one Arrow hash group_by. Integer ``v``
+    only (exact arithmetic under incremental +/-)."""
+    if not pa.types.is_integer(tbl[v].type):
+        raise TypeError(
+            f"track_group_sums: value column {v!r} must be integer, got {tbl[v].type}"
+        )
+    key = pc.fill_null(pc.cast(tbl[g], pa.string()), _NULL_KEY)
+    t = pa.table({g: key, v: tbl[v]})
+    out = t.group_by(g).aggregate([(v, "sum"), ([], "count_all")])
+    return {
+        k: [int(n), int(s)]
+        for k, s, n in zip(out[g].to_pylist(), out[f"{v}_sum"].to_pylist(),
+                           out["count_all"].to_pylist())
+    }
+
+
+def _stats_merge(prev: dict[str, list[int]], sub: dict[str, list[int]],
+                 add: dict[str, list[int]]) -> dict[str, list[int]]:
+    out = {k: list(v) for k, v in prev.items()}
+    for k, (n, s) in sub.items():
+        cur = out.get(k, [0, 0])
+        out[k] = [cur[0] - n, cur[1] - s]
+    for k, (n, s) in add.items():
+        cur = out.get(k, [0, 0])
+        out[k] = [cur[0] + n, cur[1] + s]
+    bad = {k: v for k, v in out.items() if v[0] < 0}
+    if bad:
+        raise AssertionError(f"maintained group-sum count went negative: {bad}")
+    # a group prunes exactly when its last live doc goes
+    return {k: v for k, v in out.items() if v[0] > 0}
 
 
 def read_live_value_counts(lake_dir: str | Path, col: str) -> pa.Table:
@@ -263,6 +297,36 @@ def read_live_value_counts(lake_dir: str | Path, col: str) -> pa.Table:
     return pa.table({
         col: pa.array(keys, pa.string()),
         "n": pa.array([sums[k] for k in keys], pa.int64()),
+    })
+
+
+def read_live_group_sums(lake_dir: str | Path, group_col: str,
+                         value_col: str) -> pa.Table:
+    """Lake-wide ``GROUP BY group_col: COUNT(*), SUM(value_col)`` from the
+    maintained per-partition stats alone — O(P) manifest reads, zero data
+    files touched. Raises if any partition does not maintain the pair
+    (``track_group_sums=((group_col, value_col),)``)."""
+    key = f"{group_col}|{value_col}"
+    sums: dict[str, list[int]] = {}
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m is None:
+            continue
+        if key not in (m.agg_sums or {}):
+            raise ValueError(
+                f"partition {m.partition} does not maintain sums for "
+                f"({group_col!r}, {value_col!r}); ingest with "
+                f"track_group_sums=(({group_col!r}, {value_col!r}),)"
+            )
+        for k, (n, s) in m.agg_sums[key].items():
+            cur = sums.setdefault(k, [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(s)
+    keys = sorted(sums)
+    return pa.table({
+        group_col: pa.array(keys, pa.string()),
+        "n": pa.array([sums[k][0] for k in keys], pa.int64()),
+        f"sum_{value_col}": pa.array([sums[k][1] for k in keys], pa.int64()),
     })
 
 
@@ -316,10 +380,80 @@ def _metrics_row(pid: int, **kw) -> pa.Table:
     return pa.Table.from_pylist([row], schema=METRICS_SCHEMA)
 
 
+def _tracked_aggs_delta(pdir, old_files, registry, manifest, touched,
+                        old_tomb_ids, tomb_table, upsert_data,
+                        track_value_counts, track_group_sums):
+    """Incremental update of every tracked aggregate on the delta path.
+    ONE filtered, column-pruned read of the old files serves all tracked
+    items; items without prior state (first enable on an existing lake)
+    recount this partition's after-state once (self-healing)."""
+    prev_counts = (manifest.agg_counts or {}) if manifest else {}
+    prev_sums = (manifest.agg_sums or {}) if manifest else {}
+    need: set[str] = set(track_value_counts)
+    for g, v in track_group_sums:
+        need.update((g, v))
+    if not need:
+        return {}, {}
+    cols = sorted(need)
+    inc_possible = bool(manifest)
+    fresh_counts = [c for c in track_value_counts if c not in prev_counts]
+    fresh_sums = [(g, v) for g, v in track_group_sums
+                  if f"{g}|{v}" not in prev_sums]
+    tomb_arr = (tomb_table["doc_id"].combine_chunks()
+                if tomb_table.num_rows else None)
+
+    old_live_touched = None
+    if inc_possible and (len(fresh_counts) < len(track_value_counts)
+                         or len(fresh_sums) < len(track_group_sums)):
+        parts = []
+        for f in old_files:
+            t = _read_file_columns(pdir, f, cols, registry)
+            parts.append(t.filter(pc.is_in(t["doc_id"], value_set=touched)))
+        old_live_touched = _reduce_per_doc(pa.concat_tables(parts), "last_wins")
+        if old_tomb_ids.num_rows:
+            old_live_touched = old_live_touched.filter(
+                pc.invert(pc.is_in(
+                    old_live_touched["doc_id"],
+                    value_set=old_tomb_ids["doc_id"].combine_chunks(),
+                ))
+            )
+    full_after = None
+    if fresh_counts or fresh_sums:
+        full_after = merge_live(
+            [_read_file_columns(pdir, f, cols, registry) for f in old_files]
+            + [upsert_data.select(["doc_id", "lsn", *cols])],
+            tomb_arr,
+        )
+
+    agg_counts: dict = {}
+    for c in track_value_counts:
+        if c in prev_counts:
+            agg_counts[c] = _dict_merge(
+                prev_counts[c],
+                _value_counts_dict(old_live_touched[c]),
+                _value_counts_dict(upsert_data[c]),
+            )
+        else:
+            agg_counts[c] = _value_counts_dict(full_after[c])
+    agg_sums: dict = {}
+    for g, v in track_group_sums:
+        key = f"{g}|{v}"
+        if key in prev_sums:
+            agg_sums[key] = _stats_merge(
+                prev_sums[key],
+                _group_stats_dict(old_live_touched, g, v),
+                _group_stats_dict(upsert_data, g, v),
+            )
+        else:
+            agg_sums[key] = _group_stats_dict(full_after, g, v)
+    return agg_counts, agg_sums
+
+
 def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
                     mode: str = "last_wins", delta: bool = True,
                     compact_threshold: int = 8,
-                    track_value_counts: tuple = ()) -> pa.Table:
+                    track_value_counts: tuple = (),
+                    track_group_sums: tuple = ()) -> pa.Table:
     """Merge one partition's change events into its lake state (one call per
     pid per run; returns a one-row metrics table).
 
@@ -444,42 +578,15 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             else watermark
         )
         # ---- maintained aggregates, incremental update ------------------
-        # new = prev − counts(old values of touched∩old-live docs)
-        #            + counts(values of this window's surviving upserts).
-        # Resurrections: not in old-live → no sub, in upserts → +1. Deletes
+        # new = prev − stats(old values of touched∩old-live docs)
+        #            + stats(values of this window's surviving upserts).
+        # Resurrections: not in old-live → no sub, in upserts → add. Deletes
         # of non-live docs: neither side. first_wins: touched = new docs
         # only, so sub is structurally empty (existing docs immutable).
-        agg_counts: dict = {}
-        prev_aggs = (manifest.agg_counts or {}) if manifest else {}
-        for c in track_value_counts:
-            add = _value_counts_dict(upsert_data[c])
-            if c in prev_aggs:
-                parts = []
-                for f in old_files:
-                    t = _read_file_column(pdir, f, c, registry)
-                    parts.append(t.filter(pc.is_in(t["doc_id"], value_set=touched)))
-                old_live_touched = _reduce_per_doc(pa.concat_tables(parts), "last_wins")
-                if old_tomb_ids.num_rows:
-                    old_live_touched = old_live_touched.filter(
-                        pc.invert(pc.is_in(
-                            old_live_touched["doc_id"],
-                            value_set=old_tomb_ids["doc_id"].combine_chunks(),
-                        ))
-                    )
-                sub = _value_counts_dict(old_live_touched[c])
-                agg_counts[c] = _dict_merge(prev_aggs[c], sub, add)
-            else:
-                # first-enable on an existing lake: one full recount of
-                # this partition's after-state (self-healing; incremental
-                # from the next window on)
-                full = merge_live(
-                    [
-                        _read_file_column(pdir, f, c, registry)
-                        for f in old_files
-                    ] + [upsert_data.select(["doc_id", "lsn", c])],
-                    tomb_table["doc_id"].combine_chunks() if tomb_table.num_rows else None,
-                )
-                agg_counts[c] = _value_counts_dict(full[c])
+        agg_counts, agg_sums = _tracked_aggs_delta(
+            pdir, old_files, registry, manifest, touched, old_tomb_ids,
+            tomb_table, upsert_data, track_value_counts, track_group_sums,
+        )
     else:
         # ---- fold path: merge base + deltas + this window into one base
         tables = [
@@ -500,6 +607,8 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # fold: the full live state is in hand — recount directly
         # (self-healing: any drift in the incremental path is erased here)
         agg_counts = {c: _value_counts_dict(data_tbl[c]) for c in track_value_counts}
+        agg_sums = {f"{g}|{v}": _group_stats_dict(data_tbl, g, v)
+                    for g, v in track_group_sums}
 
     # phase 1: deterministic files (tmp + atomic rename to tolerate concurrent retries)
     import os
@@ -530,6 +639,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             delete_logs=delete_logs,
             history_floor=history_floor,
             agg_counts=agg_counts,
+            agg_sums=agg_sums,
         ),
     )
     return _metrics_row(
@@ -563,6 +673,7 @@ def ingest_change_log(
     compact_threshold: int = 8,
     skip_sources: list[str] | None = None,
     track_value_counts: tuple | None = None,
+    track_group_sums: tuple | None = None,
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
 
@@ -624,20 +735,27 @@ def ingest_change_log(
         if shuffle == "hash"
         else contextlib.nullcontext()
     )
-    if track_value_counts is None:
-        # inherit: continue whatever view the lake already maintains
-        inherited: set[str] = set()
+    if track_value_counts is None or track_group_sums is None:
+        # inherit: continue whatever views the lake already maintains
+        inh_counts: set[str] = set()
+        inh_sums: set[tuple[str, str]] = set()
         for pid in _manifested_pids(lake_dir):
             m = read_manifest(lake_dir, pid)
             if m:
-                inherited.update(m.agg_counts or {})
-        track_value_counts = tuple(sorted(inherited))
+                inh_counts.update(m.agg_counts or {})
+                inh_sums.update(
+                    tuple(k.split("|", 1)) for k in (m.agg_sums or {})
+                )
+        if track_value_counts is None:
+            track_value_counts = tuple(sorted(inh_counts))
+        if track_group_sums is None:
+            track_group_sums = tuple(sorted(inh_sums))
 
     with shuffle_ctx:
         metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
             resolve_concurrency, mode, delta, compact_threshold, skip_sources,
-            track_value_counts,
+            track_value_counts, track_group_sums,
         )
         # lake-level completion record: written only after EVERY partition
         # committed. A crash mid-ingest leaves some manifests ahead of this
@@ -659,7 +777,7 @@ def ingest_change_log(
 def _run_ingest(
     log_paths, lake_dir, num_partitions, registry_json, batch_size,
     resolve_concurrency, mode="last_wins", delta=True, compact_threshold=8,
-    skip_sources=None, track_value_counts=(),
+    skip_sources=None, track_value_counts=(), track_group_sums=(),
 ) -> pa.Table:
     import ray.data
 
@@ -690,6 +808,7 @@ def _run_ingest(
         apply_partition, lake_dir=str(lake_dir), registry_json=registry_json, mode=mode,
         delta=delta, compact_threshold=compact_threshold,
         track_value_counts=tuple(track_value_counts),
+        track_group_sums=tuple(tuple(p) for p in track_group_sums),
     )
     try:
         # shuffle on `_shard` (bijective pid relabeling) — one group per

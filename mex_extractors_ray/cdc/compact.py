@@ -54,7 +54,11 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
     pdir = partition_dir(lake_dir, pid)
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
     # delta fold: last-wins across base+deltas, minus tombstoned docs
-    from mex_extractors_ray.cdc.apply import _read_partition_live, _value_counts_dict
+    from mex_extractors_ray.cdc.apply import (
+        _group_stats_dict,
+        _read_partition_live,
+        _value_counts_dict,
+    )
 
     merged = _read_partition_live(pdir, m, registry, cols)
     name = f"part-{pid:05d}-{m.last_lsn:020d}.parquet"
@@ -81,6 +85,10 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             # merged table is in hand — self-healing, like the apply fold)
             agg_counts={
                 c: _value_counts_dict(merged[c]) for c in (m.agg_counts or {})
+            },
+            agg_sums={
+                k: _group_stats_dict(merged, *k.split("|", 1))
+                for k in (m.agg_sums or {})
             },
         ),
     )
@@ -222,6 +230,7 @@ def repartition_lake(
     import ray.data
 
     from mex_extractors_ray.cdc.apply import read_lake, resolve_and_partition
+    from mex_extractors_ray.cdc.apply import _group_stats_dict as _gsd
     from mex_extractors_ray.cdc.apply import _value_counts_dict as _vcd
 
     registry = registry or sequence_registry()
@@ -257,7 +266,9 @@ def repartition_lake(
             tomb_files.append(str(partition_dir(old, p) / m.tombstone_file))
         if m:
             tracked_cols.update(m.agg_counts or {})
-    tracked = tuple(sorted(tracked_cols))
+            tracked_cols.update(f"sums:{k}" for k in (m.agg_sums or {}))
+    tracked = tuple(sorted(c for c in tracked_cols if not c.startswith("sums:")))
+    tracked_sums = tuple(sorted(c[5:] for c in tracked_cols if c.startswith("sums:")))
 
     new = Path(str(lake_dir) + f".repart-{new_num_partitions}")
     if new.exists():
@@ -298,6 +309,7 @@ def repartition_lake(
                 # history is squashed, exactly like a fold
                 history_floor=watermark,
                 agg_counts={c: _vcd(t[c]) for c in tracked},
+                agg_sums={k: _gsd(t, *k.split("|", 1)) for k in tracked_sums},
             ),
         )
         return pa.table({"partition": pa.array([pid], pa.int32()), "rows": pa.array([t.num_rows], pa.int64())})
@@ -335,9 +347,10 @@ def repartition_lake(
                 partition=pid, last_lsn=watermark, files=[],
                 schema_version=SchemaRegistry.from_json(rj).latest_version,
                 history_floor=watermark,
-                # tombstone-only partition: zero live docs, but the view
+                # tombstone-only partition: zero live docs, but the views
                 # must stay answerable for the tracked columns
                 agg_counts={c: {} for c in tracked},
+                agg_sums={k: {} for k in tracked_sums},
             )
             m.tombstone_file = name
             m.tombstone_count = tt.num_rows

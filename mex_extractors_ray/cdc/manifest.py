@@ -58,6 +58,11 @@ class PartitionManifest:
     # manifests without touching a data file. Bounded-cardinality columns
     # only (the bounded-vocab contract). Empty = tracking off.
     agg_counts: dict = field(default_factory=dict)
+    # grouped SUM views: {"group_col|value_col": {group: [n_docs, sum]}} —
+    # count and sum kept together so a group prunes exactly when its last
+    # live doc goes (a sum alone cannot distinguish "empty" from "sums to
+    # zero"). Integer value columns only (exact +/- arithmetic).
+    agg_sums: dict = field(default_factory=dict)
     write_completed_at: str = ""  # informational only; excluded from equality checks
 
     def to_json(self) -> str:

@@ -169,13 +169,28 @@ def cmd_compact(args) -> int:
 
 def cmd_counts(args) -> int:
     # manifest-only read: no Ray session needed
-    from mex_extractors_ray.cdc.apply import read_live_value_counts
+    from mex_extractors_ray.cdc.apply import (
+        read_live_group_sums,
+        read_live_value_counts,
+    )
 
-    t = read_live_value_counts(args.lake, args.column)
-    print(json.dumps({
-        "column": args.column,
-        "counts": dict(zip(t[args.column].to_pylist(), t["n"].to_pylist())),
-    }))
+    if args.sum:
+        t = read_live_group_sums(args.lake, args.column, args.sum)
+        print(json.dumps({
+            "column": args.column, "sum": args.sum,
+            "groups": {
+                k: {"n": n, f"sum_{args.sum}": s}
+                for k, n, s in zip(t[args.column].to_pylist(),
+                                   t["n"].to_pylist(),
+                                   t[f"sum_{args.sum}"].to_pylist())
+            },
+        }))
+    else:
+        t = read_live_value_counts(args.lake, args.column)
+        print(json.dumps({
+            "column": args.column,
+            "counts": dict(zip(t[args.column].to_pylist(), t["n"].to_pylist())),
+        }))
     return 0
 
 
@@ -260,6 +275,9 @@ def main(argv: list[str] | None = None) -> int:
     co = sub.add_parser("counts")
     co.add_argument("--lake", required=True)
     co.add_argument("--column", default="source")
+    co.add_argument("--sum", default="",
+                    help="also read SUM(<col>) per group from the "
+                         "maintained grouped-sum view")
     co.set_defaults(fn=cmd_counts)
 
     ao = sub.add_parser("asof")

@@ -126,7 +126,8 @@ def build_cdc_lake(sf_dir: str, mode: str = "last_wins", windows: int = 1) -> Pa
             paths.append(str(p))
         last_metrics = ingest_change_log(
             paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode,
-            track_value_counts=("source",))
+            track_value_counts=("source",),
+            track_group_sums=(("source", "n_tok"),))
     from mex_extractors_ray.state.checks import append_lineage
 
     append_lineage(lake_dir, last_metrics,
@@ -1217,13 +1218,15 @@ def q_cdc_live_counts_mv(sf_dir: str) -> pa.Table:
     ingested in TWO windows with ``track_value_counts=("source",)`` — the
     second window updates each partition's per-source live counts
     INCREMENTALLY (prev − old-values-of-touched + new-values) in the same
-    atomic manifest commit as the data — then the lake-wide GROUP BY is
-    answered from the P manifests alone, zero data files read. The oracle
-    recomputes the counts from the closed-form log."""
-    from mex_extractors_ray.cdc.apply import read_live_value_counts
+    atomic manifest commit as the data — then the lake-wide
+    ``GROUP BY source: COUNT(*), SUM(n_tok)`` is answered from the P
+    manifests alone, zero data files read. The oracle recomputes both
+    aggregates from the closed-form log."""
+    from mex_extractors_ray.cdc.apply import read_live_group_sums
 
     lake = build_cdc_lake(sf_dir, windows=2)
-    return read_live_value_counts(lake, "source").rename_columns(["source", "n_docs"])
+    t = read_live_group_sums(lake, "source", "n_tok")
+    return t.rename_columns(["source", "n_docs", "sum_n_tok"])
 
 
 def q_cdc_asof_state(sf_dir: str) -> pa.Table:
@@ -1970,7 +1973,8 @@ GROUP BY b.bracket
         "tfidf_top_terms": text.tfidf_sql(m=3),
         "cdc_live_counts_mv": _CDC_RANKED_SQL + """
 SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(8 + (lsn % 120)) AS BIGINT) AS sum_n_tok
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY 1
 """,

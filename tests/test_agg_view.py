@@ -10,33 +10,37 @@ import pytest
 from mex_extractors_ray.cdc.apply import (
     ingest_change_log,
     read_lake_arrow,
+    read_live_group_sums,
     read_live_value_counts,
 )
 
 TRACK = ("source",)
+TRACK_SUMS = (("source", "n_tok"),)
 
 
 def _log(rows) -> pa.Table:
-    """rows: (doc_id, lsn, op, source)"""
+    """rows: (doc_id, lsn, op, source[, n_tok])"""
     return pa.table({
         "doc_id": pa.array([r[0] for r in rows]),
         "lsn": pa.array([r[1] for r in rows], pa.int64()),
         "op": pa.array([r[2] for r in rows]),
         "source": pa.array([r[3] for r in rows]),
         "lang": pa.array(["de"] * len(rows)),
-        "n_tok": pa.array([1] * len(rows), pa.int32()),
+        "n_tok": pa.array([r[4] if len(r) > 4 else 1 for r in rows], pa.int32()),
         "tokens": pa.array([[7]] * len(rows), pa.list_(pa.int64())),
         "schema_version": pa.array([3] * len(rows), pa.int32()),
     })
 
 
-def _ingest(tmp_path, name, tables, track=TRACK, mode="last_wins"):
+def _ingest(tmp_path, name, tables, track=TRACK, mode="last_wins",
+            track_sums=TRACK_SUMS):
     lake = tmp_path / name
     for i, t in enumerate(tables):
         p = tmp_path / f"{name}-log{i}.parquet"
         pq.write_table(t, p)
         ingest_change_log([str(p)], lake, num_partitions=2,
-                          track_value_counts=track, mode=mode)
+                          track_value_counts=track, mode=mode,
+                          track_group_sums=track_sums)
     return lake
 
 
@@ -62,6 +66,48 @@ def test_view_tracks_inserts_updates_deletes_resurrections(ray_session, tmp_path
     w3 = _log([("b", 21, "update", "s3"), ("c", 22, "delete", "s2")])
     lake = _ingest(tmp_path, "mv1", [w1, w2, w3])
     assert _view(lake) == _recount(lake) == {"s2": 1, "s3": 2}
+
+
+def test_group_sums_track_updates_deletes_moves(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1", 10), ("b", 2, "insert", "s1", 20),
+               ("c", 3, "insert", "s2", 5)])
+    # a's n_tok changes 10->7; b moves to s2 with 30; c deleted
+    w2 = _log([("a", 11, "update", "s1", 7), ("b", 12, "update", "s2", 30),
+               ("c", 13, "delete", "s2", 0)])
+    lake = _ingest(tmp_path, "gs1", [w1, w2])
+    t = read_live_group_sums(lake, "source", "n_tok")
+    got = {r["source"]: (r["n"], r["sum_n_tok"]) for r in t.to_pylist()}
+    assert got == {"s1": (1, 7), "s2": (1, 30)}
+    # cross-check against a full recompute
+    live = read_lake_arrow(lake)
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0])
+    for s, n in zip(live["source"].to_pylist(), live["n_tok"].to_pylist()):
+        exp[s][0] += 1
+        exp[s][1] += n
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_group_sums_survive_compact_repartition_and_inherit(ray_session, tmp_path):
+    w1 = _log([("a", 1, "insert", "s1", 10), ("b", 2, "insert", "s2", 20)])
+    lake = _ingest(tmp_path, "gs2", [w1])
+    w2 = _log([("c", 11, "insert", "s2", 40)])
+    p = tmp_path / "gs2-follow.parquet"
+    pq.write_table(w2, p)
+    ingest_change_log([str(p)], lake, num_partitions=2)  # default: inherit both views
+    expect = {"s1": (1, 10), "s2": (2, 60)}
+
+    def got():
+        t = read_live_group_sums(lake, "source", "n_tok")
+        return {r["source"]: (r["n"], r["sum_n_tok"]) for r in t.to_pylist()}
+
+    assert got() == expect
+    from mex_extractors_ray.cdc.compact import compact, repartition_lake
+
+    compact(lake)
+    assert got() == expect
+    repartition_lake(lake, 4)
+    assert got() == expect
 
 
 def test_view_idempotent_under_replay(ray_session, tmp_path):
