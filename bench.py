@@ -189,6 +189,33 @@ def run_bench() -> dict:
             "base_bytes_untouched": base_bytes,
         }
 
+        # maintained-view cost/benefit at this scale: enable on the live
+        # lake (first-enable recounts each partition from column-pruned
+        # reads), keep it fresh through one more delta window
+        # (incremental), then answer the lake-wide GROUP BY from
+        # manifests alone.
+        from mex_extractors_ray.cdc.apply import read_live_group_sums
+
+        wm2 = wm + 1 + tail_n
+        mv1_paths = ensure_log(tail_n, n_docs, seed=11, lsn_start=wm2)
+        t0 = time.time()
+        ingest_change_log(mv1_paths, lake, num_partitions=num_partitions,
+                          track_group_sums=(("source", "n_tok"),))
+        mv_enable_sec = time.time() - t0
+        mv2_paths = ensure_log(tail_n, n_docs, seed=13, lsn_start=wm2 + tail_n)
+        t0 = time.time()
+        ingest_change_log(mv2_paths, lake, num_partitions=num_partitions)
+        mv_incr_sec = time.time() - t0
+        t0 = time.time()
+        mv_tbl = read_live_group_sums(lake, "source", "n_tok")
+        mv_read_sec = time.time() - t0
+        tail["mv"] = {
+            "enable_window_sec": round(mv_enable_sec, 3),
+            "incremental_window_sec": round(mv_incr_sec, 3),
+            "read_sec": round(mv_read_sec, 4),
+            "groups": mv_tbl.num_rows,
+        }
+
     from mex_extractors_ray.pipelines import catalog
 
     qtimes: dict[str, float] = {}
