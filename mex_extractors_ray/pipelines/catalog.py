@@ -1505,6 +1505,30 @@ WHERE cum >= CEIL({q} * (SELECT COUNT(n_chars) FROM documents))
     return " UNION ALL ".join(legs)
 
 
+HSQ_K = 512
+
+
+def q_value_quantiles_sampled(sf_dir: str):
+    """Approximate quantiles of the UNBOUNDED events.value double via a
+    deterministic fmix64 hash sample: the k globally-smallest shuffle keys
+    form a uniform k-sample that is a pure function of (event_id, seed),
+    so DuckDB recomputes the identical sample and the APPROXIMATE result
+    is hash-checked exactly. Per-batch k-smallest partials bound wire
+    traffic to k rows per block; finalize is O(k) on the driver."""
+    from mex_extractors_ray.stages.shuffle import hash_sample_quantiles
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return hash_sample_quantiles(ev, "event_id", "value", k=HSQ_K,
+                                 qs=QUANTILE_QS, seed=EPOCH_SEED).to_pandas()
+
+
+def _value_quantiles_sampled_oracle() -> str:
+    from mex_extractors_ray.stages.shuffle import hash_sample_quantiles_sql
+
+    return hash_sample_quantiles_sql("events", "event_id", "value",
+                                     HSQ_K, QUANTILE_QS, seed=EPOCH_SEED)
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1626,6 +1650,7 @@ _QUERY_FNS = {
         "sampled_per_source": q_sampled_per_source,
         "word_topk": q_word_topk,
         "nchar_quantiles": q_nchar_quantiles,
+        "value_quantiles_sampled": q_value_quantiles_sampled,
         "cdc_asof_state": q_cdc_asof_state,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1968,6 +1993,7 @@ GROUP BY b.bracket
         "sampled_per_source": _sampled_per_source_oracle(),
         "word_topk": _WORD_TOPK_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
+        "value_quantiles_sampled": _value_quantiles_sampled_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),

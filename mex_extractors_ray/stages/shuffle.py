@@ -94,3 +94,77 @@ FROM (SELECT *, {_mulmod64_sql('s4', _C2)} AS s5
                                             CAST({salt} AS UBIGINT)) AS s1
                               FROM {table})))))
 )"""
+
+
+def hash_sample_quantiles(ds, id_col: str, value_col: str, k: int = 2048,
+                          qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                          seed: int = 0, epoch: int = 0) -> "pa.Table":
+    """Approximate quantiles of an UNBOUNDED (float or wide-int) column via
+    a DETERMINISTIC uniform sample — the k rows with the globally smallest
+    fmix64 shuffle keys. fmix64 is a bijection with avalanche, so ranking
+    by it over distinct row ids is a uniform permutation: the k-smallest-
+    key rows are a uniform k-sample, and — unlike reservoir sampling — a
+    pure function of (ids, seed, epoch). That makes this APPROXIMATE
+    operator EXACTLY oracle-checkable: DuckDB recomputes the identical
+    sample (``hash_sample_quantiles_sql``) and must match bit-for-bit.
+
+    DKW bound: sup-norm CDF error ≤ sqrt(ln(2/δ)/(2k)) w.p. 1−δ — k=2048
+    gives ±3% rank error at δ=1%. Complements ``aggregates.
+    bounded_quantiles`` (exact, but bounded-cardinality values only).
+
+    Scale shape: per-batch k-smallest partial (≤ k rows per batch cross
+    the wire), one small sort+limit over partials, O(k) driver finalize.
+    Null values are excluded (both sides)."""
+    import pyarrow.compute as pc
+
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"hash_sample_quantiles: q={q} outside (0, 1]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        ids = np.asarray(
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+            dtype=np.int64,
+        )
+        keys = shuffle_keys(ids, seed, epoch)
+        out = pa.table({"shuffle_key": pa.array(keys), "v": t[value_col]})
+        return out.sort_by([("shuffle_key", "ascending")]).slice(0, k)
+
+    sample = (ds.map_batches(partial, batch_format="pyarrow")
+              .sort("shuffle_key").limit(k).take_all())  # ≤ k rows on the driver
+    vals = np.sort(np.array([r["v"] for r in sample]))
+    n = len(vals)
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = int(np.ceil(q * n))
+        out_q.append(int(round(q * 100)))
+        out_v.append(vals[rank - 1])
+    return pa.table({"q_c100": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
+def hash_sample_quantiles_sql(table: str, id_col: str, value_col: str,
+                              k: int, qs: tuple[float, ...],
+                              seed: int = 0, epoch: int = 0) -> str:
+    """DuckDB mirror: identical deterministic sample (fmix64 order, LIMIT k
+    over non-null values), identical nearest-rank finalize."""
+    mirror = epoch_shuffle_sql(
+        f"(SELECT {id_col}, {value_col} FROM {table} "
+        f"WHERE {value_col} IS NOT NULL)", id_col, seed, epoch)
+    legs = [f"""
+SELECT CAST({int(round(q * 100))} AS BIGINT) AS q_c100,
+       CAST(value AS DOUBLE) AS value
+FROM o, nn WHERE rn = CEIL({q} * n)""" for q in qs]
+    return (
+        f"""
+WITH smp AS (SELECT {value_col} AS value FROM {mirror}
+             ORDER BY shuffle_key LIMIT {k}),
+     o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM smp),
+     nn AS (SELECT COUNT(*) AS n FROM smp)
+"""
+        + " UNION ALL ".join(legs)
+    )

@@ -177,3 +177,33 @@ def test_bounded_quantiles_nearest_rank(ray_session):
     assert dict(zip(out["q_c100"], out["value"])) == {50: 5, 90: 34, 100: 34}
     with pytest.raises(ValueError):
         bounded_quantiles(_ds(t), "x", (0.0,))
+
+
+def test_hash_sample_quantiles_matches_duckdb(ray_session):
+    """The deterministic hash sample (k smallest fmix64 keys) and the
+    nearest-rank finalize are bit-identical to the SQL mirror, including
+    null exclusion and k >= n (sample = whole table = exact quantiles)."""
+    import duckdb
+
+    from mex_extractors_ray.stages.shuffle import (
+        hash_sample_quantiles, hash_sample_quantiles_sql)
+
+    rng = np.random.default_rng(3)
+    n = 500
+    vals = rng.normal(size=n).tolist()
+    vals[7] = None
+    vals[480] = None
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    for k in (64, 10_000):  # sub-sample and k >= n (exact) regimes
+        out = hash_sample_quantiles(
+            _ds(t), "id", "v", k=k, qs=(0.25, 0.5, 0.9), seed=5).to_pandas()
+        sql = hash_sample_quantiles_sql("t", "id", "v", k,
+                                        (0.25, 0.5, 0.9), seed=5)
+        exp = duckdb.connect().execute(sql).df()
+        got = out.sort_values("q_c100").reset_index(drop=True)
+        exp = exp.sort_values("q_c100").reset_index(drop=True)
+        assert got["q_c100"].tolist() == exp["q_c100"].tolist()
+        assert np.allclose(got["value"], exp["value"], atol=0)
+    with pytest.raises(ValueError):
+        hash_sample_quantiles(_ds(t), "id", "v", qs=(1.5,))
