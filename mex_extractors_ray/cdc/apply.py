@@ -49,6 +49,7 @@ import pyarrow.parquet as pq
 from mex_extractors_ray.cdc.manifest import (
     PartitionManifest,
     commit_manifest,
+    file_window_ends,
     partition_dir,
     read_manifest,
     sha256_file,
@@ -570,8 +571,13 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # snapshot forgets them on resurrect/overwrite); floor freezes at
         # the last fold's watermark
         delete_logs = list(manifest.delete_logs) if manifest else []
+        delete_log_lsns = (
+            file_window_ends(delete_logs, manifest.delete_log_lsns) if manifest else []
+        )
         if deletes.num_rows:
             delete_logs = delete_logs + [dlog_name]
+            delete_log_lsns = delete_log_lsns + [last_lsn]
+        file_lsns = file_window_ends(old_files, manifest.file_lsns if manifest else []) + [last_lsn]
         history_floor = (
             manifest.history_floor
             if manifest and manifest.history_floor != -2
@@ -601,8 +607,19 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # a RE-fold squashes history: as-of below it is unanswerable and
         # prior delete logs are GC'd. A FIRST write (no prior manifest) is
         # a fold of nothing — state before it was empty, which the as-of
-        # lsn filter reproduces exactly, so no floor (-1).
-        delete_logs = []
+        # lsn filter reproduces exactly, so no floor (-1). Its window's
+        # delete WINNERS do get a log: every base row is then a window-1
+        # winner, so the change feed (read_changes) is exact from any
+        # ``since`` for this partition — without the log, first-window
+        # deletes would be invisible once a later upsert erased their
+        # tombstone entry.
+        if manifest is None and deletes.num_rows:
+            delete_logs = [dlog_name]
+            delete_log_lsns = [last_lsn]
+        else:
+            delete_logs = []
+            delete_log_lsns = []
+        file_lsns = [last_lsn]
         history_floor = last_lsn if manifest else -1
         # fold: the full live state is in hand — recount directly
         # (self-healing: any drift in the incremental path is erased here)
@@ -637,6 +654,8 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             row_count=row_count,
             tombstone_count=tomb_table.num_rows,
             delete_logs=delete_logs,
+            file_lsns=file_lsns,
+            delete_log_lsns=delete_log_lsns,
             history_floor=history_floor,
             agg_counts=agg_counts,
             agg_sums=agg_sums,
@@ -994,5 +1013,139 @@ def read_lake_asof(lake_dir: str | Path, lsn: int,
         return pa.concat_tables(out) if out else pa.schema(
             [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
         ).empty_table().select(cols)
+
+    return ray.data.from_items(pids).map_batches(load, batch_size=1, batch_format="numpy")
+
+# ---------------------------------------------------------------------------
+# change data feed — incremental consumption of the lake's own history
+# ---------------------------------------------------------------------------
+
+
+def _changes_schema(registry: SchemaRegistry) -> pa.Schema:
+    return pa.schema(
+        [*registry.latest.to_arrow(), pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+    )
+
+
+def _read_partition_changes(pdir: Path, manifest: PartitionManifest,
+                            registry: SchemaRegistry, cols: list[str],
+                            since: int) -> pa.Table:
+    """All change effects of one partition with ``lsn > since``, at
+    ingest-window granularity (window winners; intra-window supersessions
+    were never committed): upserts from delta files, deletes from the
+    append-only delete logs — each row tagged ``op`` in {upsert, delete},
+    delete rows carrying null payload columns.
+
+    File selection is manifest-only (the ``file_lsns`` zone map): a file
+    whose window end is ≤ ``since`` is never opened, so a tail consumer
+    polling a 100-TB lake reads bytes ∝ its lag, not lake size.
+
+    Horizon: a fold squashes window winners into the base (and fold-window
+    delete events have no log), so ``since`` must be ≥ the partition's feed
+    floor — the newest fold's watermark."""
+    ends = file_window_ends(manifest.files, manifest.file_lsns)
+    floor = manifest.history_floor
+    if floor == -2:
+        feed_floor = manifest.last_lsn
+    elif floor == -1:
+        # never re-folded: every base row is a first-window winner and the
+        # first window's delete winners have a log — exact from any since
+        feed_floor = -1
+    else:
+        feed_floor = floor
+    if since < feed_floor:
+        raise ValueError(
+            f"read_changes: partition {manifest.partition} feed floor is "
+            f"{feed_floor} (a fold squashed earlier windows); cannot serve "
+            f"changes since {since}"
+        )
+    out_schema = _changes_schema(registry)
+    cutoff = pa.scalar(since, pa.int64())
+    parts = []
+    ups = []
+    for f, end in zip(manifest.files, ends):
+        if end <= since:
+            continue  # pruned from the manifest alone — file never opened
+        t = registry.resolve_table(pq.read_table(pdir / f)).select(cols)
+        t = t.filter(pc.greater(t["lsn"], cutoff))
+        if t.num_rows:
+            ups.append(t)
+    if ups:
+        u = pa.concat_tables(ups)
+        parts.append(
+            u.append_column("op", pa.array(["upsert"] * u.num_rows)).cast(out_schema)
+        )
+    dls = []
+    for f, end in zip(manifest.delete_logs,
+                      file_window_ends(manifest.delete_logs, manifest.delete_log_lsns)):
+        if end <= since or not (pdir / f).exists():
+            continue
+        d = pq.read_table(pdir / f)
+        d = d.filter(pc.greater(d["lsn"], cutoff))
+        if d.num_rows:
+            dls.append(d)
+    if dls:
+        d = pa.concat_tables(dls)
+        arrays = []
+        for field in out_schema:
+            if field.name == "doc_id":
+                arrays.append(d["doc_id"].combine_chunks().cast(field.type))
+            elif field.name == "lsn":
+                arrays.append(d["lsn"].combine_chunks())
+            elif field.name == "op":
+                arrays.append(pa.array(["delete"] * d.num_rows))
+            else:
+                arrays.append(pa.nulls(d.num_rows, field.type))
+        parts.append(pa.Table.from_arrays(arrays, schema=out_schema))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)
+
+
+def read_changes_arrow(lake_dir: str | Path, since: int,
+                       registry: SchemaRegistry | None = None) -> pa.Table:
+    """Driver-side change feed, sorted by (lsn, doc_id) — tests/oracles."""
+    registry = registry or sequence_registry()
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    parts = []
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m:
+            parts.append(
+                _read_partition_changes(partition_dir(lake_dir, pid), m, registry, cols, since)
+            )
+    if not parts:
+        return _changes_schema(registry).empty_table()
+    return pa.concat_tables(parts).sort_by(
+        [("lsn", "ascending"), ("doc_id", "ascending")]
+    )
+
+
+def read_changes(lake_dir: str | Path, since: int,
+                 registry: SchemaRegistry | None = None):
+    """Distributed change feed (Delta-CDF analog): one task per partition,
+    no shuffle; each task prunes its files by the manifest ``file_lsns``
+    zone map before opening anything. The downstream-consumer primitive:
+    incremental ETL off the lake reads bytes ∝ lag."""
+    import ray.data
+
+    registry = registry or sequence_registry()
+    registry_json = registry.to_json()
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    pids = _manifested_pids(lake_dir)
+    if not pids:
+        return ray.data.from_arrow(_changes_schema(registry).empty_table())
+    lake = str(lake_dir)
+
+    def load(batch: dict) -> pa.Table:
+        reg = SchemaRegistry.from_json(registry_json)
+        out = []
+        for pid in batch["item"]:
+            m = read_manifest(lake, int(pid))
+            if m:
+                out.append(
+                    _read_partition_changes(partition_dir(lake, int(pid)), m, reg, cols, since)
+                )
+        return pa.concat_tables(out) if out else _changes_schema(reg).empty_table()
 
     return ray.data.from_items(pids).map_batches(load, batch_size=1, batch_format="numpy")

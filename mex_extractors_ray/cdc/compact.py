@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 from mex_extractors_ray.cdc.manifest import (
     PartitionManifest,
     commit_manifest,
+    file_window_ends,
     partition_dir,
     read_manifest,
     sha256_file,
@@ -81,6 +82,7 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             # a compaction is a fold: history below the watermark is
             # squashed and the delete logs are GC'd by commit_manifest
             history_floor=m.last_lsn,
+            file_lsns=[m.last_lsn],
             # maintained aggregates recounted from the folded state (the
             # merged table is in hand — self-healing, like the apply fold)
             agg_counts={
@@ -308,6 +310,7 @@ def repartition_lake(
                 # repartition rewrites live state at the watermark —
                 # history is squashed, exactly like a fold
                 history_floor=watermark,
+                file_lsns=[watermark],
                 agg_counts={c: _vcd(t[c]) for c in tracked},
                 agg_sums={k: _gsd(t, *k.split("|", 1)) for k in tracked_sums},
             ),

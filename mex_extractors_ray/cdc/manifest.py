@@ -47,6 +47,13 @@ class PartitionManifest:
     # that AS-OF reads need (the tombstone_file is a point-in-time SNAPSHOT:
     # resurrections erase entries, newer deletes overwrite lsn)
     delete_logs: list[str] = field(default_factory=list)
+    # window-end LSN per entry of ``files`` / ``delete_logs`` (same order):
+    # the zone map that lets the CHANGE FEED (``read_changes``) select files
+    # by LSN range from the manifest alone — zero data files opened for
+    # pruning. Older manifests lack these; ``file_window_ends`` falls back
+    # to the deterministic ``*-{lsn:020d}.parquet`` name contract.
+    file_lsns: list[int] = field(default_factory=list)
+    delete_log_lsns: list[int] = field(default_factory=list)
     # time-travel horizon: the watermark of the newest FOLD (history at or
     # below it is squashed into the base). -2 = unknown (manifest written by
     # a pre-feature engine or a compactor) — readers treat it as last_lsn,
@@ -67,6 +74,19 @@ class PartitionManifest:
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1, sort_keys=True)
+
+
+def _lsn_from_name(fname: str) -> int:
+    """Window-end LSN from the deterministic ``*-{lsn:020d}.parquet`` name."""
+    return int(Path(fname).stem.rsplit("-", 1)[-1])
+
+
+def file_window_ends(names: list[str], lsns: list[int]) -> list[int]:
+    """Per-file window-end LSNs: the recorded list when complete, else the
+    name-contract fallback (manifests written before ``file_lsns`` existed)."""
+    if len(lsns) == len(names):
+        return list(lsns)
+    return [_lsn_from_name(n) for n in names]
 
 
 def partition_dir(lake_dir: str | Path, pid: int) -> Path:

@@ -207,6 +207,19 @@ def cmd_asof(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.apply import read_changes
+
+    ds = read_changes(args.lake, args.since)
+    if args.out:
+        ds.write_parquet(args.out)
+        ds = read_changes(args.lake, args.since)  # count on a fresh plan
+    print(json.dumps({"since": args.since, "rows": ds.count(), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     ray = _ray()
     from mex_extractors_ray.pipelines.training_export import export_training_data
@@ -285,6 +298,12 @@ def main(argv: list[str] | None = None) -> int:
     ao.add_argument("--lsn", type=int, required=True)
     ao.add_argument("--out", default=None, help="optional parquet output dir")
     ao.set_defaults(fn=cmd_asof)
+
+    ch = sub.add_parser("changes", help="change feed: all effects with lsn > --since")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--since", type=int, required=True)
+    ch.add_argument("--out", default=None, help="optional parquet output dir")
+    ch.set_defaults(fn=cmd_changes)
 
     ex = sub.add_parser("export")
     ex.add_argument("--docs", required=True, help="documents parquet path")

@@ -288,6 +288,36 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 )
 
 
+# change feed since the window-1 boundary: window-2 winners per doc,
+# upserts with payload, deletes with null payload
+_CDC_FEED_SQL = (
+    f"""
+WITH log AS ({_CDC_LOG_SQL}),
+w2 AS (SELECT * FROM log WHERE lsn > (SELECT MAX(lsn) // 2 FROM log)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM w2
+)
+"""
+    + """
+SELECT doc_id,
+       CASE WHEN op = 'delete' THEN NULL
+            ELSE 'src' || CAST(user_id % 6 AS VARCHAR) END AS source,
+       CASE WHEN op = 'delete' THEN NULL
+            WHEN lsn % 10 IN (8, 9)
+            THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+            ELSE 'de' END AS lang,
+       CASE WHEN op = 'delete' THEN NULL ELSE 8 + (lsn % 120) END AS n_tok,
+       lsn,
+       CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS op,
+       CASE WHEN op = 'delete' THEN NULL
+            ELSE CAST(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+                 i -> (user_id * 2654435761 + i * 40503) % 50000)) AS BIGINT)
+       END AS tok_sum
+FROM ranked WHERE rn = 1
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # relational operator family (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1255,6 +1285,36 @@ def q_cdc_asof_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_change_feed(sf_dir: str) -> pa.Table:
+    """CHANGE DATA FEED, hash-checked end to end: the log is ingested in
+    two windows, then ``read_changes_arrow(since=window-1 boundary)``
+    streams every window-2 effect — upserts from delta files, deletes from
+    the append-only delete logs (null payloads) — selecting files from the
+    manifest ``file_lsns`` zone map alone, so a lagging consumer reads
+    bytes ∝ its lag, not lake size. The oracle ranks the closed-form log's
+    window-2 winners per doc."""
+    from mex_extractors_ray.cdc.apply import read_changes_arrow
+
+    lake = build_cdc_lake(sf_dir, windows=2)
+    log_max = int(pc.max(change_log_from_events(
+        pq.read_table(f"{sf_dir}/events.parquet"))["lsn"]).as_py())
+    feed = read_changes_arrow(lake, log_max // 2)
+    is_del = pc.equal(feed["op"], "delete")
+    return pa.table(
+        {
+            "doc_id": feed["doc_id"],
+            "source": feed["source"],
+            "lang": feed["lang"],
+            "n_tok": feed["n_tok"].cast(pa.int64()),
+            "lsn": feed["lsn"],
+            "op": feed["op"],
+            "tok_sum": pc.if_else(
+                is_del, pa.nulls(feed.num_rows, pa.int64()), _tok_sums(feed["tokens"])
+            ),
+        }
+    )
+
+
 def q_media_stats(sf_dir: str):
     """REAL multimodal codecs, oracle-checked end to end: per doc_id a
     payload is built with the real encoders (binary PPM for even ids,
@@ -1652,6 +1712,7 @@ _QUERY_FNS = {
         "nchar_quantiles": q_nchar_quantiles,
         "value_quantiles_sampled": q_value_quantiles_sampled,
         "cdc_asof_state": q_cdc_asof_state,
+        "cdc_change_feed": q_cdc_change_feed,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
@@ -1995,6 +2056,7 @@ GROUP BY b.bracket
         "nchar_quantiles": _nchar_quantiles_oracle(),
         "value_quantiles_sampled": _value_quantiles_sampled_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,
+        "cdc_change_feed": _CDC_FEED_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
         "cdc_live_counts_mv": _CDC_RANKED_SQL + """
