@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "distinct_users_per_type",
     "tfidf_top_terms",
     "chunk_dedup_docs",
+    "urgent_lineitems",
 ]
 
 
@@ -187,6 +188,27 @@ def run_bench() -> dict:
             "events_per_sec": round(tail_n / tail_sec, 1),
             "delta_bytes_written": delta_bytes,
             "base_bytes_untouched": base_bytes,
+        }
+
+        # change-feed economics: a consumer lagging by exactly the tail
+        # window reads ∝ its lag (delta files only); a caught-up consumer
+        # reads ZERO data files (manifest zone-map pruning)
+        from mex_extractors_ray.cdc.apply import read_changes_arrow
+
+        t0 = time.time()
+        feed = read_changes_arrow(lake, wm)
+        feed_sec = time.time() - t0
+        wm_after = max(
+            m.last_lsn for m in (read_manifest(lake, p) for p in range(num_partitions)) if m
+        )
+        t0 = time.time()
+        noop_rows = read_changes_arrow(lake, wm_after).num_rows
+        feed_noop_sec = time.time() - t0
+        tail["feed"] = {
+            "lag_rows": feed.num_rows,
+            "sec": round(feed_sec, 3),
+            "caught_up_rows": noop_rows,
+            "caught_up_sec": round(feed_noop_sec, 4),
         }
 
         # maintained-view cost/benefit at this scale: enable on the live

@@ -371,6 +371,69 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return out.to_pandas()
 
 
+def q_urgent_lineitems(sf_dir: str):
+    """EXACT Bloom-prefiltered large-large semi join: the urgent orders'
+    key set is OR-merged into a fixed-size broadcast bitmap (distributed
+    build, wire ∝ blocks × 1 bitmap), the lineitem stream drops ~80% of
+    rows BEFORE the bucketed-join shuffle (no false negatives), and the
+    per-bucket ``is_in`` verify removes the FP residue — shuffle bytes ∝
+    matches, result exact (hash-checked)."""
+    from mex_extractors_ray.stages.bloom import bloom_semi_join
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    semi = bloom_semi_join(li, urgent, "l_orderkey", right_on="o_orderkey",
+                           num_buckets=max(64, 2 * _rt.cluster_cpus()), m_log2=20)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "sum_qty_c100": _cents(b["l_quantity"])})
+        return t.group_by("l_returnflag").aggregate(
+            [("sum_qty_c100", "sum"), ([], "count_all")]
+        ).rename_columns(["l_returnflag", "sum_qty_c100", "n_items"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        semi.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("sum_qty_c100", alias_name="sum_qty_c100"),
+                   Sum("n_items", alias_name="n_items"))
+    )
+    return out.to_pandas()
+
+
+def q_parts_never_bulk_ordered(sf_dir: str):
+    """EXACT Bloom-split anti join: part keys that pass the
+    bulk-lineitem-key Bloom are the only rows shuffled to the exact
+    verify; definite misses (provably unmatched — Bloom has no false
+    negatives) bypass the shuffle entirely."""
+    from mex_extractors_ray.stages.bloom import bloom_anti_join
+
+    parts = _read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_partkey", "l_quantity"])
+    bulk = li.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 45.0)),
+        batch_format="pyarrow",
+    )
+    anti = bloom_anti_join(parts, bulk, "p_partkey", right_on="l_partkey",
+                           num_buckets=max(64, 2 * _rt.cluster_cpus()), m_log2=20)
+    import ray as _ray
+
+    tabs = [_ray.get(r) for r in anti.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows] or [
+        pa.schema([("p_partkey", pa.int64())]).empty_table()]
+    return pa.concat_tables(tabs).sort_by(
+        [("p_partkey", "ascending")]).to_pandas()
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Broadcast hash join (dims shipped once per actor — SURVEY.md §2.5)."""
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
@@ -1655,6 +1718,8 @@ _QUERY_FNS = {
         "cdc_partition_metrics": q_cdc_partition_metrics,
         "lake_verify_report": q_lake_verify_report,
         "pricing_summary": q_pricing_summary,
+        "urgent_lineitems": q_urgent_lineitems,
+        "parts_never_bulk_ordered": q_parts_never_bulk_ordered,
         "revenue_by_nation": q_revenue_by_nation,
         "parts_semi_join": q_parts_semi_join,
         "customers_without_orders": q_customers_without_orders,
@@ -1743,6 +1808,19 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c10k,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "urgent_lineitems": """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+        "parts_never_bulk_ordered": """
+SELECT p_partkey FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+ORDER BY p_partkey
 """,
         "revenue_by_nation": """
 SELECT n_name,
