@@ -1149,3 +1149,73 @@ def read_changes(lake_dir: str | Path, since: int,
         return pa.concat_tables(out) if out else _changes_schema(reg).empty_table()
 
     return ray.data.from_items(pids).map_batches(load, batch_size=1, batch_format="numpy")
+
+# ---------------------------------------------------------------------------
+# point lookups — key-value GET against the lake
+# ---------------------------------------------------------------------------
+
+
+def lake_num_partitions(lake_dir: str | Path) -> int:
+    """The lake's committed partition count (part of its identity — the
+    ingest guard refuses mismatches, so this is authoritative)."""
+    import json as _json
+
+    meta_path = Path(lake_dir, "_lake_meta.json")
+    try:
+        return int(_json.loads(meta_path.read_text())["num_partitions"])
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        raise ValueError(
+            f"lake at {lake_dir} has no _lake_meta.json — cannot route point "
+            "lookups without the partition count"
+        ) from e
+
+
+def lookup_docs(lake_dir: str | Path, doc_ids,
+                registry: SchemaRegistry | None = None) -> pa.Table:
+    """Key-value GET: the live row for each requested doc_id (absent /
+    deleted ids simply don't appear), sorted by doc_id.
+
+    Routing reuses the ingest's own hash partitioner, so only the
+    partitions that can hold a requested key are opened — cost ∝ touched
+    partitions (≤ |ids|), never lake size. Within a partition, the
+    parquet read pushes an ``in`` predicate down to row-group stats (lake
+    files are doc_id-sorted at write, so row-group pruning is tight), then
+    the standard last-wins + tombstone merge runs on the surviving rows
+    only. The driver-side shape is intentional: a GET serves one caller;
+    bulk retrieval belongs to read_lake + is_in (streamed)."""
+    registry = registry or sequence_registry()
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    if not isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        doc_ids = pa.array(list(doc_ids), pa.string())
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    doc_ids = doc_ids.drop_null()
+    empty = pa.schema(
+        [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
+    ).empty_table()
+    if len(doc_ids) == 0:
+        return empty
+    P = lake_num_partitions(lake_dir)
+    pids = assign_partitions(doc_ids, P)
+    parts = [empty]
+    for pid in np.unique(pids):
+        m = read_manifest(lake_dir, int(pid))
+        if not m:
+            continue
+        pdir = partition_dir(lake_dir, int(pid))
+        want = doc_ids.filter(pa.array(pids == pid))
+        want_py = want.to_pylist()
+        tabs = []
+        for f in m.files:
+            t = pq.read_table(pdir / f, filters=[("doc_id", "in", want_py)])
+            if t.num_rows:
+                tabs.append(registry.resolve_table(t).select(cols))
+        if not tabs:
+            continue
+        tomb_ids = None
+        if m.tombstone_file and (pdir / m.tombstone_file).exists():
+            tomb_ids = pq.read_table(
+                pdir / m.tombstone_file, columns=["doc_id"]
+            )["doc_id"].combine_chunks()
+        parts.append(merge_live(tabs, tomb_ids))
+    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])

@@ -288,6 +288,24 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 )
 
 
+_CDC_LOOKUP_SQL = (
+    _CDC_RANKED_SQL
+    + f"""
+SELECT doc_id,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CASE WHEN lsn % 10 IN (8, 9)
+            THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+            ELSE 'de' END AS lang,
+       8 + (lsn % 120) AS n_tok,
+       lsn AS last_lsn,
+       CAST(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+            i -> (user_id * 2654435761 + i * 40503) % 50000)) AS BIGINT) AS tok_sum
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+  AND doc_id IN ({", ".join("'doc-%d'" % i for i in range(0, 500, 7))})
+"""
+)
+
+
 # change feed since the window-1 boundary: window-2 winners per doc,
 # upserts with payload, deletes with null payload
 _CDC_FEED_SQL = (
@@ -1348,6 +1366,32 @@ def q_cdc_asof_state(sf_dir: str) -> pa.Table:
     )
 
 
+LOOKUP_IDS = [f"doc-{i}" for i in range(0, 500, 7)]
+
+
+def q_cdc_point_lookups(sf_dir: str) -> pa.Table:
+    """Key-value GET against the lake: each requested doc_id is routed by
+    the ingest's own hash partitioner, so only partitions that can hold a
+    requested key are opened, and the parquet read pushes an ``in``
+    predicate to row-group stats (files are doc_id-sorted at write).
+    Deleted/absent ids are absent from the result — the oracle filters the
+    closed-form final state to the same id set."""
+    from mex_extractors_ray.cdc.apply import lookup_docs
+
+    lake = build_cdc_lake(sf_dir)
+    got = lookup_docs(lake, LOOKUP_IDS)
+    return pa.table(
+        {
+            "doc_id": got["doc_id"],
+            "source": got["source"],
+            "lang": got["lang"],
+            "n_tok": got["n_tok"].cast(pa.int64()),
+            "last_lsn": got["lsn"],
+            "tok_sum": _tok_sums(got["tokens"]),
+        }
+    )
+
+
 def q_cdc_change_feed(sf_dir: str) -> pa.Table:
     """CHANGE DATA FEED, hash-checked end to end: the log is ingested in
     two windows, then ``read_changes_arrow(since=window-1 boundary)``
@@ -1778,6 +1822,7 @@ _QUERY_FNS = {
         "value_quantiles_sampled": q_value_quantiles_sampled,
         "cdc_asof_state": q_cdc_asof_state,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_point_lookups": q_cdc_point_lookups,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
@@ -2135,6 +2180,7 @@ GROUP BY b.bracket
         "value_quantiles_sampled": _value_quantiles_sampled_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,
         "cdc_change_feed": _CDC_FEED_SQL,
+        "cdc_point_lookups": _CDC_LOOKUP_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
         "cdc_live_counts_mv": _CDC_RANKED_SQL + """
