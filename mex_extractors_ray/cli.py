@@ -220,6 +220,19 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_iexport(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.pipelines.incremental_export import (
+        fold_export, incremental_export)
+
+    fn = fold_export if args.fold else incremental_export
+    kw = {} if args.fold else {"num_shards": args.shards, "min_n_tok": args.min_n_tok}
+    m = fn(args.lake, args.out, **kw)
+    print(json.dumps({"watermark": m["watermark"], "windows": len(m["windows"])}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     ray = _ray()
     from mex_extractors_ray.pipelines.training_export import export_training_data
@@ -304,6 +317,15 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--out", default=None, help="optional parquet output dir")
     ch.set_defaults(fn=cmd_changes)
+
+    ie = sub.add_parser("iexport", help="incremental training export off the change feed")
+    ie.add_argument("--lake", required=True)
+    ie.add_argument("--out", required=True)
+    ie.add_argument("--shards", type=int, default=16)
+    ie.add_argument("--min-n-tok", type=int, default=0, dest="min_n_tok")
+    ie.add_argument("--fold", action="store_true",
+                    help="rewrite as one fresh base window (clears retraction debt)")
+    ie.set_defaults(fn=cmd_iexport)
 
     ex = sub.add_parser("export")
     ex.add_argument("--docs", required=True, help="documents parquet path")

@@ -1366,6 +1366,50 @@ def q_cdc_asof_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_incremental_export(sf_dir: str) -> pa.Table:
+    """INCREMENTAL EXPORT, hash-checked end to end: the log is ingested in
+    two windows with an export step after EACH — the base window exports
+    the window-1 lake, the second consumes only ``read_changes`` (bytes ∝
+    the change window, manifest-pruned) and appends a delta window +
+    retraction list. The reader (later retractions applied to earlier
+    windows) must reproduce the closed-form FINAL state exactly — the
+    whole feed → fold → export → read-back loop verified against SQL."""
+    from mex_extractors_ray.cdc.apply import ingest_change_log
+    from mex_extractors_ray.pipelines.incremental_export import (
+        incremental_export, read_export_arrow)
+
+    key = (sf_dir, "incr_export")
+    if key not in _LAKE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}|incr_export".encode()).hexdigest()[:10]
+        base = WORK_ROOT / f"cdc-{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, lake_dir, out_dir = base / "log", base / "lake", base / "export"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        cut = int(pc.max(log["lsn"]).as_py()) // 2
+        for w, chunk in enumerate([log.filter(pc.less_equal(log["lsn"], cut)),
+                                   log.filter(pc.greater(log["lsn"], cut))]):
+            paths = []
+            for i, start in enumerate(range(0, chunk.num_rows, 100_000)):
+                p = log_dir / f"log-w{w}-{i:05d}.parquet"
+                pq.write_table(chunk.slice(start, 100_000), p, compression="snappy")
+                paths.append(str(p))
+            ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS)
+            incremental_export(lake_dir, out_dir, num_shards=8)
+        _LAKE_CACHE[key] = out_dir
+    exp = read_export_arrow(_LAKE_CACHE[key])
+    return pa.table(
+        {
+            "doc_id": exp["doc_id"],
+            "source": exp["source"],
+            "lang": exp["lang"],
+            "n_tok": exp["n_tok"].cast(pa.int64()),
+            "last_lsn": exp["lsn"],
+            "tok_sum": _tok_sums(exp["tokens"]),
+        }
+    )
+
+
 LOOKUP_IDS = [f"doc-{i}" for i in range(0, 500, 7)]
 
 
@@ -1823,6 +1867,7 @@ _QUERY_FNS = {
         "cdc_asof_state": q_cdc_asof_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_point_lookups": q_cdc_point_lookups,
+        "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
@@ -2181,6 +2226,7 @@ GROUP BY b.bracket
         "cdc_asof_state": _CDC_ASOF_SQL,
         "cdc_change_feed": _CDC_FEED_SQL,
         "cdc_point_lookups": _CDC_LOOKUP_SQL,
+        "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
         "cdc_live_counts_mv": _CDC_RANKED_SQL + """

@@ -1,0 +1,97 @@
+"""Incremental training export driven by the change feed."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mex_extractors_ray.cdc.apply import ingest_change_log, read_lake_arrow
+from mex_extractors_ray.pipelines.incremental_export import (
+    fold_export,
+    incremental_export,
+    lake_watermark,
+    read_export_arrow,
+)
+from tests.test_change_feed import _log
+
+
+def _payload(t: pa.Table):
+    return sorted(zip(t["doc_id"].to_pylist(), t["lsn"].to_pylist(),
+                      t["n_tok"].to_pylist()))
+
+
+def _lake_equal(lake, out):
+    live = read_lake_arrow(lake)
+    exp = read_export_arrow(out)
+    assert _payload(exp) == _payload(live)
+    # token arrays ride along byte-identically
+    assert exp["tokens"].to_pylist() == live["tokens"].to_pylist()
+
+
+def test_incremental_export_tracks_lake(ray_session, tmp_path):
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    w1 = _log([("a", 1, "insert"), ("b", 2, "insert"), ("c", 3, "insert"),
+               ("x", 4, "insert"), ("x", 5, "delete")])
+    w2 = _log([("a", 11, "update"), ("b", 12, "delete"), ("d", 13, "insert")])
+    w3 = _log([("b", 21, "update")])
+    for i, w in enumerate([w1, w2, w3]):
+        p = tmp_path / f"log{i}.parquet"
+        pq.write_table(w, p)
+        ingest_change_log([str(p)], lake, num_partitions=2)
+        m = incremental_export(lake, out, num_shards=4)
+        assert m["watermark"] == lake_watermark(lake)
+        _lake_equal(lake, out)
+    # three windows: one base + two incremental with retractions
+    m = incremental_export(lake, out)  # caught up → no-op, same manifest
+    assert len(m["windows"]) == 3
+    assert m["windows"][0]["base"] and not m["windows"][1]["base"]
+    names1 = [f["name"] for f in m["windows"][1]["files"]]
+    assert any(n.startswith("retractions") for n in names1)
+    # window 2 retracts a (updated), b (deleted), d (inserted: supersedes
+    # nothing, but listing it is harmless and keeps the writer oblivious)
+    r = pa.concat_tables([
+        pq.read_table(out / m["windows"][1]["dir"] / n)
+        for n in names1 if n.startswith("retractions")])
+    assert sorted(r["doc_id"].to_pylist()) == ["a", "b", "d"]
+
+
+def test_fold_export_clears_windows(ray_session, tmp_path):
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    w1 = _log([("a", 1, "insert"), ("b", 2, "insert")])
+    w2 = _log([("a", 11, "update"), ("c", 12, "insert")])
+    for i, w in enumerate([w1, w2]):
+        p = tmp_path / f"log{i}.parquet"
+        pq.write_table(w, p)
+        ingest_change_log([str(p)], lake, num_partitions=2)
+        incremental_export(lake, out, num_shards=2)
+    m = fold_export(lake, out)
+    assert len(m["windows"]) == 1 and m["windows"][0]["base"]
+    _lake_equal(lake, out)
+    assert not (out / f"window-{1:020d}").exists()
+
+
+def test_export_watermark_guard(ray_session, tmp_path):
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    p = tmp_path / "log.parquet"
+    pq.write_table(_log([("a", 5, "insert")]), p)
+    ingest_change_log([str(p)], lake, num_partitions=2)
+    incremental_export(lake, out)
+    other = tmp_path / "lk2"
+    pq.write_table(_log([("z", 1, "insert")]), tmp_path / "log2.parquet")
+    ingest_change_log([str(tmp_path / "log2.parquet")], other, num_partitions=2)
+    with pytest.raises(ValueError, match="AHEAD"):
+        incremental_export(other, out)
+
+
+def test_min_n_tok_filter(ray_session, tmp_path):
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    t = _log([("a", 1, "insert"), ("b", 2, "insert")])
+    # give b a longer token payload
+    t = t.set_column(t.column_names.index("n_tok"), "n_tok",
+                     pa.array([1, 9], pa.int32()))
+    p = tmp_path / "log.parquet"
+    pq.write_table(t, p)
+    ingest_change_log([str(p)], lake, num_partitions=2)
+    incremental_export(lake, out, min_n_tok=5)
+    assert read_export_arrow(out)["doc_id"].to_pylist() == ["b"]
