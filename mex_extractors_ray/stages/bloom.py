@@ -19,6 +19,14 @@ Performance", Kirsch & Mitzenmacher 2006).
 The reference's closest analog is the is-in semi-join filter family
 (``mex/extractors/ifsg/filter.py``-style membership filters); the Bloom
 stage is the 100-TB-scale path for the same semantics.
+
+When to use which (measured, BASELINE.md "Bloom-prefilter A/B"): on a
+single node at sf0.1 the bitmap build's extra build-side pass COSTS more
+than the few MB of shuffle it saves (plain 4.0 s vs bloom 7.0 s) — use
+``_bucketed_membership`` (the same exact semi/anti, no Bloom) when the
+build side fits a broadcast set or the probe payload is narrow; reach
+for the Bloom when shuffle bytes are the bottleneck: wide payload
+columns crossing a real network and build sides past ~10^7 keys.
 """
 
 from __future__ import annotations

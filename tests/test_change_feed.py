@@ -149,3 +149,27 @@ def test_feed_prunes_files_by_manifest_zone_map(ray_session, tmp_path, monkeypat
     opened.clear()
     read_changes_arrow(lake, 13)
     assert opened and all("-00000000000000000021" in p for p in opened)
+
+
+def test_feed_resolves_schema_versions(ray_session, tmp_path):
+    """v1 rows in a delta window come out of the feed at the LATEST
+    registry schema: lang filled with the v2 default, n_tok widened to
+    int64 — the feed is a consumer-facing surface, so it must never leak
+    an old on-disk schema."""
+    w1 = _log([("a", 1, "insert")])
+    v1_rows = pa.table({
+        "doc_id": pa.array(["b"]),
+        "lsn": pa.array([11], pa.int64()),
+        "op": pa.array(["insert"]),
+        "source": pa.array(["s"]),
+        "lang": pa.array([None], pa.string()),  # column absent in v1 → null
+        "n_tok": pa.array([3], pa.int32()),
+        "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int64())),
+        "schema_version": pa.array([1], pa.int32()),
+    })
+    lake = _ingest(tmp_path, "lk", [w1, v1_rows])
+    f = read_changes_arrow(lake, 1)
+    assert f["doc_id"].to_pylist() == ["b"]
+    assert f["lang"].to_pylist() == ["de"]      # v2 additive default applied
+    assert f["n_tok"].type == pa.int64()        # v3 widening applied
+    assert f["op"].to_pylist() == ["upsert"]
