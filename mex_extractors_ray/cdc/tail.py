@@ -129,8 +129,14 @@ def tail_once(
     num_partitions: int = 32,
     registry: SchemaRegistry | None = None,
     require_stable: bool = True,
+    export_out: str | Path | None = None,
 ) -> dict:
-    """One sensor-check + incremental ingest. Returns a small report."""
+    """One sensor-check + incremental ingest. Returns a small report.
+
+    ``export_out`` chains the downstream consumer into the same poll: after
+    a non-empty ingest, ``pipelines.incremental_export`` brings the sharded
+    training export current off the change feed — the full WAL-segment →
+    lake → export loop in one sensor tick, each leg costing ∝ the window."""
     segments = discover_new_segments(log_dir, lake_dir, require_stable=require_stable)
     if not segments:
         return {"segments": 0, "applied": 0, "noop": True}
@@ -142,13 +148,20 @@ def tail_once(
     if applied:
         run_id = f"{int(pc.max(metrics['last_lsn']).as_py() or 0):020d}"
         append_lineage(lake_dir, metrics, run_id=run_id)
-    return {
+    report = {
         "segments": len(segments),
         "applied": applied,
         "late_dropped": int(pc.sum(metrics["late_dropped"]).as_py() or 0),
         "row_count": int(pc.sum(metrics["row_count"]).as_py() or 0),
         "noop": applied == 0,
     }
+    if export_out is not None and applied:
+        from mex_extractors_ray.pipelines.incremental_export import incremental_export
+
+        m = incremental_export(lake_dir, export_out, registry=registry)
+        report["export_windows"] = len(m["windows"])
+        report["export_watermark"] = m["watermark"]
+    return report
 
 
 def tail_loop(
@@ -157,11 +170,13 @@ def tail_loop(
     poll_seconds: float = 5.0,
     max_polls: int | None = None,
     num_partitions: int = 32,
+    export_out: str | Path | None = None,
 ) -> None:
     """Poll-and-ingest loop (Ctrl-C or max_polls to stop)."""
     polls = 0
     while max_polls is None or polls < max_polls:
-        report = tail_once(log_dir, lake_dir, num_partitions=num_partitions)
+        report = tail_once(log_dir, lake_dir, num_partitions=num_partitions,
+                           export_out=export_out)
         print(json.dumps({"poll": polls, **report}), flush=True)
         polls += 1
         if max_polls is None or polls < max_polls:

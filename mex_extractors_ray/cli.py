@@ -139,6 +139,7 @@ def cmd_tail(args) -> int:
     tail_loop(
         args.log, args.lake, poll_seconds=args.poll,
         max_polls=args.max_polls, num_partitions=args.partitions,
+        export_out=args.export_out,
     )
     ray.shutdown()
     return 0
@@ -296,6 +297,8 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--poll", type=float, default=5.0)
     tl.add_argument("--max-polls", type=int, default=None)
     tl.add_argument("-p", "--partitions", type=int, default=32)
+    tl.add_argument("--export-out", default=None, dest="export_out",
+                    help="chain the incremental training export into each poll")
     tl.set_defaults(fn=cmd_tail)
 
     co = sub.add_parser("counts")

@@ -56,8 +56,20 @@ from mex_extractors_ray.cdc.manifest import atomic_write_bytes, read_manifest, s
 from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
 
 
-def lake_watermark(lake_dir: str | Path) -> int:
-    """Highest committed LSN across partitions (-1 for an empty lake)."""
+def lake_high_watermark(lake_dir: str | Path) -> int:
+    """Highest committed LSN across partitions (-1 for an empty lake).
+
+    The export positions itself at this HIGH watermark, which is correct
+    under the engine's window-monotone LSN contract: every ingest window's
+    events carry LSNs above the lake's previous global max (the generator
+    and the tail loop both guarantee it; ``gen.synth_change_log`` via
+    ``lsn_start``, ``cdc/tail.py`` by ingesting segments in LSN order).
+    Under arbitrary cross-window LSN interleaving the lake itself stays
+    correct (per-partition watermarks), but an exporter would need
+    per-partition positions instead of this scalar — use
+    ``cdc.tail.lake_watermark`` (the MIN safe-replay point) as the
+    position and rely on the retraction mechanism to absorb the
+    re-emitted rows."""
     from mex_extractors_ray.cdc.apply import _manifested_pids
 
     wms = [m.last_lsn for m in
@@ -108,7 +120,7 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = _read_export_manifest(out)
-    wm = lake_watermark(lake_dir)
+    wm = lake_high_watermark(lake_dir)
     since = manifest["watermark"] if manifest else None
     if manifest and since == wm:
         return manifest

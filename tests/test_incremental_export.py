@@ -10,7 +10,7 @@ from mex_extractors_ray.cdc.apply import ingest_change_log, read_lake_arrow
 from mex_extractors_ray.pipelines.incremental_export import (
     fold_export,
     incremental_export,
-    lake_watermark,
+    lake_high_watermark,
     read_export_arrow,
 )
 from tests.test_change_feed import _log
@@ -40,7 +40,7 @@ def test_incremental_export_tracks_lake(ray_session, tmp_path):
         pq.write_table(w, p)
         ingest_change_log([str(p)], lake, num_partitions=2)
         m = incremental_export(lake, out, num_shards=4)
-        assert m["watermark"] == lake_watermark(lake)
+        assert m["watermark"] == lake_high_watermark(lake)
         _lake_equal(lake, out)
     # three windows: one base + two incremental with retractions
     m = incremental_export(lake, out)  # caught up → no-op, same manifest
@@ -95,3 +95,52 @@ def test_min_n_tok_filter(ray_session, tmp_path):
     ingest_change_log([str(p)], lake, num_partitions=2)
     incremental_export(lake, out, min_n_tok=5)
     assert read_export_arrow(out)["doc_id"].to_pylist() == ["b"]
+
+
+def test_export_crash_rerun_converges(ray_session, tmp_path):
+    """A crashed window write (files on disk, manifest not committed) is
+    invisible to readers and fully overwritten by the re-run."""
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    p1, p2 = tmp_path / "l1.parquet", tmp_path / "l2.parquet"
+    pq.write_table(_log([("a", 1, "insert"), ("b", 2, "insert")]), p1)
+    pq.write_table(_log([("a", 11, "update"), ("c", 12, "insert")]), p2)
+    ingest_change_log([str(p1)], lake, num_partitions=2)
+    incremental_export(lake, out)
+    ingest_change_log([str(p2)], lake, num_partitions=2)
+    # simulate a crashed second window: partial files, no manifest update
+    wm = lake_high_watermark(lake)
+    crashed = out / f"window-{wm:020d}" / "shard=0"
+    crashed.mkdir(parents=True)
+    pq.write_table(pa.table({"doc_id": pa.array(["GARBAGE"])}),
+                   crashed / "junk.parquet")
+    m0 = incremental_export(lake, out)  # the re-run
+    exp = read_export_arrow(out)
+    assert "GARBAGE" not in exp["doc_id"].to_pylist()
+    _lake_equal(lake, out)
+    # and the re-run is idempotent
+    assert incremental_export(lake, out) == m0
+
+
+def test_tail_chains_export(ray_session, tmp_path):
+    """The full WAL-segment → lake → export loop in one sensor tick."""
+    import shutil
+
+    from mex_extractors_ray.cdc.tail import tail_once
+
+    log_dir, lake, out = tmp_path / "log", tmp_path / "lk", tmp_path / "exp"
+    log_dir.mkdir()
+    pq.write_table(_log([("a", 1, "insert"), ("b", 2, "insert")]),
+                   log_dir / "log-00000.parquet")
+    (log_dir / "log-00000.parquet.closed").touch()
+    r1 = tail_once(log_dir, lake, num_partitions=2, export_out=out)
+    assert r1["export_windows"] == 1
+    _lake_equal(lake, out)
+    pq.write_table(_log([("a", 11, "update"), ("b", 12, "delete")]),
+                   log_dir / "log-00001.parquet")
+    (log_dir / "log-00001.parquet.closed").touch()
+    r2 = tail_once(log_dir, lake, num_partitions=2, export_out=out)
+    assert r2["export_windows"] == 2 and r2["export_watermark"] == 12
+    _lake_equal(lake, out)
+    # idle poll: no segments, export untouched
+    r3 = tail_once(log_dir, lake, num_partitions=2, export_out=out)
+    assert r3["noop"] and "export_windows" not in r3
