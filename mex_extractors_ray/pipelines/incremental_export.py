@@ -214,7 +214,10 @@ def read_export_arrow(out_dir: str | Path) -> pa.Table:
                 pc.is_in(t["doc_id"], value_set=ids), False)))
         parts.append(t.drop_columns([c for c in ("shard",) if c in t.column_names]))
     if not parts:
-        return pa.table({})
+        reg = sequence_registry()
+        return pa.schema(
+            [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
+        ).empty_table()
     return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
 
 
