@@ -1716,6 +1716,58 @@ WHERE cum >= CEIL({q} * (SELECT COUNT(n_chars) FROM documents))
     return " UNION ALL ".join(legs)
 
 
+def q_nchar_quantiles_by_source(sf_dir: str):
+    """EXACT per-group quantiles (bounded group AND value spaces):
+    (group, value) count partials → small groupby-sum → per-group cumsum
+    over the |G|·|V|-row histogram. Nearest-rank integer definition —
+    hash-checked against the windowed SQL."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return aggregates.grouped_bounded_quantiles(
+        docs, "source", "n_chars", QUANTILE_QS).to_pandas()
+
+
+def _nchar_quantiles_by_source_oracle() -> str:
+    legs = [f"""
+SELECT grp, CAST({int(round(q * 100))} AS BIGINT) AS q_c100,
+       CAST(MIN(v) AS BIGINT) AS value
+FROM (SELECT source AS grp, n_chars AS v,
+             SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars)
+WHERE cum >= CEIL({q} * tot) GROUP BY grp
+""" for q in QUANTILE_QS]
+    return " UNION ALL ".join(legs)
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered funnel (view → click → purchase): users whose step-k event
+    strictly follows their step-(k-1) completion. One coarse user-hash
+    shuffle, then per block one sort + k segmented-min passes — no
+    per-user dispatch. Hash-checked against the chained-MIN SQL."""
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "ts"])
+    return aggregates.funnel_counts(
+        ev, "user_id", "event_type", "ts", FUNNEL_STEPS).to_pandas()
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT '1-view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT '2-click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT '3-purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
 HSQ_K = 512
 
 
@@ -1863,6 +1915,8 @@ _QUERY_FNS = {
         "sampled_per_source": q_sampled_per_source,
         "word_topk": q_word_topk,
         "nchar_quantiles": q_nchar_quantiles,
+        "nchar_quantiles_by_source": q_nchar_quantiles_by_source,
+        "funnel_counts": q_funnel_counts,
         "value_quantiles_sampled": q_value_quantiles_sampled,
         "cdc_asof_state": q_cdc_asof_state,
         "cdc_change_feed": q_cdc_change_feed,
@@ -2222,6 +2276,8 @@ GROUP BY b.bracket
         "sampled_per_source": _sampled_per_source_oracle(),
         "word_topk": _WORD_TOPK_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
+        "nchar_quantiles_by_source": _nchar_quantiles_by_source_oracle(),
+        "funnel_counts": _FUNNEL_SQL,
         "value_quantiles_sampled": _value_quantiles_sampled_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,
         "cdc_change_feed": _CDC_FEED_SQL,

@@ -213,3 +213,109 @@ def bounded_quantiles(ds, col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75),
         out_v.append(int(vals[idx]))
     return pa.table({"q_c100": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def grouped_bounded_quantiles(ds, group_col: str, value_col: str,
+                              qs: tuple[float, ...] = (0.25, 0.5, 0.75)) -> pa.Table:
+    """EXACT per-group quantiles of a bounded-cardinality integer column:
+    per-batch (group, value) ``value_counts`` partials → one small
+    groupby-sum → a driver-side per-group cumsum over the |G|·|V|-row
+    histogram (the documented driver bound — bounded group AND value
+    spaces; for unbounded values use ``shuffle.hash_sample_quantiles``).
+    Same nearest-rank integer definition as :func:`bounded_quantiles`, so
+    the SQL oracle matches bit-for-bit. Output: (group, q_c100, value)."""
+    from ray.data.aggregate import Sum
+
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"grouped_bounded_quantiles: q={q} outside (0, 1]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return pa.table({
+            "g": g[group_col],
+            "v": g[value_col].cast(pa.int64()),
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["g", "v"]).aggregate(Sum("n", alias_name="n")))
+    rows = pa.Table.from_pylist(
+        hist.take_all(),
+        schema=pa.schema([("g", pa.string()), ("v", pa.int64()), ("n", pa.int64())]),
+    ).sort_by([("g", "ascending"), ("v", "ascending")])
+    gcol = rows["g"].combine_chunks()
+    starts_mask = _run_starts_arr(gcol)
+    n = np.asarray(rows["n"], dtype=np.int64)
+    v = np.asarray(rows["v"], dtype=np.int64)
+    starts = np.flatnonzero(starts_mask)
+    ends = np.append(starts[1:], len(n))
+    out_g, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_g.append(gcol[s].as_py())
+            out_q.append(int(round(q * 100)))
+            out_v.append(int(v[s + idx]))
+    return pa.table({"grp": pa.array(out_g, pa.string()),
+                     "q_c100": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
+def _run_starts_arr(col) -> np.ndarray:
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    return _run_starts(col)
+
+
+def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
+                  steps: list[str], num_partitions: int = 64) -> pa.Table:
+    """Ordered funnel over an event stream: for each prefix of ``steps``,
+    the number of users whose step-k event strictly FOLLOWS their step-(k-1)
+    completion time (t_k = MIN(ts | type=step_k AND ts > t_{k-1})).
+
+    Scale shape: one coarse hash shuffle on the user key (all of a user's
+    events land in one block), then per block a SORT + k vectorized
+    segmented-min passes over run boundaries — no per-user dispatch, no
+    driver-side users. Partials are (step, count) rows; the finalize is a
+    k-row sum."""
+    from ray.data.aggregate import Sum
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def block(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[type_col], value_set=pa.array(steps)))
+        out_schema = pa.schema([("step", pa.string()), ("n", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        starts = np.flatnonzero(_run_starts(t[user_col]))
+        run_idx = np.cumsum(_run_starts(t[user_col])) - 1  # row → run
+        ts = np.asarray(
+            t[ts_col].combine_chunks().cast(pa.int64()), dtype=np.int64)
+        types = t[type_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n_runs = len(starts)
+        t_prev = np.full(n_runs, np.iinfo(np.int64).min, dtype=np.int64)
+        counts = []
+        for step in steps:
+            cand = (types == step) & (ts > t_prev[run_idx])
+            keyed = np.where(cand, ts, np.iinfo(np.int64).max)
+            t_step = np.minimum.reduceat(keyed, starts)
+            done = t_step != np.iinfo(np.int64).max
+            counts.append(int(done.sum()))
+            # users who missed this step can never complete later ones
+            t_step[~done] = np.iinfo(np.int64).max - 1
+            t_prev = t_step
+        return pa.table({"step": pa.array(list(steps)),
+                         "n": pa.array(counts, pa.int64())})
+
+    partials = _keyed_blocks(ds, user_col, block, num_partitions=num_partitions)
+    out = partials.groupby("step").aggregate(Sum("n", alias_name="n"))
+    rows = {r["step"]: r["n"] for r in out.take_all()}
+    return pa.table({
+        "step": pa.array([f"{i + 1}-{s}" for i, s in enumerate(steps)]),
+        "n_users": pa.array([rows.get(s, 0) for s in steps], pa.int64()),
+    })

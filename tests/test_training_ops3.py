@@ -207,3 +207,48 @@ def test_hash_sample_quantiles_matches_duckdb(ray_session):
         assert np.allclose(got["value"], exp["value"], atol=0)
     with pytest.raises(ValueError):
         hash_sample_quantiles(_ds(t), "id", "v", qs=(1.5,))
+
+
+def test_grouped_bounded_quantiles(ray_session):
+    from mex_extractors_ray.stages.aggregates import grouped_bounded_quantiles
+
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 3),
+        "x": pa.array([1, 2, 3, 4, 5, 10, 20, None], pa.int64()),
+    })
+    out = grouped_bounded_quantiles(_ds(t), "g", "x", (0.5, 1.0)).to_pandas()
+    got = {(r.grp, r.q_c100): r.value for r in out.itertuples()}
+    # a: n=5 → q50 rank 3 → 3; q100 → 5. b: n=2 (null excluded) → q50 → 10
+    assert got == {("a", 50): 3, ("a", 100): 5, ("b", 50): 10, ("b", 100): 20}
+    with pytest.raises(ValueError):
+        grouped_bounded_quantiles(_ds(t), "g", "x", (0.0,))
+
+
+def test_funnel_counts_ordering_and_isolation(ray_session):
+    from mex_extractors_ray.stages.aggregates import funnel_counts
+
+    def ev(u, ty, ts):
+        return {"u": u, "ty": ty, "ts": ts}
+
+    rows = [
+        # u1 completes the funnel in order
+        ev(1, "view", 10), ev(1, "click", 20), ev(1, "purchase", 30),
+        # u2 clicks BEFORE viewing → click doesn't count; no purchase
+        ev(2, "click", 5), ev(2, "view", 10),
+        # u3 clicks AT the same instant as the view → strict > excludes it
+        ev(3, "view", 10), ev(3, "click", 10),
+        # u4 purchases without ever viewing → counts nowhere
+        ev(4, "purchase", 50),
+        # u5 view → click, purchase before click → no step 3
+        ev(5, "view", 1), ev(5, "purchase", 2), ev(5, "click", 3),
+    ]
+    t = pa.table({
+        "u": pa.array([r["u"] for r in rows], pa.int64()),
+        "ty": pa.array([r["ty"] for r in rows]),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+    })
+    out = funnel_counts(_ds(t), "u", "ty", "ts",
+                        ["view", "click", "purchase"], num_partitions=4)
+    assert out["step"].to_pylist() == ["1-view", "2-click", "3-purchase"]
+    # views: u1,u2,u3,u5; ordered clicks: u1,u5; ordered purchases: u1
+    assert out["n_users"].to_pylist() == [4, 2, 1]
