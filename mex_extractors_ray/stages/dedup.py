@@ -204,11 +204,20 @@ def minhash_signatures(
     sh, offsets = _shingle_hashes(texts, k)
     a, b = _minhash_params(num_perm)
     n = len(offsets) - 1
-    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
         # permuted[i, p] = a[p]*sh[i] + b[p]; reduce min per row segment
         permuted = sh[:, None] * a[None, :] + b[None, :]
-    np.minimum.at(sig, np.repeat(np.arange(n), np.diff(offsets)), permuted)
+    if len(permuted) == 0:
+        return np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # segmented min via reduceat (buffered; ~2x the unbuffered minimum.at).
+    # reduceat quirks: an empty segment (offsets[i]==offsets[i+1]) returns
+    # the NEXT segment's first row, and a start index == len raises — clip
+    # the starts and patch empty docs to the identity afterwards.
+    starts = np.minimum(offsets[:-1], len(permuted) - 1)
+    sig = np.minimum.reduceat(permuted, starts, axis=0)
+    empty = np.diff(offsets) == 0
+    if empty.any():
+        sig[empty] = np.iinfo(np.uint64).max
     return sig
 
 
@@ -243,6 +252,21 @@ class MinHashLSH:
                 self.key_col: pa.array(np.repeat(np.asarray(keys), self.bands)),
             }
         )
+
+
+def _stateless(cls, *args, **kwargs):
+    """Run a cheap-init batch-stage class as STATELESS tasks on the shared
+    worker pool instead of a fixed actor pool: a pool cap is a serial stage
+    that breaks elasticity, and these stages hold no real per-actor state
+    (the ingest's schema-resolve lesson, BASELINE.md tuning #2 — measured
+    2x on minhash candidates at sf0.1: 4.1-5.7 s actor pool vs 2.2-2.6 s
+    stateless). Broadcast refs passed as args are ray.get zero-copy per
+    task."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        return cls(*args, **kwargs)(batch)
+
+    return run
 
 
 def _pairs_from_buckets(bucket_cols: list[np.ndarray], keys: np.ndarray,
@@ -311,10 +335,8 @@ def minhash_candidate_pairs(ds, text_col: str, key_col: str, k: int = 3,
     ``salt`` with corpus size). Exact buckets are recovered inside the block
     by one sort + boundary scan."""
     exploded = ds.map_batches(
-        MinHashLSH,
-        fn_constructor_args=(text_col, key_col, k, num_perm, bands),
+        _stateless(MinHashLSH, text_col, key_col, k, num_perm, bands),
         batch_format="pyarrow",
-        concurrency=_rt.auto_pool(),
     )
 
     n_groups = bands * salt
@@ -590,10 +612,8 @@ def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
     verify → distributed pair dedup. Returns a Dataset of (a, b, hamming).
     Nothing corpus-sized touches the driver."""
     exploded = ds.map_batches(
-        SimHashBands,
-        fn_constructor_args=(text_col, key_col, k, n_tables),
+        _stateless(SimHashBands, text_col, key_col, k, n_tables),
         batch_format="pyarrow",
-        concurrency=_rt.auto_pool(),
     )
 
     n_groups = n_tables * salt
@@ -741,11 +761,9 @@ def decontaminate(ds, bench_shingles: np.ndarray, text_col: str, key_col: str,
 
     ref = ray.put(np.ascontiguousarray(np.sort(np.asarray(bench_shingles, dtype=np.uint64))))
     return ds.map_batches(
-        ShingleContamination,
-        fn_constructor_args=(ref, text_col, key_col, k),
-        fn_constructor_kwargs={"lower": lower, "split": split},
+        _stateless(ShingleContamination, ref, text_col, key_col, k,
+                   lower=lower, split=split),
         batch_format="pyarrow",
-        concurrency=_rt.auto_pool(),
     )
 
 
