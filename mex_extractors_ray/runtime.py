@@ -78,6 +78,21 @@ def cluster_cpus(default: int = 8) -> int:
         return default
 
 
+def stateless(cls, *args, **kwargs):
+    """Run a cheap-init batch-stage class as STATELESS tasks on the shared
+    worker pool instead of a fixed actor pool. A pool cap is a serial stage
+    that breaks elasticity and pays actor startup; reserve actor pools for
+    REAL per-actor state (LRU caches, compiled model matrices, rate
+    limiters). Broadcast numpy refs passed as args stay zero-copy — each
+    task's ray.get reads plasma directly. Measured on the minhash candidate
+    stage at sf0.1: 4.1-5.7 s actor pool -> 2.2-2.6 s stateless."""
+
+    def run(batch):
+        return cls(*args, **kwargs)(batch)
+
+    return run
+
+
 def auto_pool(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     """``(lo, hi)`` actor-pool bounds with ``hi`` = cluster CPU count
     (never below 8 so single-digit test clusters keep some parallelism

@@ -74,14 +74,13 @@ def kmeans_assign(ds, centroids, vec_col: str = "embedding",
 
     ref = centroids if isinstance(centroids, ray.ObjectRef) else ray.put(
         np.asarray(centroids, dtype=np.float64))
-    if concurrency is None:
-        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    # stateless tasks: the centroid matrix is numpy in plasma (zero-copy
+    # ray.get per task); a fixed actor pool would only add startup cost
+    from mex_extractors_ray.runtime import stateless
+
     return ds.map_batches(
-        KMeansAssign,
-        fn_constructor_kwargs={"centroids": ref, "vec_col": vec_col,
-                               "out_col": out_col},
+        stateless(KMeansAssign, centroids=ref, vec_col=vec_col, out_col=out_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 

@@ -254,19 +254,7 @@ class MinHashLSH:
         )
 
 
-def _stateless(cls, *args, **kwargs):
-    """Run a cheap-init batch-stage class as STATELESS tasks on the shared
-    worker pool instead of a fixed actor pool: a pool cap is a serial stage
-    that breaks elasticity, and these stages hold no real per-actor state
-    (the ingest's schema-resolve lesson, BASELINE.md tuning #2 — measured
-    2x on minhash candidates at sf0.1: 4.1-5.7 s actor pool vs 2.2-2.6 s
-    stateless). Broadcast refs passed as args are ray.get zero-copy per
-    task."""
-
-    def run(batch: pa.Table) -> pa.Table:
-        return cls(*args, **kwargs)(batch)
-
-    return run
+from mex_extractors_ray.runtime import stateless as _stateless  # noqa: E402
 
 
 def _pairs_from_buckets(bucket_cols: list[np.ndarray], keys: np.ndarray,

@@ -118,11 +118,11 @@ class ReferenceRewriter:
 def rewrite_references(ds, fields_by_type: dict[str, list[str]], type_col: str,
                        allowed, replacement: dict | None = None, fallback=None,
                        concurrency=None):
-    """Dataset helper (broadcast sets ship once per actor via constructor)."""
-    concurrency = concurrency or _rt.auto_pool()
+    """Dataset helper — stateless tasks (the allowed/replacement sets are
+    small Python objects; rebuilding them per batch is cheaper than an
+    actor pool's startup + elasticity cap)."""
     return ds.map_batches(
-        ReferenceRewriter,
-        fn_constructor_args=(fields_by_type, type_col, allowed, replacement, fallback),
+        _rt.stateless(ReferenceRewriter, fields_by_type, type_col, allowed,
+                      replacement, fallback),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )

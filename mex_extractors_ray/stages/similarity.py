@@ -103,11 +103,9 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     ref = ray.put({"query_id": query_ids, "matrix": query_matrix})
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(ref, k, vec_col, key_col),
+        _rt.stateless(BruteForceTopK, ref, k, vec_col, key_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=_rt.auto_pool(),
     )
     return finalize_topk(partials.to_pandas(), k, key_col)
 
@@ -196,10 +194,8 @@ def embedding_near_duplicates(ds, dim: int, threshold: float = 0.95, n_bits: int
     instead of letting buckets grow. Nothing corpus-sized reaches the
     driver, and no per-bucket pandas group dispatch remains."""
     exploded = ds.map_batches(
-        EmbeddingLSHBands,
-        fn_constructor_args=(dim, vec_col, key_col, n_bits, n_tables),
+        _rt.stateless(EmbeddingLSHBands, dim, vec_col, key_col, n_bits, n_tables),
         batch_format="pyarrow",
-        concurrency=_rt.auto_pool(),
     )
 
     n_groups = n_tables * salt
@@ -325,11 +321,8 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
     index = IVFIndex(np.stack(sample.to_numpy()), n_centroids=n_centroids)
     index_ref = ray.put(index)
     bucketed = ds.map_batches(
-        IVFBucketAssign,
-        fn_constructor_args=(index_ref,),
-        fn_constructor_kwargs={"vec_col": vec_col},
+        _rt.stateless(IVFBucketAssign, index_ref, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=_rt.auto_pool(),
     )
     probes = index.probe(np.asarray(query_matrix, dtype=np.float64), nprobe)
     wanted = sorted({int(b) for row in probes for b in row})
@@ -359,10 +352,8 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
             return self._emit(sims, np.asarray(batch[self.key_col]))
 
     partials = pruned.map_batches(
-        ProbedTopK,
-        fn_constructor_args=(qref, k, vec_col, key_col),
+        _rt.stateless(ProbedTopK, qref, k, vec_col, key_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=_rt.auto_pool(),
     )
     return finalize_topk(partials.to_pandas(), k, key_col)

@@ -99,14 +99,11 @@ class VocabMapper:
 
 
 def map_vocab(ds, specs: list[dict], concurrency=None):
-    """Dataset helper: apply the mapping specs as a stateless-per-batch,
-    compiled-per-actor stage."""
-    concurrency = concurrency or _rt.auto_pool()
+    """Dataset helper: apply the mapping specs as stateless tasks (spec
+    compilation is a few dict walks — cheap per batch; no actor pool)."""
     return ds.map_batches(
-        VocabMapper,
-        fn_constructor_args=(json.dumps(specs),),
+        _rt.stateless(VocabMapper, json.dumps(specs)),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
