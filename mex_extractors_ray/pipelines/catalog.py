@@ -919,7 +919,7 @@ def q_token_counts(sf_dir: str):
 
 def q_quality_counts(sf_dir: str):
     docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    scored = docs.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=_rt.auto_pool())
+    scored = docs.map_batches(_rt.stateless(text.QualityScore), batch_format="pyarrow")
     return scored.select_columns(["doc_id", "n_chars", "n_words", "n_stop"]).to_pandas()
 
 
@@ -1588,10 +1588,8 @@ def q_redacted_docs(sf_dir: str):
 
     docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(
-        RegexRedactor,
-        fn_constructor_kwargs={"patterns": REDACT_PATTERNS},
+        _rt.stateless(RegexRedactor, patterns=REDACT_PATTERNS),
         batch_format="pyarrow",
-        concurrency=_rt.auto_pool(),
     )
     return out.select_columns(["doc_id", "redacted"]).to_pandas()
 

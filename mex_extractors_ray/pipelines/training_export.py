@@ -108,13 +108,11 @@ def export_training_data(
     prior = _verified_manifest(out)
     if prior is not None and prior.get("params") == json.loads(json.dumps(params)):
         return prior
-    pool = concurrency if concurrency is not None else _rt.auto_pool()
 
     ds = docs
     if min_quality > 0.0:
-        ds = ds.map_batches(QualityScore, batch_format="pyarrow",
-                            fn_constructor_kwargs={"text_col": text_col},
-                            concurrency=pool)
+        ds = ds.map_batches(_rt.stateless(QualityScore, text_col=text_col),
+                            batch_format="pyarrow")
 
         def quality_gate(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -142,11 +140,10 @@ def export_training_data(
             i = t.column_names.index(text_col)
             return t.set_column(i, text_col, t["redacted"]).drop_columns(["redacted"])
 
-        ds = ds.map_batches(RegexRedactor, batch_format="pyarrow",
-                            fn_constructor_kwargs={"patterns": redact_patterns,
-                                                   "text_col": text_col},
-                            concurrency=pool).map_batches(
-            swap_text, batch_format="pyarrow")
+        ds = ds.map_batches(
+            _rt.stateless(RegexRedactor, patterns=redact_patterns,
+                          text_col=text_col),
+            batch_format="pyarrow").map_batches(swap_text, batch_format="pyarrow")
 
     # exact dedup on content: keeper = lowest id per 128-bit content key
     # (the export's single all-to-all — a coarse hash shuffle on h1)
