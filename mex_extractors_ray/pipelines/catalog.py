@@ -389,15 +389,7 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return out.to_pandas()
 
 
-def q_urgent_lineitems(sf_dir: str):
-    """EXACT Bloom-prefiltered large-large semi join: the urgent orders'
-    key set is OR-merged into a fixed-size broadcast bitmap (distributed
-    build, wire ∝ blocks × 1 bitmap), the lineitem stream drops ~80% of
-    rows BEFORE the bucketed-join shuffle (no false negatives), and the
-    per-bucket ``is_in`` verify removes the FP residue — shuffle bytes ∝
-    matches, result exact (hash-checked)."""
-    from mex_extractors_ray.stages.bloom import bloom_semi_join
-
+def _urgent_semi(sf_dir: str, use_bloom: bool):
     orders = _read_pq(f"{sf_dir}/orders.parquet",
                       columns=["o_orderkey", "o_orderpriority"])
     urgent = orders.map_batches(
@@ -406,8 +398,20 @@ def q_urgent_lineitems(sf_dir: str):
     )
     li = _read_pq(f"{sf_dir}/lineitem.parquet",
                   columns=["l_orderkey", "l_returnflag", "l_quantity"])
-    semi = bloom_semi_join(li, urgent, "l_orderkey", right_on="o_orderkey",
-                           num_buckets=max(64, 2 * _rt.cluster_cpus()), m_log2=20)
+    if use_bloom:
+        from mex_extractors_ray.stages.bloom import bloom_semi_join
+
+        return bloom_semi_join(li, urgent, "l_orderkey", right_on="o_orderkey",
+                               num_buckets=max(64, 2 * _rt.cluster_cpus()),
+                               m_log2=20)
+    from mex_extractors_ray.stages.bloom import _bucketed_membership
+
+    return _bucketed_membership(li, urgent, "l_orderkey",
+                                max(64, 2 * _rt.cluster_cpus()), "semi",
+                                right_on="o_orderkey")
+
+
+def _urgent_agg(semi):
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"l_returnflag": b["l_returnflag"],
@@ -425,6 +429,22 @@ def q_urgent_lineitems(sf_dir: str):
                    Sum("n_items", alias_name="n_items"))
     )
     return out.to_pandas()
+
+
+def q_urgent_lineitems(sf_dir: str):
+    """EXACT large-large bucketed semi join (the benched variant): the
+    measured right call at this scale — BASELINE.md's Bloom A/B showed the
+    bitmap build costs more than the few MB of shuffle it saves on a
+    single node with narrow probe rows."""
+    return _urgent_agg(_urgent_semi(sf_dir, use_bloom=False))
+
+
+def q_urgent_lineitems_bloom(sf_dir: str):
+    """The same semi join through the Bloom prefilter (the 100-TB path:
+    wide payloads crossing a real network, build sides past ~10^7 keys) —
+    identical hash-checked result, kept as its own catalog entry so both
+    variants stay oracle-verified."""
+    return _urgent_agg(_urgent_semi(sf_dir, use_bloom=True))
 
 
 def q_parts_never_bulk_ordered(sf_dir: str):
@@ -1857,6 +1877,7 @@ _QUERY_FNS = {
         "lake_verify_report": q_lake_verify_report,
         "pricing_summary": q_pricing_summary,
         "urgent_lineitems": q_urgent_lineitems,
+        "urgent_lineitems_bloom": q_urgent_lineitems_bloom,
         "parts_never_bulk_ordered": q_parts_never_bulk_ordered,
         "revenue_by_nation": q_revenue_by_nation,
         "parts_semi_join": q_parts_semi_join,
@@ -1950,6 +1971,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c10k,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "urgent_lineitems_bloom": """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
 """,
         "urgent_lineitems": """
 SELECT l_returnflag,
