@@ -715,6 +715,21 @@ def ingest_change_log(
     registry = registry or sequence_registry()
     registry_json = registry.to_json()
     Path(lake_dir).mkdir(parents=True, exist_ok=True)
+    from mex_extractors_ray.cdc.manifest import writer_lock
+
+    with writer_lock(lake_dir, "ingest"):
+        return _locked_ingest(
+            log_paths, lake_dir, num_partitions, registry, registry_json,
+            batch_size, resolve_concurrency, shuffle, mode, delta,
+            compact_threshold, skip_sources, track_value_counts,
+            track_group_sums,
+        )
+
+
+def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
+                   registry_json, batch_size, resolve_concurrency, shuffle,
+                   mode, delta, compact_threshold, skip_sources,
+                   track_value_counts, track_group_sums) -> pa.Table:
     Path(lake_dir, "_registry.json").write_text(registry_json)
 
     # partition-count guard: pid = hash(doc_id) % P is part of the lake's

@@ -238,6 +238,26 @@ def repartition_lake(
     registry = registry or sequence_registry()
     rj = registry.to_json()
     old = Path(lake_dir)
+    from mex_extractors_ray.cdc.manifest import writer_lock
+
+    _lease = writer_lock(old, "repartition")
+    _lease.__enter__()
+    try:
+        return _locked_repartition(
+            old, new_num_partitions, registry, rj, force)
+    finally:
+        _lease.__exit__(None, None, None)
+
+
+def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
+    import functools
+
+    import ray.data
+
+    from mex_extractors_ray.cdc.apply import read_lake, resolve_and_partition
+    from mex_extractors_ray.cdc.apply import _group_stats_dict as _gsd
+    from mex_extractors_ray.cdc.apply import _value_counts_dict as _vcd
+
     pids = _partition_ids(old)
     marks = [read_manifest(old, p).last_lsn for p in pids if read_manifest(old, p)]
     watermark = max(marks, default=-1)
@@ -272,7 +292,7 @@ def repartition_lake(
     tracked = tuple(sorted(c for c in tracked_cols if not c.startswith("sums:")))
     tracked_sums = tuple(sorted(c[5:] for c in tracked_cols if c.startswith("sums:")))
 
-    new = Path(str(lake_dir) + f".repart-{new_num_partitions}")
+    new = Path(str(old) + f".repart-{new_num_partitions}")
     if new.exists():
         import shutil
 
@@ -392,7 +412,7 @@ def repartition_lake(
         shutil.copy(old / "_tail_state.json", new / "_tail_state.json")
 
     # atomic swap: retire the old layout, promote the new one
-    backup = Path(str(lake_dir) + ".old")
+    backup = Path(str(old) + ".old")
     if backup.exists():
         shutil.rmtree(backup)
     os.replace(old, backup)

@@ -135,3 +135,58 @@ def commit_manifest(lake_dir: str | Path, manifest: PartitionManifest) -> None:
                     os.unlink(pdir / name)
                 except FileNotFoundError:
                     pass
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another process holds this lake's writer lease."""
+
+
+class writer_lock:
+    """Lake-level writer lease: one mutating job (ingest / repartition) at a
+    time. Per-partition commits are individually atomic and watermark-
+    guarded, so interleaved writers cannot corrupt state — but they CAN
+    interleave windows, leaving `_ingest_state.json` claiming completion of
+    an LSN range another writer only partially applied. The lease keeps the
+    window-monotone contract the change feed and export rely on.
+
+    Mechanism: `flock(LOCK_EX | LOCK_NB)` on `_writer.lock` — a crash
+    releases it automatically (kernel-held), so no stale-lease sweeper is
+    needed on a local/POSIX filesystem. On object storage (the 100-TB
+    deployment) replace with a TTL lease object + heartbeat; the context
+    manager is the single place to swap."""
+
+    def __init__(self, lake_dir: str | Path, purpose: str = "ingest"):
+        self.path = Path(lake_dir) / "_writer.lock"
+        self.purpose = purpose
+        self._f = None
+
+    def __enter__(self):
+        import fcntl
+
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "w")
+        try:
+            fcntl.flock(self._f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._f.close()
+            self._f = None
+            raise ConcurrentWriterError(
+                f"another writer holds the lease on {self.path.parent} "
+                f"(wanted: {self.purpose})"
+            ) from None
+        self._f.write(json.dumps({
+            "purpose": self.purpose,
+            "pid": os.getpid(),
+            "acquired_at": datetime.now(timezone.utc).isoformat(),
+        }))
+        self._f.flush()
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        if self._f is not None:
+            fcntl.flock(self._f, fcntl.LOCK_UN)
+            self._f.close()
+            self._f = None
+        return False
