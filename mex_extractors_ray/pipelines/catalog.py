@@ -991,6 +991,54 @@ def q_ngram_overlap_pairs(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup PAIRS → duplicate CLUSTERS: the hash-checked n-gram pair
+    edges fed to distributed connected components (large-star/small-star,
+    stages/components.py — O(log² n) coarse-shuffle rounds over the EDGE
+    list, never the corpus). Label = min doc_id of the component = the
+    canonical dedup keeper; singletons label themselves. Oracle: recursive
+    CTE transitive closure over the same SQL edge set (bounded fixture)."""
+    from mex_extractors_ray.stages import components
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 200"
+    )
+    edges = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=5)
+    labels = components.component_labels(
+        edges, docs, a="a", b="b", node_col="doc_id", num_partitions=16
+    )
+    out = labels.to_pandas().astype({"node": "int64", "component": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Sizes of the non-trivial duplicate clusters (n_members ≥ 2) — the
+    quantity a dedup policy reports ("how much of the corpus collapses").
+    Distributed: CC labels → coarse shuffle on component → one vectorized
+    run-length count per block."""
+    from mex_extractors_ray.stages import components
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 200"
+    )
+    edges = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=5)
+    labels = components.component_labels(
+        edges, docs, a="a", b="b", node_col="doc_id", num_partitions=16
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("component", "ascending")])
+        starts = np.flatnonzero(dedup._run_starts(t["component"]))
+        counts = np.diff(np.append(starts, len(t)))
+        comp = t["component"].combine_chunks().to_numpy(zero_copy_only=False)[starts]
+        out = pa.table({"component": comp.astype(np.int64),
+                        "n_members": counts.astype(np.int64)})
+        return out.filter(pc.greater(out["n_members"], 1))
+
+    out = dedup._keyed_blocks(labels, "component", sizes, num_partitions=16).to_pandas()
+    return out.sort_values("component").reset_index(drop=True)
+
+
 def q_simhash_near_dups(sf_dir: str):
     """Distributed SimHash near-dups: map_batches simhash+banding → salted
     band-bucket shuffle → vectorized in-block Hamming → distributed pair
@@ -1830,6 +1878,8 @@ def _value_quantiles_sampled_oracle() -> str:
 _SORT_STRATEGY_ONLY = {
     "minhash_near_dups",
     "ngram_overlap_pairs",
+    "dup_clusters",
+    "dup_cluster_sizes",
     "simhash_near_dups",
     "embedding_near_dups",
     "embedding_near_dups_exact",
@@ -1909,6 +1959,8 @@ _QUERY_FNS = {
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_overlap_pairs": q_ngram_overlap_pairs,
+        "dup_clusters": q_dup_clusters,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1946,6 +1998,27 @@ _QUERY_FNS = {
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
         "chunk_dedup_docs": q_chunk_dedup_docs,
     }
+
+
+def _components_oracle() -> str:
+    """Recursive-CTE CC oracle over the same n-gram edge set as
+    q_dup_clusters (bounded to doc_id < 200, like ngram_overlap_pairs)."""
+    from mex_extractors_ray.stages import components
+
+    edges_sql = """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM d
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.s, y.s)) >= 5
+"""
+    nodes_sql = "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 200"
+    return components.components_sql(edges_sql, nodes_sql)
 
 
 def oracle_sql():
@@ -2176,6 +2249,12 @@ scored AS (
 SELECT query_id, vec_id, CAST(row_number() OVER
        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 10
+""",
+        "dup_clusters": _components_oracle(),
+        "dup_cluster_sizes": f"""
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ({_components_oracle()}) lab
+GROUP BY component HAVING COUNT(*) > 1
 """,
         "lang_id": text.langid_sql(),
         "embedding_near_dups_exact": """

@@ -1,0 +1,223 @@
+"""Connected components over an edge list — duplicate-cluster labeling.
+
+Training-data motivation (no analog in the reference, which never handles
+graph-shaped data): near-dup detection (MinHash / SimHash / n-gram,
+``stages/dedup.py``) emits PAIRS, but dedup policy operates on CLUSTERS —
+"keep one canonical document per group of mutual near-duplicates".  Pairs
+(a,b),(b,c) must collapse to one cluster {a,b,c} even though (a,c) was
+never emitted.  That is connected components.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shared-nothing CC algorithm.  Each round is one coarse hash shuffle of the
+EDGE list (never the corpus) plus a vectorized per-block kernel; the edge
+set converges to a star forest in O(log² n) rounds (2–5 in practice).
+Per-node state never exists: the "labels" live inside the edge set itself,
+so the operator scales with edges, not nodes, and needs no driver-side
+structures beyond a per-round (count, checksum) pair for the convergence
+test.
+
+Scale notes (100 TB):
+- every round is ``_keyed_blocks`` (hash-partition the edges, ONE
+  vectorized kernel per block — no per-key dispatch);
+- each round ends in ``materialize()``: iterative algorithms must cut
+  lineage or round k re-executes rounds 1..k-1.  The materialized set is
+  the EDGE list, which near-dup thresholds keep a small fraction of the
+  corpus (and it shrinks monotonically toward one edge per non-root node);
+- the min-label convention makes the final label the smallest node id in
+  the component, which doubles as the canonical-keeper id for dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mex_extractors_ray.hashing import hash_int_array
+from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _canon(t: pa.Table, a: str, b: str) -> pa.Table:
+    """(a,b) → canonical undirected edge table (u,v), self-loops dropped."""
+    import pyarrow.compute as pc
+
+    u = pc.cast(t[a], pa.int64())
+    v = pc.cast(t[b], pa.int64())
+    t = pa.table({"u": u, "v": v})
+    return t.filter(pc.not_equal(t["u"], t["v"]))
+
+
+def _group_offsets(src: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, row→group index) over a SORTED key column."""
+    starts_mask = _run_starts(src)
+    starts = np.flatnonzero(starts_mask)
+    gidx = np.cumsum(starts_mask) - 1
+    return starts, gidx
+
+
+def _large_star_block(g: pa.Table) -> pa.Table:
+    """Large-star over one hash block of SYMMETRIZED edges keyed by src:
+    every strictly-larger neighbor of src links to min(Γ(src) ∪ {src})."""
+    t = g.sort_by([("u", "ascending"), ("v", "ascending")])
+    src = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+    dst = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    starts, gidx = _group_offsets(t["u"])
+    gmin = np.minimum(np.minimum.reduceat(dst, starts), src[starts])
+    m = gmin[gidx]
+    keep = dst > src
+    return pa.table({"u": dst[keep], "v": m[keep]}, schema=_SCHEMA)
+
+
+def _small_star_block(g: pa.Table) -> pa.Table:
+    """Small-star over one hash block of max→min-directed edges keyed by
+    src (= the larger endpoint): src and all its ≤-neighbors link to the
+    group minimum."""
+    t = g.sort_by([("u", "ascending"), ("v", "ascending")])
+    src = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+    dst = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    starts, gidx = _group_offsets(t["u"])
+    gmin = np.minimum.reduceat(dst, starts)  # all dst < src in this phase
+    m = gmin[gidx]
+    out_u = np.concatenate([dst, src[starts]])
+    out_v = np.concatenate([m, gmin])
+    keep = out_u != out_v
+    return pa.table({"u": out_u[keep], "v": out_v[keep]}, schema=_SCHEMA)
+
+
+def _dedup_pairs(ds, num_partitions: int):
+    """Exact distinct over (u,v) pairs: hash-shuffle on u co-locates every
+    copy of a pair, then one in-block sort + run-boundary mask on BOTH
+    columns (collision-free — no hashed pair key)."""
+
+    def block(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("u", "ascending"), ("v", "ascending")])
+        mask = np.logical_or(_run_starts(t["u"]), _run_starts(t["v"]))
+        return t.filter(pa.array(mask))
+
+    return _keyed_blocks(ds, "u", block, num_partitions)
+
+
+def _edge_fingerprint(ds) -> tuple[int, int]:
+    """(row count, order-insensitive checksum) of an edge dataset — the
+    per-round convergence probe. One tiny aggregate, O(P) on the driver."""
+
+    def digest(t: pa.Table) -> pa.Table:
+        h = hash_int_array(t["u"], seed=11) ^ hash_int_array(t["v"], seed=23)
+        x = np.bitwise_xor.reduce(h, initial=np.uint64(0))
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "x": pa.array([int(x.astype(np.int64))], pa.int64()),
+        })
+
+    parts = ds.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum()), int(np.bitwise_xor.reduce(
+        parts["x"].to_numpy().astype(np.int64).view(np.uint64), initial=np.uint64(0)))
+
+
+def connected_components(edges, a: str = "a", b: str = "b",
+                         num_partitions: int = 64, max_rounds: int = 50):
+    """Label every node of the (a,b) edge list with its component id
+    (= the component's minimum node id).  Returns a Dataset with int64
+    columns ``node, component`` covering every endpoint; pair with a
+    corpus-side union (see :func:`component_labels`) to add singletons.
+
+    Alternates large-star and small-star rounds until the edge set is a
+    fixed point (star forest).  Each round: symmetrize / re-direct in
+    ``map_batches``, one coarse hash shuffle, vectorized reduceat kernels,
+    pair dedup, ``materialize()`` to cut lineage."""
+    import ray.data
+
+    def sym(t: pa.Table) -> pa.Table:
+        e = _canon(t, "u", "v")
+        return pa.concat_tables([
+            e, pa.table({"u": e["v"], "v": e["u"]}, schema=_SCHEMA)
+        ])
+
+    def direct_max_min(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        e = _canon(t, "u", "v")
+        hi = pc.max_element_wise(e["u"], e["v"])
+        lo = pc.min_element_wise(e["u"], e["v"])
+        return pa.table({"u": hi, "v": lo}, schema=_SCHEMA)
+
+    cur = edges.map_batches(lambda t: _canon(t, a, b), batch_format="pyarrow")
+    prev_fp = None
+    for _ in range(max_rounds):
+        large_in = cur.map_batches(sym, batch_format="pyarrow")
+        large_out = _dedup_pairs(
+            _keyed_blocks(large_in, "u", _large_star_block, num_partitions),
+            num_partitions)
+        small_in = large_out.map_batches(direct_max_min, batch_format="pyarrow")
+        cur = _dedup_pairs(
+            _keyed_blocks(small_in, "u", _small_star_block, num_partitions),
+            num_partitions).materialize()
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+    # star forest: edges are member→root; roots appear only on the right
+    def assignments(t: pa.Table) -> pa.Table:
+        members = pa.table({"node": t["u"], "component": t["v"]})
+        roots = pa.table({"node": t["v"], "component": t["v"]})
+        return pa.concat_tables([members, roots])
+
+    def min_per_node(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("node", "ascending"), ("component", "ascending")])
+        return t.filter(pa.array(_run_starts(t["node"])))
+
+    labeled = cur.map_batches(assignments, batch_format="pyarrow")
+    return _keyed_blocks(labeled, "node", min_per_node, num_partitions)
+
+
+def component_labels(edges, nodes, a: str = "a", b: str = "b",
+                     node_col: str = "doc_id", num_partitions: int = 64):
+    """CC labels for a full corpus: every row of ``nodes`` gets a
+    ``component`` (its CC min-id when it touches an edge, itself when it is
+    a singleton).  The dedup-keeper rule is then ``node == component``."""
+    import pyarrow.compute as pc
+
+    cc = connected_components(edges, a, b, num_partitions)
+
+    def self_label(t: pa.Table) -> pa.Table:
+        n = pc.cast(t[node_col], pa.int64())
+        return pa.table({"node": n, "component": n})
+
+    singles = nodes.map_batches(self_label, batch_format="pyarrow")
+
+    def min_per_node(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("node", "ascending"), ("component", "ascending")])
+        return t.filter(pa.array(_run_starts(t["node"])))
+
+    # union + min-per-node: the CC label is ≤ the node id by construction,
+    # so min() picks the edge-derived label when one exists
+    return _keyed_blocks(cc.union(singles), "node", min_per_node, num_partitions)
+
+
+def components_sql(edges_sql: str, nodes_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (exact, bounded
+    fixtures only — the recursive walk is O(nodes × edges) and exists to
+    CHECK the distributed algorithm, not to compete with it)."""
+    return f"""
+WITH RECURSIVE
+e AS ({edges_sql}),
+sym AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v FROM e
+        WHERE a <> b
+        UNION SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM e WHERE a <> b),
+nd AS ({nodes_sql}),
+walk(node, comp) AS (
+    SELECT CAST(node AS BIGINT), CAST(node AS BIGINT) FROM nd
+    UNION
+    SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.node
+)
+SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+"""
