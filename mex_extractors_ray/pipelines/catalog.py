@@ -1782,6 +1782,28 @@ WHERE cum >= CEIL({q} * (SELECT COUNT(n_chars) FROM documents))
     return " UNION ALL ".join(legs)
 
 
+def q_quality_gate_docs(sf_dir: str):
+    """Percentile quality gate: drop the bottom quartile of the corpus by
+    n_chars (C4/Gopher-style). Two passes — exact nearest-rank P25 via
+    value-count partials, then a broadcast-scalar vectorized filter."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    kept, _thr = aggregates.percentile_gate(docs, "n_chars", q=0.25, mode="above")
+    out = kept.to_pandas().astype({"doc_id": "int64", "n_chars": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_QUALITY_GATE_SQL = """
+WITH thr AS (
+  SELECT MIN(v) AS t
+  FROM (SELECT n_chars AS v, SUM(COUNT(*)) OVER (ORDER BY n_chars) AS cum
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars)
+  WHERE cum >= CEIL(0.25 * (SELECT COUNT(n_chars) FROM documents))
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, thr WHERE n_chars >= t
+"""
+
+
 def q_nchar_quantiles_by_source(sf_dir: str):
     """EXACT per-group quantiles (bounded group AND value spaces):
     (group, value) count partials → small groupby-sum → per-group cumsum
@@ -1987,6 +2009,7 @@ _QUERY_FNS = {
         "word_topk": q_word_topk,
         "nchar_quantiles": q_nchar_quantiles,
         "nchar_quantiles_by_source": q_nchar_quantiles_by_source,
+        "quality_gate_docs": q_quality_gate_docs,
         "funnel_counts": q_funnel_counts,
         "value_quantiles_sampled": q_value_quantiles_sampled,
         "cdc_asof_state": q_cdc_asof_state,
@@ -2383,6 +2406,7 @@ GROUP BY b.bracket
         "word_topk": _WORD_TOPK_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
         "nchar_quantiles_by_source": _nchar_quantiles_by_source_oracle(),
+        "quality_gate_docs": _QUALITY_GATE_SQL,
         "funnel_counts": _FUNNEL_SQL,
         "value_quantiles_sampled": _value_quantiles_sampled_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,

@@ -319,3 +319,29 @@ def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
         "step": pa.array([f"{i + 1}-{s}" for i, s in enumerate(steps)]),
         "n_users": pa.array([rows.get(s, 0) for s in steps], pa.int64()),
     })
+
+
+def percentile_gate(ds, col: str, q: float = 0.25, mode: str = "above",
+                    num_partitions: int = 32):
+    """Percentile quality gate (the C4/Gopher-style "drop the bottom X% by
+    feature" filter): pass 1 computes the EXACT nearest-rank quantile of
+    ``col`` via :func:`bounded_quantiles` (per-batch value-count partials,
+    one |V|-row groupby — never a corpus sort), pass 2 broadcasts the
+    scalar threshold into a vectorized filter. Returns ``(filtered_ds,
+    threshold)``. ``mode="above"`` keeps rows ≥ threshold, ``"below"``
+    keeps rows < it. Nulls never pass the gate. Two passes over the input
+    by design — a streaming pipeline cannot know a global percentile
+    before seeing every row; at 100 TB pass 1 ships one row per distinct
+    value per batch, so the re-read is the whole cost."""
+    if mode not in ("above", "below"):
+        raise ValueError(f"percentile_gate: mode={mode!r}")
+    thr_tbl = bounded_quantiles(ds, col, qs=(q,), num_partitions=num_partitions)
+    if thr_tbl.num_rows == 0:  # empty input: nothing to gate
+        return ds, None
+    thr = int(thr_tbl["value"][0].as_py())
+
+    def gate(t: pa.Table) -> pa.Table:
+        cmp = pc.greater_equal(t[col], thr) if mode == "above" else pc.less(t[col], thr)
+        return t.filter(pc.fill_null(cmp, False))
+
+    return ds.map_batches(gate, batch_format="pyarrow"), thr
