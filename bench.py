@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "chunk_dedup_docs",
     "urgent_lineitems",
+    "dup_clusters",
+    "quality_gate_docs",
 ]
 
 

@@ -69,6 +69,8 @@ def export_training_data(
     rates: dict[str, tuple[int, int]] | None = None,
     min_quality: float = 0.0,
     max_dup_word_frac: float = 1.0,
+    near_dedup: bool = False,
+    near_dedup_params: dict | None = None,
     redact_patterns: list[tuple[str, str]] | None = None,
     seed: int = 0,
     epoch: int = 0,
@@ -84,6 +86,11 @@ def export_training_data(
                          (dup-word fraction), keep ``<= max_dup_word_frac``
     3. redaction       — optional ``text.RegexRedactor`` (replaces text)
     4. exact dedup     — 128-bit content hash, keeper = lowest id
+    4b. near dedup     — optional: MinHash+LSH pairs → Jaccard verify →
+                         connected components → keep the cluster-min doc
+                         (``near_dedup=True``; checkpoints the gated set
+                         once so pair mining and the keeper filter don't
+                         re-run the gate chain)
     5. stratified mix  — deterministic per-stratum keep rates
     6. epoch shuffle   — fmix64 key; shard = key % num_shards (NO global
                          sort: shard routing only needs the key, so the
@@ -100,6 +107,8 @@ def export_training_data(
     out.mkdir(parents=True, exist_ok=True)
     params = {
         "min_quality": min_quality, "max_dup_word_frac": max_dup_word_frac,
+        "near_dedup": near_dedup,
+        "near_dedup_params": dict(near_dedup_params or {}),
         "redact_patterns": redact_patterns or [], "rates":
         {k: list(v) for k, v in (rates or {}).items()},
         "stratum_col": stratum_col if rates else None,
@@ -163,6 +172,51 @@ def export_training_data(
 
     ds = dedup._keyed_blocks(ds.map_batches(add_keys, batch_format="pyarrow"),
                              "_h1", dedup_block)
+
+    if near_dedup:
+        # near-dup CLUSTER dedup: MinHash+LSH candidates → exact Jaccard
+        # verify → connected components (large-star/small-star) → keep the
+        # cluster-minimum doc. The gated set is checkpointed ONCE (pair
+        # mining and the keeper filter both read it; without the cut the
+        # whole gate chain would execute twice). The drop side is the set
+        # of detected non-keeper members — proportional to duplication
+        # found, which is what makes it the broadcastable side; for a
+        # corpus where even that overflows one object, swap the probe for
+        # stages.bloom.bloom_anti_join (same exactness contract).
+        import ray as _ray
+
+        from mex_extractors_ray.stages import components
+
+        p = {"k": 3, "num_perm": 64, "bands": 16, "threshold": 0.5}
+        p.update(near_dedup_params or {})
+        ds = ds.materialize()
+        cand = dedup.minhash_candidate_pairs(
+            ds, text_col, id_col, k=p["k"], num_perm=p["num_perm"], bands=p["bands"])
+        pairs = dedup.jaccard_verify_distributed(
+            cand, ds, text_col=text_col, key_col=id_col, k=p["k"],
+            threshold=p["threshold"])
+        labels = components.connected_components(pairs, a="a", b="b")
+
+        def non_keepers(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.not_equal(t["node"], t["component"])).select(["node"])
+
+        drop_tbl = pa.concat_tables(
+            _ray.get(labels.map_batches(non_keepers,
+                                        batch_format="pyarrow").to_arrow_refs()),
+            promote_options="default")
+        if "node" in drop_tbl.column_names and drop_tbl.num_rows:
+            drop_ref = _ray.put(drop_tbl["node"].combine_chunks())
+
+            def keeper_filter(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                drops = _ray.get(drop_ref)
+                ids = pc.cast(t[id_col], pa.int64())
+                return t.filter(pc.invert(pc.is_in(ids, value_set=drops)))
+
+            ds = ds.map_batches(keeper_filter, batch_format="pyarrow")
 
     if rates and stratum_col:
         ds = stratified_sample(ds, stratum_col, id_col, rates)

@@ -147,7 +147,15 @@ def connected_components(edges, a: str = "a", b: str = "b",
         lo = pc.min_element_wise(e["u"], e["v"])
         return pa.table({"u": hi, "v": lo}, schema=_SCHEMA)
 
-    cur = edges.map_batches(lambda t: _canon(t, a, b), batch_format="pyarrow")
+    # materialize the canonized input: round 1 is the only consumer, but
+    # without the cut every star round would re-execute the (possibly
+    # expensive) upstream pair-mining lineage
+    cur = edges.map_batches(lambda t: _canon(t, a, b),
+                            batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
     prev_fp = None
     for _ in range(max_rounds):
         large_in = cur.map_batches(sym, batch_format="pyarrow")

@@ -411,6 +411,16 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
     # candidates are small by design (LSH's point); pin them once so the
     # key-list read and the joins don't re-execute the LSH pipeline
     cand_ds = cand_ds.materialize()
+    if cand_ds.count() == 0:
+        # zero candidates: an empty Dataset's pandas frame has no columns,
+        # so build the (a, b, jaccard) result schema explicitly
+        import ray.data as _rd
+
+        return _rd.from_arrow(_pa.table({
+            "a": _pa.array([], _pa.int64()),
+            "b": _pa.array([], _pa.int64()),
+            "jaccard": _pa.array([], _pa.float64()),
+        }))
     keys_df = cand_ds.select_columns(["a", "b"]).to_pandas()
     needed = pd.unique(pd.concat([keys_df["a"], keys_df["b"]], ignore_index=True))
     texts = joins.semi_join(docs_ds.select_columns([key_col, text_col]), key_col, list(needed))

@@ -131,3 +131,62 @@ def test_export_commit_marker_skip_and_invalidate(ray_session, tmp_path):
         seed=99, epoch=0, num_shards=4, concurrency=2)
     assert m4["params"]["seed"] == 99
     assert m4["write_completed_at"] != m3["write_completed_at"]
+
+
+def test_export_near_dedup_keeps_cluster_min(ray_session, tmp_path):
+    import ray.data
+
+    from mex_extractors_ray.pipelines.training_export import export_training_data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = {
+        10: base,
+        11: base + " phi",          # near-dup of 10 (not exact)
+        12: base + " chi psi",      # near-dup of 10/11 → one cluster {10,11,12}
+        20: "totally different words entirely unrelated content here now " * 2,
+        21: "another unique document with its own vocabulary and phrasing " * 2,
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    manifest = export_training_data(
+        ray.data.from_arrow(t), tmp_path / "nd",
+        near_dedup=True,
+        near_dedup_params={"k": 2, "num_perm": 64, "bands": 32, "threshold": 0.5},
+        seed=1, epoch=0, num_shards=2,
+    )
+    kept = pa.concat_tables(
+        [pq.read_table(p) for p in sorted((tmp_path / "nd").rglob("*.parquet"))])
+    ids = sorted(kept["doc_id"].to_pylist())
+    assert ids == [10, 20, 21]  # cluster {10,11,12} collapsed to its min
+    assert manifest["params"]["near_dedup"] is True
+
+    # re-run is a no-op (manifest commit marker covers the near-dedup params)
+    again = export_training_data(
+        ray.data.from_arrow(t), tmp_path / "nd",
+        near_dedup=True,
+        near_dedup_params={"k": 2, "num_perm": 64, "bands": 32, "threshold": 0.5},
+        seed=1, epoch=0, num_shards=2,
+    )
+    assert again == manifest
+
+
+def test_export_near_dedup_no_pairs_is_noop(ray_session, tmp_path):
+    import ray.data
+
+    from mex_extractors_ray.pipelines.training_export import export_training_data
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["one single document alpha beta gamma delta epsilon",
+                          "completely different second text zeta eta theta iota"]),
+        "lang": pa.array(["en", "en"]),
+    })
+    export_training_data(ray.data.from_arrow(t), tmp_path / "np",
+                         near_dedup=True, seed=0, num_shards=1)
+    kept = pa.concat_tables(
+        [pq.read_table(p) for p in sorted((tmp_path / "np").rglob("*.parquet"))])
+    assert sorted(kept["doc_id"].to_pylist()) == [1, 2]
