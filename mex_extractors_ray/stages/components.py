@@ -229,3 +229,47 @@ walk(node, comp) AS (
 )
 SELECT node, MIN(comp) AS component FROM walk GROUP BY node
 """
+
+
+def update_components(labels, new_edges, a: str = "a", b: str = "b",
+                      num_partitions: int = 64):
+    """Incrementally fold NEW near-dup pairs into an existing component
+    labeling (the CDC-shaped form of clustering: pair mining runs per
+    ingest window, cluster state is maintained, never recomputed from
+    every pair ever seen).
+
+    The trick: a (node, component) labeling IS a star forest, i.e. an
+    edge list that is already at the large/small-star fixpoint. Union it
+    with the window's new pairs and re-run :func:`connected_components` —
+    the stars compress all history, so the rerun converges in O(log² w)
+    rounds of the WINDOW's merge depth, not the corpus's. Cost scales
+    with |labels| + |new pairs| per window; labels can themselves be kept
+    as a lake table and read back per window."""
+    import pyarrow.compute as pc
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"u": pc.cast(t["node"], pa.int64()),
+                      "v": pc.cast(t["component"], pa.int64())})
+        return e.filter(pc.not_equal(e["u"], e["v"]))
+
+    def canon_new(t: pa.Table) -> pa.Table:
+        return _canon(t, a, b)
+
+    star_edges = labels.map_batches(as_edges, batch_format="pyarrow")
+    fresh = new_edges.map_batches(canon_new, batch_format="pyarrow")
+    merged = connected_components(star_edges.union(fresh), a="u", b="v",
+                                  num_partitions=num_partitions)
+
+    # singletons (label == self) carry no star edge; restore them, letting
+    # an edge-derived label win where the window connected a former single
+    def self_label(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["node"], pa.int64())
+        return pa.table({"node": n, "component": n})
+
+    def min_per_node(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("node", "ascending"), ("component", "ascending")])
+        return t.filter(pa.array(_run_starts(t["node"])))
+
+    singles = labels.map_batches(self_label, batch_format="pyarrow")
+    return _keyed_blocks(merged.union(singles), "node", min_per_node,
+                         num_partitions)

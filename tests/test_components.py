@@ -81,3 +81,46 @@ def test_component_labels_includes_singletons(ray_session):
     ).to_pandas().sort_values("node").reset_index(drop=True)
     assert out["node"].tolist() == [1, 2, 3, 4, 5]
     assert out["component"].tolist() == [1, 1, 1, 4, 5]
+
+
+def test_update_components_incremental(ray_session):
+    from mex_extractors_ray.stages.components import update_components
+
+    # initial state: {1,2,3} labeled 1; {10,11} labeled 10; singleton 20
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+        "component": pa.array([1, 1, 1, 10, 10, 20], pa.int64()),
+    }))
+    # window: bridge the two clusters via (3,11), connect 20 to a new doc 21
+    new = ray.data.from_arrow(pa.table({
+        "a": pa.array([3, 20], pa.int64()),
+        "b": pa.array([11, 21], pa.int64()),
+    }))
+    out = update_components(labels, new, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+
+
+def test_update_components_equals_batch_recompute(ray_session):
+    import numpy as np
+
+    from mex_extractors_ray.stages.components import (component_labels,
+                                                      update_components)
+
+    rng = np.random.default_rng(7)
+    all_edges = [(int(a), int(b)) for a, b in
+                 zip(rng.integers(0, 60, 50), rng.integers(0, 60, 50)) if a != b]
+    first, second = all_edges[:30], all_edges[30:]
+    nodes = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sorted({x for e in all_edges for x in e}), pa.int64())}))
+
+    def edges_ds(es):
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in es], pa.int64()),
+            "b": pa.array([e[1] for e in es], pa.int64())}))
+
+    base = component_labels(edges_ds(first), nodes, num_partitions=4)
+    incr = update_components(base, edges_ds(second), num_partitions=4).to_pandas()
+    full = component_labels(edges_ds(all_edges), nodes, num_partitions=4).to_pandas()
+    assert (dict(zip(incr["node"], incr["component"]))
+            == dict(zip(full["node"], full["component"])))
