@@ -164,7 +164,9 @@ class writer_lock:
         import fcntl
 
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path, "w")
+        # "a", not "w": opening must not truncate — a FAILED acquisition
+        # would otherwise wipe the current holder's lease metadata
+        self._f = open(self.path, "a")
         try:
             fcntl.flock(self._f, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
@@ -174,6 +176,7 @@ class writer_lock:
                 f"another writer holds the lease on {self.path.parent} "
                 f"(wanted: {self.purpose})"
             ) from None
+        self._f.truncate(0)
         self._f.write(json.dumps({
             "purpose": self.purpose,
             "pid": os.getpid(),

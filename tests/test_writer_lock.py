@@ -46,3 +46,15 @@ def test_repartition_refused_while_lease_held(ray_session, tmp_path):
             repartition_lake(lake, 4)
     out = repartition_lake(lake, 4)
     assert out["rows"] == 2
+
+
+def test_failed_acquisition_preserves_holder_metadata(tmp_path):
+    import json
+
+    with writer_lock(tmp_path, "ingest"):
+        before = json.loads((tmp_path / "_writer.lock").read_text())
+        with pytest.raises(ConcurrentWriterError):
+            with writer_lock(tmp_path, "intruder"):
+                pass
+        after = json.loads((tmp_path / "_writer.lock").read_text())
+    assert after == before and after["purpose"] == "ingest"
