@@ -230,13 +230,27 @@ def _read_file_columns(pdir: Path, fname: str, cols: list[str],
     default (mirroring resolve_table's fill, so incremental and recompute
     agree)."""
     present = set(pq.read_schema(pdir / fname).names)
-    want = ["doc_id", "lsn"] + [c for c in cols if c in present]
+    want = ["doc_id", "lsn"] + [c for c in cols if c in present and c not in ("doc_id", "lsn")]
     t = pq.read_table(pdir / fname, columns=want)
+    types = dict(registry.latest.fields)
+    out: dict[str, pa.ChunkedArray | pa.Array] = {"doc_id": t["doc_id"], "lsn": t["lsn"]}
     for c in cols:
-        if c not in present:
+        if c in out:
+            continue
+        typ = types.get(c, pa.string())
+        if c in present:
+            col = t[c]
+            out[c] = col.cast(typ) if col.type != typ else col
+        else:
+            # missing column: fill with the DECLARED type + default (an
+            # int64 tracked column filled as string would poison the
+            # concat and the maintained-aggregate arithmetic)
             default = registry.latest.defaults.get(c)
-            t = t.append_column(c, pa.array([default] * t.num_rows, pa.string()))
-    return t
+            out[c] = (pa.nulls(t.num_rows, typ) if default is None
+                      else pa.array([default] * t.num_rows, typ))
+    # canonical column order regardless of each file's present subset, so
+    # concat_tables over mixed-era files always aligns
+    return pa.table(out)
 
 
 def _group_stats_dict(tbl: pa.Table, g: str, v: str) -> dict[str, list[int]]:
@@ -714,6 +728,15 @@ def ingest_change_log(
 
     registry = registry or sequence_registry()
     registry_json = registry.to_json()
+    # manifest agg_sums keys are encoded "group|value"; a '|' inside a
+    # column name would be mis-split by every maintenance job — refuse it
+    # here rather than deferring the failure to compaction
+    for name in (*(track_value_counts or ()),
+                 *(c for gv in (track_group_sums or ()) for c in gv)):
+        if "|" in name:
+            raise ValueError(
+                f"tracked column name {name!r} contains '|' (reserved as the "
+                f"manifest agg_sums key separator)")
     Path(lake_dir).mkdir(parents=True, exist_ok=True)
     from mex_extractors_ray.cdc.manifest import writer_lock
 

@@ -98,8 +98,16 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
 
 
 def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> list[dict]:
-    """Compact every partition (distributed: one task per partition)."""
+    """Compact every partition (distributed: one task per partition).
+
+    Takes the lake's writer lease: a compaction racing an ingest could
+    otherwise GC files an in-flight apply has already read from the old
+    manifest, committing a manifest that references deleted files. (The
+    ingest's own inline fold needs no lease here — it runs UNDER the
+    ingest's lease, inside apply_partition, and never calls this.)"""
     import ray.data
+
+    from mex_extractors_ray.cdc.manifest import writer_lock
 
     registry = registry or sequence_registry()
     rj = registry.to_json()
@@ -107,6 +115,12 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
     if not pids:
         return []
     lake = str(lake_dir)
+    with writer_lock(lake_dir, "compact"):
+        return _locked_compact(lake, pids, rj)
+
+
+def _locked_compact(lake: str, pids, rj: str) -> list[dict]:
+    import ray.data
 
     def run(batch: pa.Table) -> pa.Table:
         rows = [compact_partition(lake, int(p), rj) for p in batch["id"].to_pylist()]
@@ -227,26 +241,13 @@ def repartition_lake(
     any suffix of the log (lsn > watermark) remains correct because every
     partition inherits that watermark.
     """
-    import functools
-
-    import ray.data
-
-    from mex_extractors_ray.cdc.apply import read_lake, resolve_and_partition
-    from mex_extractors_ray.cdc.apply import _group_stats_dict as _gsd
-    from mex_extractors_ray.cdc.apply import _value_counts_dict as _vcd
+    from mex_extractors_ray.cdc.manifest import writer_lock
 
     registry = registry or sequence_registry()
     rj = registry.to_json()
     old = Path(lake_dir)
-    from mex_extractors_ray.cdc.manifest import writer_lock
-
-    _lease = writer_lock(old, "repartition")
-    _lease.__enter__()
-    try:
-        return _locked_repartition(
-            old, new_num_partitions, registry, rj, force)
-    finally:
-        _lease.__exit__(None, None, None)
+    with writer_lock(old, "repartition"):
+        return _locked_repartition(old, new_num_partitions, registry, rj, force)
 
 
 def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:

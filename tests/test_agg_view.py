@@ -169,3 +169,38 @@ def test_view_first_wins_mode(ray_session, tmp_path):
     w2 = _log([("a", 11, "update", "s2"), ("b", 12, "insert", "s2")])
     lake = _ingest(tmp_path, "mv5", [w1, w2], mode="first_wins")
     assert _view(lake) == {"s1": 1, "s2": 1}
+
+
+def test_read_file_columns_fills_missing_with_declared_type(tmp_path):
+    from mex_extractors_ray.cdc.apply import _read_file_columns
+    from mex_extractors_ray.schema import SchemaRegistry, SchemaVersion
+
+    v1 = SchemaVersion(1, (("doc_id", pa.string()), ("n_tok", pa.int32())))
+    v2 = SchemaVersion(
+        2, (("doc_id", pa.string()), ("n_tok", pa.int32()),
+            ("score", pa.int64())), {"score": 0})
+    reg = SchemaRegistry([v1, v2])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["a"]), "lsn": pa.array([1], pa.int64()),
+        "n_tok": pa.array([3], pa.int32())}), tmp_path / "f1.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["b"]), "lsn": pa.array([2], pa.int64()),
+        "n_tok": pa.array([4], pa.int32()),
+        "score": pa.array([9], pa.int64())}), tmp_path / "f2.parquet")
+
+    t1 = _read_file_columns(tmp_path, "f1.parquet", ["score"], reg)
+    t2 = _read_file_columns(tmp_path, "f2.parquet", ["score"], reg)
+    # declared int64 + default, NOT a string fill; canonical column order
+    assert t1["score"].type == pa.int64() and t1["score"].to_pylist() == [0]
+    assert t1.column_names == t2.column_names
+    merged = pa.concat_tables([t1, t2])  # must not raise on mixed-era files
+    assert merged["score"].to_pylist() == [0, 9]
+
+
+def test_tracked_column_name_with_pipe_rejected(tmp_path):
+    from mex_extractors_ray.cdc.apply import ingest_change_log
+
+    with pytest.raises(ValueError, match="reserved"):
+        ingest_change_log(["/nonexistent.parquet"], tmp_path / "lk",
+                          num_partitions=2,
+                          track_group_sums=(("a|b", "n_tok"),))
