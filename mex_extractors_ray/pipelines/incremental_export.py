@@ -19,10 +19,13 @@ Layout (all commits via the atomic manifest, like the lake):
 - The FIRST call writes a base window from the live lake (no feed replay
   needed — exactly-once is the lake's job).
 - Each later call reads ``read_changes(lake, last_watermark)``, folds the
-  multi-window feed to one winner per doc (exact per block: the feed is
-  partition-blocked and a doc never crosses partitions), writes the
-  surviving upserts as a new window, and lists EVERY changed doc_id in the
-  window's retraction set.
+  multi-window feed to one winner per doc — exactly, via a doc_id-keyed
+  coarse shuffle (partition-locality of the raw feed is not enough: Ray
+  splits big task outputs into multiple blocks) — writes the surviving
+  upserts as a new window, and lists EVERY changed doc_id in the window's
+  retraction set. If the export has lagged below the lake's change-feed
+  floor (a lake fold squashed the needed history), the call re-bases from
+  the live lake instead of failing.
 - A reader takes, per window, the shard rows minus doc_ids retracted by
   any LATER window — so the union over windows is exactly the live lake
   payload at the export watermark (asserted against ``read_lake_arrow``
@@ -103,53 +106,100 @@ def _shard_route(num_shards: int, seed: int):
 
 
 def _feed_last_wins(t: pa.Table) -> pa.Table:
-    """One winner per doc within a feed block. Exact: read_changes blocks
-    are partition-local and a doc_id never crosses partitions."""
+    """One winner per doc within a block. Exact only when every row of a
+    doc is in the block — which the doc_id-keyed coarse shuffle in
+    :func:`incremental_export` guarantees (Ray splits large task outputs
+    at ``target_max_block_size``, so partition-locality of the raw feed is
+    NOT enough: a doc's upsert and its later delete can land in different
+    blocks of the same partition's feed)."""
     from mex_extractors_ray.cdc.apply import _reduce_per_doc
 
     return _reduce_per_doc(t, "last_wins")
 
 
+def _lake_feed_floor(lake_dir: str | Path) -> int:
+    """Max over partitions of the change-feed floor (the newest fold's
+    watermark; -1 when every partition can serve changes from any since)."""
+    from mex_extractors_ray.cdc.apply import _manifested_pids
+
+    floors = []
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if not m:
+            continue
+        f = m.history_floor
+        floors.append(m.last_lsn if f == -2 else f)
+    return max(floors, default=-1)
+
+
+def _gc_unlisted_windows(out: Path, manifest: dict | None) -> None:
+    """Remove window dirs not listed in the committed manifest: crashed
+    partial windows, and old windows retired by a committed rebase. Safe
+    at any time — readers only open manifest-listed dirs."""
+    import shutil
+
+    listed = {w["dir"] for w in (manifest or {}).get("windows", [])}
+    for d in out.glob("window-*"):
+        if d.is_dir() and d.name not in listed:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
                        num_shards: int = 16, seed: int = 0,
                        min_n_tok: int = 0,
-                       registry: SchemaRegistry | None = None) -> dict:
+                       registry: SchemaRegistry | None = None,
+                       _rebase: bool = False) -> dict:
     """Bring the export current with the lake; returns the manifest.
-    No-op (manifest returned unchanged) when already at the watermark."""
+    No-op (manifest returned unchanged) when already at the watermark.
+
+    Rebase (fresh base window replacing the whole window list) happens
+    when: no manifest yet; ``_rebase=True`` (``fold_export``); or the
+    export watermark has fallen below the lake's change-feed floor — a
+    lake fold squashed the history the feed would need, so the export
+    re-bases from the live lake instead of dying on the floor error
+    (cost ∝ lake, the price of having lagged past a fold)."""
     registry = registry or sequence_registry()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = _read_export_manifest(out)
     wm = lake_high_watermark(lake_dir)
     since = manifest["watermark"] if manifest else None
-    if manifest and since == wm:
+    if manifest and since == wm and not _rebase:
         return manifest
     if manifest and since > wm:
         raise ValueError(
             f"export watermark {since} is AHEAD of the lake ({wm}) — wrong lake?")
+    # pre-write GC: anything not in the committed manifest is a crashed
+    # partial window or a committed rebase's leftovers
+    _gc_unlisted_windows(out, manifest)
 
     from mex_extractors_ray.cdc.apply import read_changes, read_lake
+    from mex_extractors_ray.stages.dedup import _keyed_blocks
 
-    if manifest is None:
-        ds = read_lake(lake_dir, registry)
-        base = True
+    rebase = manifest is None or _rebase or since < _lake_feed_floor(lake_dir)
+    folds = (manifest or {}).get("folds", 0)
+    if rebase and manifest is not None:
+        # a rebase window can share the lake watermark with a listed
+        # window (fold while current); the fold counter keeps dir names
+        # unique without ever touching committed dirs
+        folds += 1
+        wname = f"window-{wm:020d}f{folds}"
     else:
-        ds = read_changes(lake_dir, since, registry).map_batches(
-            _feed_last_wins, batch_format="pyarrow")
-        base = False
+        wname = f"window-{wm:020d}"
+    wdir = out / wname
 
-    wdir = out / f"window-{wm:020d}"
-    import shutil
-
-    shutil.rmtree(wdir, ignore_errors=True)  # crashed partial = uncommitted
-
-    if not base:
-        # retractions BEFORE the upsert filter: updates retract their old
-        # version, deletes retract outright
-        ds.select_columns(["doc_id"]).write_parquet(
+    if rebase:
+        ds = read_lake(lake_dir, registry)
+    else:
+        # doc_id-keyed coarse shuffle → the per-block fold is exact even
+        # when Ray splits a partition's feed into many blocks; the folded
+        # window (∝ change volume) is materialized ONCE and serves both
+        # the retraction list and the upsert shards
+        feed = read_changes(lake_dir, since, registry)
+        folded = _keyed_blocks(feed, "doc_id", _feed_last_wins).materialize()
+        folded.select_columns(["doc_id"]).write_parquet(
             str(wdir / "retractions"), min_rows_per_file=64 * 1024)
-        ds = read_changes(lake_dir, since, registry).map_batches(
-            _feed_last_wins, batch_format="pyarrow").map_batches(
+        ds = folded.map_batches(
             lambda t: t.filter(pc.equal(t["op"], "upsert")).drop_columns(["op"]),
             batch_format="pyarrow")
     if min_n_tok > 0:
@@ -165,7 +215,7 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
     window = {
         "dir": wdir.name,
         "watermark": wm,
-        "base": base,
+        "base": rebase,
         "files": [{"name": str(p.relative_to(wdir)),
                    "sha256_checksum": sha256_file(p)} for p in files],
     }
@@ -174,9 +224,13 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
         "seed": seed,
         "min_n_tok": min_n_tok,
         "watermark": wm,
-        "windows": ([*manifest["windows"], window] if manifest else [window]),
+        "folds": folds,
+        "windows": ([window] if rebase else [*manifest["windows"], window]),
     }
+    # manifest commit LAST (two-phase: the old manifest and its dirs stay
+    # valid until this write); post-commit GC retires rebased-away windows
     _commit_export_manifest(out, new_manifest)
+    _gc_unlisted_windows(out, new_manifest)
     return new_manifest
 
 
@@ -223,15 +277,14 @@ def read_export_arrow(out_dir: str | Path) -> pa.Table:
 
 def fold_export(lake_dir: str | Path, out_dir: str | Path) -> dict:
     """Rewrite the export as one fresh base window at the lake's current
-    watermark (clears retraction debt — the compactor analog)."""
+    watermark (clears retraction debt — the compactor analog). Two-phase
+    like every commit here: the new base is written FIRST, the manifest
+    swap commits it, and only then are the old windows GC'd — a crash at
+    any point leaves either the old export or the new one fully readable
+    (never the round-2 behavior of unlinking the manifest up front)."""
     out = Path(out_dir)
     manifest = _read_export_manifest(out)
     if manifest is None:
         return incremental_export(lake_dir, out_dir)
-    import shutil
-
     params = {k: manifest[k] for k in ("num_shards", "seed", "min_n_tok")}
-    (out / "manifest.json").unlink()
-    for w in manifest["windows"]:
-        shutil.rmtree(out / w["dir"], ignore_errors=True)
-    return incremental_export(lake_dir, out_dir, **params)
+    return incremental_export(lake_dir, out_dir, _rebase=True, **params)

@@ -144,3 +144,78 @@ def test_tail_chains_export(ray_session, tmp_path):
     # idle poll: no segments, export untouched
     r3 = tail_once(log_dir, lake, num_partitions=2, export_out=out)
     assert r3["noop"] and "export_windows" not in r3
+
+
+def test_export_survives_lake_fold(ray_session, tmp_path):
+    """A lake fold raises the change-feed floor past the export watermark;
+    the export must re-base instead of dying on the floor error."""
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    # window 0 exported, then enough ingest windows at compact_threshold=2
+    # to guarantee every partition folded past the export watermark
+    pq.write_table(_log([("a", 1, "insert"), ("b", 2, "insert")]),
+                   tmp_path / "w0.parquet")
+    ingest_change_log([str(tmp_path / "w0.parquet")], lake, num_partitions=2,
+                      compact_threshold=2)
+    incremental_export(lake, out, num_shards=4)
+    lsn = 10
+    for i in range(4):
+        rows = [("a", lsn, "update"), ("b", lsn + 1, "update"),
+                (f"n{i}", lsn + 2, "insert")]
+        lsn += 10
+        pq.write_table(_log(rows), tmp_path / f"w{i+1}.parquet")
+        ingest_change_log([str(tmp_path / f"w{i+1}.parquet")], lake,
+                          num_partitions=2, compact_threshold=2)
+    m = incremental_export(lake, out, num_shards=4)  # must not raise
+    _lake_equal(lake, out)
+    # the rebase collapsed the window list to one fresh base
+    assert len(m["windows"]) == 1 and m["windows"][0]["base"]
+
+
+def test_fold_export_is_two_phase(ray_session, tmp_path):
+    """The old manifest stays committed until the new base is written;
+    stray (unlisted) window dirs are GC'd by the next run."""
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    pq.write_table(_log([("a", 1, "insert"), ("b", 2, "insert")]),
+                   tmp_path / "w0.parquet")
+    ingest_change_log([str(tmp_path / "w0.parquet")], lake, num_partitions=2)
+    incremental_export(lake, out, num_shards=2)
+    pq.write_table(_log([("a", 11, "update")]), tmp_path / "w1.parquet")
+    ingest_change_log([str(tmp_path / "w1.parquet")], lake, num_partitions=2)
+    incremental_export(lake, out, num_shards=2)
+    before = read_export_arrow(out)
+
+    # simulate a crashed fold: a partial unlisted window dir appears, the
+    # manifest is untouched → readers still see the committed export
+    stray = out / "window-99999999999999999999f9"
+    (stray / "shard=0").mkdir(parents=True)
+    assert read_export_arrow(out).equals(before)
+
+    m = fold_export(lake, out)
+    assert len(m["windows"]) == 1 and m["windows"][0]["base"]
+    assert not stray.exists()  # GC'd
+    _lake_equal(lake, out)
+    # fold at the same watermark used the fold-counter dir name
+    assert m["windows"][0]["dir"].endswith("f1")
+    # folding again while current still works and bumps the counter
+    m2 = fold_export(lake, out)
+    assert m2["windows"][0]["dir"].endswith("f2")
+    _lake_equal(lake, out)
+
+
+def test_export_exact_fold_across_feed_blocks(ray_session, tmp_path):
+    """A doc's upsert and delete in the same lagging window must collapse
+    to the delete even if Ray splits the feed into many blocks — the
+    doc-keyed shuffle guarantees it regardless of block boundaries."""
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    pq.write_table(_log([("seed", 1, "insert")]), tmp_path / "w0.parquet")
+    ingest_change_log([str(tmp_path / "w0.parquet")], lake, num_partitions=2)
+    incremental_export(lake, out, num_shards=2)
+    # lag two windows: insert then delete of the same doc
+    pq.write_table(_log([("ghost", 11, "insert")]), tmp_path / "w1.parquet")
+    ingest_change_log([str(tmp_path / "w1.parquet")], lake, num_partitions=2)
+    pq.write_table(_log([("ghost", 21, "delete")]), tmp_path / "w2.parquet")
+    ingest_change_log([str(tmp_path / "w2.parquet")], lake, num_partitions=2)
+    incremental_export(lake, out, num_shards=2)
+    exp = read_export_arrow(out)
+    assert "ghost" not in exp["doc_id"].to_pylist()
+    _lake_equal(lake, out)
