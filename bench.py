@@ -100,29 +100,8 @@ def ensure_log(n_events: int, n_docs: int, seed: int = 42, lsn_start: int = 0) -
     return paths
 
 
-class _EmptyShuffleBundleFilter(__import__("logging").Filter):
-    """Drops exactly ONE known Ray-internal warning: when a hash-shuffle
-    output partition is empty, Ray's map path skips the UDF entirely
-    (``ray/data/_internal/planner/plan_udf_map_op.py:452-462`` — marked
-    ``TODO(hchen)`` workaround: "all-to-all operators output empty blocks
-    with no schema"), so that task emits a schema-less empty block and the
-    streaming executor logs "RefBundle with a different schema … new
-    schema: .". User code can never fix this (the UDF is not called for
-    those blocks); every fixable schema-instability source in this repo
-    emits explicit Arrow schemas (see stages/joins.py, stages/asof.py).
-    Only the empty-schema ("new schema: .") variant is dropped — a REAL
-    schema mismatch between non-empty blocks still prints."""
-
-    def filter(self, record):  # noqa: A003 - logging.Filter API
-        msg = record.getMessage()
-        return not (
-            "RefBundle with a different schema" in msg and "new schema: ." in msg
-        )
-
 
 def run_bench() -> dict:
-    import logging
-
     import ray
 
     if not ray.is_initialized():
@@ -130,9 +109,10 @@ def run_bench() -> dict:
                  logging_level="ERROR")
     import ray.data
 
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).addFilter(_EmptyShuffleBundleFilter())
+    # the empty-shuffle-bundle log noise filter is installed by
+    # mex_extractors_ray.runtime at import (idempotent)
+    from mex_extractors_ray.runtime import silence_empty_block_schema_warnings
+    silence_empty_block_schema_warnings()
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from mex_extractors_ray.cdc import ingest_change_log

@@ -118,6 +118,16 @@ def export_training_data(
     if prior is not None and prior.get("params") == json.loads(json.dumps(params)):
         return prior
 
+    if near_dedup:
+        # fail FAST: connected components casts ids to int64 (the cluster
+        # label is the numeric min id); a string id corpus would otherwise
+        # crash deep in the run, after the gates and LSH already executed
+        id_type = docs.schema().base_schema.field(id_col).type
+        if not pa.types.is_integer(id_type):
+            raise ValueError(
+                f"near_dedup=True requires an integer {id_col!r} column "
+                f"(cluster labels are min ids); got {id_type}")
+
     ds = docs
     if min_quality > 0.0:
         ds = ds.map_batches(_rt.stateless(QualityScore, text_col=text_col),

@@ -190,3 +190,18 @@ def test_export_near_dedup_no_pairs_is_noop(ray_session, tmp_path):
     kept = pa.concat_tables(
         [pq.read_table(p) for p in sorted((tmp_path / "np").rglob("*.parquet"))])
     assert sorted(kept["doc_id"].to_pylist()) == [1, 2]
+
+
+def test_export_near_dedup_requires_integer_ids(ray_session, tmp_path):
+    import ray.data
+
+    from mex_extractors_ray.pipelines.training_export import export_training_data
+
+    t = pa.table({
+        "doc_id": pa.array(["doc-1", "doc-2"]),
+        "text": pa.array(["alpha beta gamma delta", "epsilon zeta eta theta"]),
+        "lang": pa.array(["en", "en"]),
+    })
+    with pytest.raises(ValueError, match="integer"):
+        export_training_data(ray.data.from_arrow(t), tmp_path / "bad",
+                             near_dedup=True, num_shards=1)
