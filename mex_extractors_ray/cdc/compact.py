@@ -224,6 +224,113 @@ def verify_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None) ->
     return out.take_all()
 
 
+def vacuum_partition(lake_dir: str, pid: int, dry_run: bool = False) -> dict:
+    """Reclaim one partition's crash orphans: files the manifest does not
+    reference. ``commit_manifest`` GCs *superseded* files at every commit,
+    but a crash between phase 1 (data write) and phase 2 (manifest rename)
+    leaves data/tombstone/delete-log parquet — and ``.tmp-*`` scratch —
+    that no commit will ever sweep. The manifest is the only source of
+    truth, so with the writer lease held every unreferenced file here is a
+    crash leftover by definition.
+
+    Scope is deliberately narrow: only ``.tmp-*`` scratch and unreferenced
+    ``*.parquet`` inside ``partition=*`` directories. Time travel is
+    unaffected — every delete log the as-of / change-feed readers need is
+    listed in ``manifest.delete_logs`` and therefore kept.
+    """
+    pdir = partition_dir(lake_dir, pid)
+    m = read_manifest(lake_dir, pid)
+    keep: set[str] = {"manifest.json"}
+    if m is not None:
+        keep |= set(m.files) | set(m.delete_logs)
+        if m.tombstone_file:
+            keep.add(m.tombstone_file)
+    removed: list[str] = []
+    bytes_reclaimed = 0
+    if pdir.is_dir():
+        for p in sorted(pdir.iterdir()):
+            name = p.name
+            if not p.is_file() or name in keep:
+                continue
+            if not (name.startswith(".tmp-") or name.endswith(".parquet")):
+                continue  # not something this engine writes — leave it
+            bytes_reclaimed += p.stat().st_size
+            removed.append(name)
+            if not dry_run:
+                p.unlink()
+    return {
+        "partition": pid,
+        "removed": len(removed),
+        "bytes_reclaimed": bytes_reclaimed,
+        "names": removed,
+    }
+
+
+def vacuum_lake(lake_dir: str | Path, dry_run: bool = False) -> dict:
+    """Lake-wide orphan GC (Delta Lake VACUUM analog), distributed one task
+    per partition. Takes the writer lease — even for ``dry_run`` — so an
+    in-flight ingest's phase-1 files (written, not yet manifest-committed)
+    can never be mistaken for orphans; with the lease held, unreferenced
+    means crashed. Root-level ``.tmp-*`` scratch from ``atomic_write_bytes``
+    (``_lake_meta.json`` / ``_ingest_state.json`` writes) is swept on the
+    driver — there are O(1) such files per lake.
+    """
+    import ray.data
+
+    from mex_extractors_ray.cdc.manifest import writer_lock
+
+    lake = str(lake_dir)
+    with writer_lock(lake, "vacuum"):
+        root_removed = 0
+        root_bytes = 0
+        for p in sorted(Path(lake).iterdir()):
+            if p.is_file() and p.name.startswith(".tmp-"):
+                root_bytes += p.stat().st_size
+                root_removed += 1
+                if not dry_run:
+                    p.unlink()
+        pids = _partition_ids(lake)
+        reports: list[dict] = []
+        if pids:
+            def run(batch: pa.Table) -> pa.Table:
+                rows = [
+                    vacuum_partition(lake, int(p), dry_run)
+                    for p in batch["id"].to_pylist()
+                    if int(p) in pid_set
+                ]
+                return pa.Table.from_pylist(
+                    [
+                        {
+                            "partition": r["partition"],
+                            "removed": r["removed"],
+                            "bytes_reclaimed": r["bytes_reclaimed"],
+                            "names": "; ".join(r["names"]),
+                        }
+                        for r in rows
+                    ],
+                    schema=pa.schema(
+                        [
+                            ("partition", pa.int64()),
+                            ("removed", pa.int64()),
+                            ("bytes_reclaimed", pa.int64()),
+                            ("names", pa.string()),
+                        ]
+                    ),
+                )
+
+            pid_set = set(pids)
+            out = ray.data.range(max(pids) + 1).map_batches(
+                run, batch_size=1, batch_format="pyarrow"
+            )
+            reports = out.take_all()
+    return {
+        "dry_run": dry_run,
+        "partitions": reports,
+        "files_removed": root_removed + sum(r["removed"] for r in reports),
+        "bytes_reclaimed": root_bytes + sum(r["bytes_reclaimed"] for r in reports),
+    }
+
+
 def repartition_lake(
     lake_dir: str | Path,
     new_num_partitions: int,

@@ -168,6 +168,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.compact import vacuum_lake
+
+    out = vacuum_lake(args.lake, dry_run=args.dry_run)
+    print(json.dumps({
+        "dry_run": out["dry_run"],
+        "files_removed": out["files_removed"],
+        "bytes_reclaimed": out["bytes_reclaimed"],
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_counts(args) -> int:
     # manifest-only read: no Ray session needed
     from mex_extractors_ray.cdc.apply import (
@@ -290,6 +304,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--lake", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    vc = sub.add_parser("vacuum", help="reclaim crash orphans (unreferenced files)")
+    vc.add_argument("--lake", required=True)
+    vc.add_argument("--dry-run", action="store_true")
+    vc.set_defaults(fn=cmd_vacuum)
 
     tl = sub.add_parser("tail")
     tl.add_argument("--log", required=True)

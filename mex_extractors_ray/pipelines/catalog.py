@@ -955,6 +955,9 @@ def q_lang_id(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
+    """Winnowing rolling-hash fingerprints, ORACLE-CHECKED: the DuckDB
+    oracle (``text.fingerprint_sql``) reimplements the kernel bit-for-bit
+    in mod-2^64 HUGEINT SQL (the ``epoch_shuffle`` fmix64 discipline)."""
     docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text.fingerprint_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"]).to_pandas()
@@ -2280,6 +2283,7 @@ FROM ({_components_oracle()}) lab
 GROUP BY component HAVING COUNT(*) > 1
 """,
         "lang_id": text.langid_sql(),
+        "doc_fingerprints": text.fingerprint_sql(),
         "embedding_near_dups_exact": """
 SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

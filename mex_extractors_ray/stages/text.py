@@ -229,6 +229,101 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16)
     return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
 
 
+_M64 = "18446744073709551616"
+_M32 = "4294967296"
+
+
+def _mulmod_cc_sql(a: str, b: str) -> str:
+    """``(a * b) mod 2^64`` for two UBIGINT expressions: split both into
+    32-bit halves so every partial product stays below 2^96 (INT128-safe);
+    the a1*b1 term is ≡ 0 mod 2^64 and dropped."""
+    a0 = f"CAST({a} % {_M32} AS HUGEINT)"
+    a1 = f"CAST({a} >> 32 AS HUGEINT)"
+    b0 = f"CAST({b} % {_M32} AS HUGEINT)"
+    b1 = f"CAST({b} >> 32 AS HUGEINT)"
+    mid = f"((({a0} * {b1}) + ({a1} * {b0})) % {_M32}) * {_M32}"
+    return f"CAST((({a0} * {b0}) + {mid}) % {_M64} AS UBIGINT)"
+
+
+def _mulmod_c_sql(x: str, c: int) -> str:
+    """``(x * c) mod 2^64`` for a UBIGINT expression and a constant
+    (the ``shuffle._mulmod64_sql`` split-multiply)."""
+    lo = f"(CAST({x} % {_M32} AS HUGEINT) * {c}) % {_M64}"
+    hi = f"((CAST({x} >> 32 AS HUGEINT) * {c}) % {_M32}) * {_M32}"
+    return f"CAST(({lo} + {hi}) % {_M64} AS UBIGINT)"
+
+
+def fingerprint_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 16) -> str:
+    """DuckDB reimplementation of :func:`hashing.rolling_fingerprints` —
+    the ``langid_sql`` discipline: the engine's winnowing fingerprint
+    becomes hash-checkable against an independent evaluation path.
+
+    Mirrors the kernel bit-for-bit in mod-2^64 HUGEINT arithmetic
+    (the ``shuffle.epoch_shuffle_sql`` precedent): ascending-power
+    polynomial prefix (byte_j · 31^j), every ``window``-byte window hash,
+    the splitmix64-style finalizer (``hashing._mix``), and the per-doc
+    min INCLUDING the whole-string hash (the kernel seeds ``out`` with it;
+    short/empty/null docs degrade to that full hash alone, null → mix(0)).
+    Signed ``BIGINT`` output matches ``fingerprint_batch``'s int64 view.
+
+    Exact-parity contract: ASCII corpora only (the kernel hashes UTF-8
+    bytes, SQL ``substr``/``unicode`` work on characters — identical iff
+    ASCII; the synthetic ``documents`` table is ASCII)."""
+    w = window
+    byte_term = _mulmod_cc_sql("y.b", "pw.p")
+    return f"""
+WITH RECURSIVE fp_docs AS (
+  SELECT {id_col} AS doc_id, coalesce({text_col}, '') AS t FROM {table}
+),
+fp_pw(i, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT i + 1, {_mulmod_c_sql('p', 31)} FROM fp_pw
+  WHERE i < (SELECT coalesce(max(length(t)), 0) FROM fp_docs)
+),
+fp_bytes AS (
+  SELECT doc_id, j,
+         CAST(unicode(substr(t, CAST(j AS INT), 1)) AS UBIGINT) AS b
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS j FROM fp_docs)
+),
+fp_full AS (
+  SELECT d.doc_id, coalesce(s.raw, CAST(0 AS UBIGINT)) AS raw
+  FROM fp_docs d
+  LEFT JOIN (SELECT y.doc_id,
+                    CAST(SUM(CAST({byte_term} AS HUGEINT)) % {_M64} AS UBIGINT) AS raw
+             FROM fp_bytes y JOIN fp_pw pw ON pw.i = y.j - 1
+             GROUP BY y.doc_id) s USING (doc_id)
+),
+fp_windows AS (
+  SELECT s.doc_id,
+         CAST(SUM(CAST({byte_term} AS HUGEINT)) % {_M64} AS UBIGINT) AS raw
+  FROM (SELECT doc_id, unnest(range(1, length(t) - {w} + 2)) AS s
+        FROM fp_docs WHERE length(t) >= {w}) s
+  JOIN fp_bytes y ON y.doc_id = s.doc_id AND y.j >= s.s AND y.j < s.s + {w}
+  JOIN fp_pw pw ON pw.i = y.j - s.s
+  GROUP BY s.doc_id, s.s
+),
+fp_all AS (
+  SELECT doc_id, raw FROM fp_full
+  UNION ALL
+  SELECT doc_id, raw FROM fp_windows
+),
+fp_mixed AS (
+  SELECT doc_id, xor(m4, m4 >> 31) AS mixed
+  FROM (SELECT doc_id, {_mulmod_c_sql('m3', 0x94D049BB133111EB)} AS m4
+        FROM (SELECT doc_id, xor(m2, m2 >> 27) AS m3
+              FROM (SELECT doc_id, {_mulmod_c_sql('m1', 0xBF58476D1CE4E5B9)} AS m2
+                    FROM (SELECT doc_id, xor(raw, raw >> 30) AS m1 FROM fp_all))))
+)
+SELECT doc_id,
+       CAST(CASE WHEN mn >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN CAST(mn AS HUGEINT) - {_M64}
+                 ELSE CAST(mn AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM (SELECT doc_id, MIN(mixed) AS mn FROM fp_mixed GROUP BY doc_id)
+"""
+
+
 # RE2-safe DOI URL shape (the DoiStr validation analog)
 DOI_URL_PATTERN = r"^https://doi\.org/10\.[0-9]{4,9}[-._;()/:A-Za-z0-9]*$"
 
