@@ -1164,6 +1164,36 @@ def q_cdc_partition_metrics(sf_dir: str):
     return t.to_pandas()
 
 
+def _text_string_hash_over_final() -> str:
+    """SQL computing the router hash for every live doc_id of the
+    closed-form CDC final state (oracle half of ``cdc_partition_routing``)."""
+    final_ids = (
+        _CDC_RANKED_SQL
+        + "SELECT doc_id FROM ranked WHERE rn = 1 AND op <> 'delete'"
+    )
+    return text.string_hash_sql(f"({final_ids})", "doc_id", "doc_id")
+
+
+def q_cdc_partition_routing(sf_dir: str):
+    """Physical partition layout, ORACLE-CHECKED: per-partition LIVE doc
+    counts straight from the committed manifests (P metadata reads, zero
+    data files). The oracle recomputes the closed-form final state and
+    routes every doc_id through ``text.string_hash_sql`` — a bit-exact SQL
+    mirror of the ingest's router (``hash_string_array % P``) — so this
+    entry hash-checks the router, the physical layout AND the maintained
+    ``row_count`` in one pass."""
+    lake_dir = build_cdc_lake(sf_dir)
+    from mex_extractors_ray.cdc.manifest import read_manifest
+
+    rows = []
+    for pid in range(CDC_PARTITIONS):
+        m = read_manifest(lake_dir, pid)
+        rows.append({"partition": pid, "n_docs": m.row_count if m else 0})
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators: sessionize / top-k per key / quota / packing /
 # decontamination
@@ -1949,6 +1979,7 @@ _QUERY_FNS = {
         "cdc_live_counts": q_cdc_live_counts,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_partition_metrics": q_cdc_partition_metrics,
+        "cdc_partition_routing": q_cdc_partition_routing,
         "lake_verify_report": q_lake_verify_report,
         "pricing_summary": q_pricing_summary,
         "urgent_lineitems": q_urgent_lineitems,
@@ -2059,6 +2090,16 @@ SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY 1
 """,
+        "cdc_partition_routing": f"""
+SELECT CAST(p.partition AS BIGINT) AS partition,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+FROM (SELECT unnest(range(0, {CDC_PARTITIONS})) AS partition) p
+LEFT JOIN (
+  SELECT CAST(h % {CDC_PARTITIONS} AS BIGINT) AS partition, COUNT(*) AS n
+  FROM ({{hashed}}) GROUP BY 1
+) c USING (partition)
+ORDER BY 1
+""".format(hashed=_text_string_hash_over_final()),
         "cdc_tombstones": _CDC_RANKED_SQL
         + """
 SELECT doc_id, lsn AS last_lsn FROM ranked WHERE rn = 1 AND op = 'delete'

@@ -324,6 +324,50 @@ FROM (SELECT doc_id, MIN(mixed) AS mn FROM fp_mixed GROUP BY doc_id)
 """
 
 
+def string_hash_sql(table: str, id_col: str, str_col: str,
+                    out_col: str = "h") -> str:
+    """DuckDB mirror of :func:`hashing.hash_string_array` (seed=0) — the
+    ascending-power polynomial byte hash (byte_j · 31^j) followed by the
+    splitmix64-style finalizer, as UBIGINT ``out_col`` per row. This is the
+    hash the CDC ingest routes partitions with (``pid = h % P``), so an
+    oracle built on it can check the lake's PHYSICAL layout.
+
+    ``table`` may be any table expression (including a parenthesized
+    subquery); rows must have unique ``id_col`` values (the byte explode is
+    re-grouped by it). Empty/null strings hash to mix(0), matching the
+    kernel. ASCII-only contract, as :func:`fingerprint_sql`."""
+    byte_term = _mulmod_cc_sql("y.b", "pw.p")
+    return f"""
+WITH RECURSIVE hs_in AS (
+  SELECT {id_col}, coalesce({str_col}, '') AS t FROM {table}
+),
+hs_pw(i, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT i + 1, {_mulmod_c_sql('p', 31)} FROM hs_pw
+  WHERE i < (SELECT coalesce(max(length(t)), 0) FROM hs_in)
+),
+hs_bytes AS (
+  SELECT {id_col}, j,
+         CAST(unicode(substr(t, CAST(j AS INT), 1)) AS UBIGINT) AS b
+  FROM (SELECT {id_col}, t, unnest(range(1, length(t) + 1)) AS j FROM hs_in)
+),
+hs_raw AS (
+  SELECT i.{id_col}, coalesce(s.raw, CAST(0 AS UBIGINT)) AS raw
+  FROM hs_in i
+  LEFT JOIN (SELECT y.{id_col},
+                    CAST(SUM(CAST({byte_term} AS HUGEINT)) % {_M64} AS UBIGINT) AS raw
+             FROM hs_bytes y JOIN hs_pw pw ON pw.i = y.j - 1
+             GROUP BY y.{id_col}) s USING ({id_col})
+)
+SELECT {id_col}, xor(m4, m4 >> 31) AS {out_col}
+FROM (SELECT {id_col}, {_mulmod_c_sql('m3', 0x94D049BB133111EB)} AS m4
+      FROM (SELECT {id_col}, xor(m2, m2 >> 27) AS m3
+            FROM (SELECT {id_col}, {_mulmod_c_sql('m1', 0xBF58476D1CE4E5B9)} AS m2
+                  FROM (SELECT {id_col}, xor(raw, raw >> 30) AS m1 FROM hs_raw))))
+"""
+
+
 # RE2-safe DOI URL shape (the DoiStr validation analog)
 DOI_URL_PATTERN = r"^https://doi\.org/10\.[0-9]{4,9}[-._;()/:A-Za-z0-9]*$"
 
