@@ -1537,6 +1537,43 @@ def q_cdc_point_lookups(sf_dir: str) -> pa.Table:
     )
 
 
+def _project_live(t: pa.Table) -> pa.Table:
+    """Lake rows → hash-comparable columns (payload checked via tok_sum)."""
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "lang": t["lang"],
+            "n_tok": t["n_tok"].cast(pa.int64()),
+            "last_lsn": t["lsn"],
+            "tok_sum": _tok_sums(t["tokens"]),
+        }
+    )
+
+
+def q_cdc_filtered_read(sf_dir: str):
+    """Predicate-pushdown lake read on a TRACKED column: the maintained
+    value counts prune partitions before any task is spawned, parquet
+    row-group stats prune at scan, and the byte-minimal merge reads the
+    wide tokens payload only for predicate-matching rows (winners come
+    from a doc_id+lsn key stream read separately). Distributed path —
+    one task per surviving partition, no shuffle."""
+    from mex_extractors_ray.cdc.filtered import read_lake_filtered
+
+    ds = read_lake_filtered(build_cdc_lake(sf_dir), "source", "==", "src3")
+    return ds.map_batches(_project_live, batch_format="pyarrow").to_pandas()
+
+
+def q_cdc_filtered_range(sf_dir: str):
+    """Range-predicate lake read on an UNtracked column (no partition
+    pruning possible — every partition scans, but row-group pushdown and
+    the byte-minimal payload fetch still hold)."""
+    from mex_extractors_ray.cdc.filtered import read_lake_filtered
+
+    ds = read_lake_filtered(build_cdc_lake(sf_dir), "n_tok", ">=", 96)
+    return ds.map_batches(_project_live, batch_format="pyarrow").to_pandas()
+
+
 def q_cdc_change_feed(sf_dir: str) -> pa.Table:
     """CHANGE DATA FEED, hash-checked end to end: the log is ingested in
     two windows, then ``read_changes_arrow(since=window-1 boundary)``
@@ -2049,6 +2086,8 @@ _QUERY_FNS = {
         "cdc_asof_state": q_cdc_asof_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_point_lookups": q_cdc_point_lookups,
+        "cdc_filtered_read": q_cdc_filtered_read,
+        "cdc_filtered_range": q_cdc_filtered_range,
         "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2457,6 +2496,10 @@ GROUP BY b.bracket
         "cdc_asof_state": _CDC_ASOF_SQL,
         "cdc_change_feed": _CDC_FEED_SQL,
         "cdc_point_lookups": _CDC_LOOKUP_SQL,
+        "cdc_filtered_read":
+            f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src3'",
+        "cdc_filtered_range":
+            f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE n_tok >= 96",
         "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
