@@ -347,9 +347,15 @@ def read_live_group_sums(lake_dir: str | Path, group_col: str,
 
 def _read_partition_live(pdir: Path, manifest: PartitionManifest,
                          registry: SchemaRegistry, cols: list[str]) -> pa.Table:
-    tables = [
-        registry.resolve_table(pq.read_table(pdir / f)).select(cols) for f in manifest.files
-    ]
+    # projection pushdown: only the requested columns leave the parquet
+    # reader (the tokens payload dominates lake bytes — a metadata query
+    # must not pay for it); additive columns absent from old files are
+    # restored from registry defaults by the column-restricted resolve
+    tables = []
+    for f in manifest.files:
+        fcols = [c for c in cols if c in pq.read_schema(pdir / f).names]
+        t = pq.read_table(pdir / f, columns=fcols)
+        tables.append(registry.resolve_table(t, columns=cols).select(cols))
     if not tables:
         return pa.schema(
             [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
@@ -906,20 +912,42 @@ def _manifested_pids(lake_dir: str | Path) -> list[int]:
     )
 
 
-def read_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None):
+def _lake_read_cols(registry: SchemaRegistry,
+                    columns: list[str] | None) -> tuple[list[str], list[str]]:
+    """(columns to READ, columns to RETURN) for a lake read. The merge
+    always needs (doc_id, lsn) even when the caller projected them away;
+    unknown columns fail fast."""
+    all_cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    if columns is None:
+        return all_cols, all_cols
+    unknown = [c for c in columns if c not in all_cols]
+    if unknown:
+        raise KeyError(f"unknown lake column(s) {unknown}; have {all_cols}")
+    read_cols = list(dict.fromkeys([*columns, "doc_id", "lsn"]))
+    return read_cols, list(columns)
+
+
+def read_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None,
+              columns: list[str] | None = None):
     """The committed lake state as a ray.data.Dataset: one task per
     partition, each doing the partition-LOCAL delta merge (last-wins +
     tombstone anti-join) — distribution without a shuffle, because doc_ids
-    never cross partitions."""
+    never cross partitions.
+
+    ``columns`` is a PROJECTION PUSHDOWN: only the requested columns are
+    read from the parquet files (plus doc_id/lsn internally for the
+    merge). The tokens payload dominates lake bytes, so a metadata-only
+    consumer must pass ``columns=`` — the read then costs key bytes, not
+    payload bytes."""
     import ray.data
 
     registry = registry or sequence_registry()
     registry_json = registry.to_json()
-    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    cols, out_cols = _lake_read_cols(registry, columns)
     pids = _manifested_pids(lake_dir)
+    schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
     if not pids:
-        schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
-        return ray.data.from_arrow(schema.empty_table())
+        return ray.data.from_arrow(schema.empty_table().select(out_cols))
     lake = str(lake_dir)
 
     def load(batch: dict) -> pa.Table:
@@ -928,29 +956,34 @@ def read_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None):
         for pid in batch["item"]:
             m = read_manifest(lake, int(pid))
             if m:
-                out.append(_read_partition_live(partition_dir(lake, int(pid)), m, reg, cols))
+                out.append(_read_partition_live(
+                    partition_dir(lake, int(pid)), m, reg, cols).select(out_cols))
         return pa.concat_tables(out) if out else pa.schema(
             [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
-        ).empty_table().select(cols)
+        ).empty_table().select(out_cols)
 
     return ray.data.from_items(pids).map_batches(load, batch_size=1, batch_format="numpy")
 
 
-def read_lake_arrow(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> pa.Table:
+def read_lake_arrow(lake_dir: str | Path, registry: SchemaRegistry | None = None,
+                    columns: list[str] | None = None) -> pa.Table:
     """Driver-side materialized lake state, sorted by doc_id (tests/oracles).
-    Same per-partition delta merge as :func:`read_lake`."""
+    Same per-partition delta merge — and the same ``columns`` projection
+    pushdown — as :func:`read_lake`."""
     registry = registry or sequence_registry()
-    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    cols, out_cols = _lake_read_cols(registry, columns)
     parts = []
     for pid in _manifested_pids(lake_dir):
         m = read_manifest(lake_dir, pid)
         if m:
-            parts.append(_read_partition_live(partition_dir(lake_dir, pid), m, registry, cols))
+            parts.append(_read_partition_live(
+                partition_dir(lake_dir, pid), m, registry, cols).select(out_cols))
     if not parts:
         return pa.schema(
             [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
-        ).empty_table()
-    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+        ).empty_table().select(out_cols)
+    sort_key = "doc_id" if "doc_id" in out_cols else out_cols[0]
+    return pa.concat_tables(parts).sort_by([(sort_key, "ascending")])
 
 
 def _read_partition_asof(pdir: Path, manifest: PartitionManifest,

@@ -178,7 +178,10 @@ def q_cdc_first_wins_state(sf_dir: str) -> pa.Table:
 
 
 def q_cdc_live_counts(sf_dir: str) -> pa.Table:
-    lake = read_lake_arrow(build_cdc_lake(sf_dir))
+    # projection pushdown: this aggregate never touches the tokens payload,
+    # so the lake read prunes it at the parquet reader (bytes ∝ key+metadata
+    # columns, not corpus size)
+    lake = read_lake_arrow(build_cdc_lake(sf_dir), columns=["source", "n_tok"])
     t = pa.table({"source": lake["source"], "n_tok": lake["n_tok"].cast(pa.int64())})
     out = t.group_by("source").aggregate([("n_tok", "sum"), ("source", "count")])
     return pa.table(

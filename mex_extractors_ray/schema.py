@@ -100,20 +100,29 @@ class SchemaRegistry:
     def latest(self) -> SchemaVersion:
         return self._by_version[self.latest_version]
 
-    def resolve_table(self, table: pa.Table, to_version: int | None = None) -> pa.Table:
+    def resolve_table(self, table: pa.Table, to_version: int | None = None,
+                      columns=None) -> pa.Table:
         """Upgrade ``table`` (written under any registered version) to
         ``to_version`` (default latest): add missing columns with their
         declared default, up-cast widened types, order columns canonically.
         Extra columns not in the target schema are passed through at the end
         (the engine's system columns ``lsn``/``op``/``schema_version`` ride
         along).
+
+        ``columns`` restricts resolution to the named subset (projection
+        pushdown support: a column-pruned parquet read hands over only the
+        requested columns, and unrequested target fields must NOT be
+        re-materialized from their defaults).
         """
         target = self[to_version if to_version is not None else self.latest_version]
         n = table.num_rows
         cols: list[pa.ChunkedArray | pa.Array] = []
         names: list[str] = []
         have = {name: i for i, name in enumerate(table.column_names)}
+        wanted = None if columns is None else set(columns)
         for name, typ in target.fields:
+            if wanted is not None and name not in wanted:
+                continue
             if name in have:
                 col = table.column(have[name])
                 if col.type != typ:
@@ -135,7 +144,7 @@ class SchemaRegistry:
             names.append(name)
         target_names = {n for n, _ in target.fields}
         for name in table.column_names:
-            if name not in target_names:
+            if name not in target_names and (wanted is None or name in wanted):
                 cols.append(table.column(have[name]))
                 names.append(name)
         return pa.table(dict(zip(names, cols)))
