@@ -76,9 +76,22 @@ def _check_predicate(registry: SchemaRegistry, column: str, op: str) -> None:
         raise TypeError(f"cannot filter on list column {column!r}")
 
 
-def plan_filtered_read(lake_dir: str | Path, column: str, op: str, value,
+def _normalize_predicates(column, op, value) -> list[tuple[str, str, object]]:
+    """Accept a single (column, op, value) or a conjunctive list of such
+    triples passed as ``column=[(c, o, v), ...]`` (op/value then unused)."""
+    if isinstance(column, (list, tuple)) and op is None:
+        preds = [tuple(p) for p in column]
+        if not preds:
+            raise ValueError("empty predicate list")
+        return preds
+    return [(column, op, value)]
+
+
+def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
+                       value=None,
                        registry: SchemaRegistry | None = None) -> list[int]:
-    """Partition ids a filtered read must open (the pruning plan).
+    """Partition ids a filtered read must open (the pruning plan) — the
+    INTERSECTION over all conjunct predicates of each one's surviving set.
 
     Prunes only where absence is PROVABLE: ``doc_id`` equality/membership
     via the ingest's hash partitioner; tracked columns (maintained live
@@ -86,60 +99,76 @@ def plan_filtered_read(lake_dir: str | Path, column: str, op: str, value,
     ops, untracked columns — scans all manifested partitions (row-group
     pushdown still applies inside)."""
     registry = registry or sequence_registry()
-    _check_predicate(registry, column, op)
+    preds = _normalize_predicates(column, op, value)
+    for c, o, _ in preds:
+        _check_predicate(registry, c, o)
     pids = _manifested_pids(lake_dir)
-    if op == "==":
-        values = [value]
-    elif op == "in":
-        values = list(value)
-    else:
-        return pids
-    if column == "doc_id":
-        P = lake_num_partitions(lake_dir)
-        want = {int(p) for p in np.unique(
-            assign_partitions(pa.array([str(v) for v in values], pa.string()), P)
-        )}
-        return [p for p in pids if p in want]
-    out = []
-    for pid in pids:
-        m = read_manifest(lake_dir, pid)
-        if m is None:
+    keep = set(pids)
+    for c, o, v in preds:
+        if o == "==":
+            values = [v]
+        elif o == "in":
+            values = list(v)
+        else:
             continue
-        counts = (m.agg_counts or {}).get(column)
-        if counts is None or any(str(v) in counts for v in values):
-            out.append(pid)
-    return out
+        if c == "doc_id":
+            P = lake_num_partitions(lake_dir)
+            keep &= {int(p) for p in np.unique(
+                assign_partitions(pa.array([str(x) for x in values], pa.string()), P)
+            )}
+            continue
+        survive = set()
+        for pid in pids:
+            m = read_manifest(lake_dir, pid)
+            if m is None:
+                continue
+            counts = (m.agg_counts or {}).get(c)
+            if counts is None or any(str(x) in counts for x in values):
+                survive.add(pid)
+        keep &= survive
+    return [p for p in pids if p in keep]
+
+
+def _apply_mask(t: pa.Table, column: str, op: str, value) -> pa.Table:
+    mask = (pc.is_in(t[column], value_set=pa.array(list(value)))
+            if op == "in" else _CMP[op](t[column], value))
+    return t.filter(pc.fill_null(mask, False))
 
 
 def _read_partition_filtered(pdir: Path, manifest: PartitionManifest,
                              registry: SchemaRegistry, cols: list[str],
-                             column: str, op: str, value) -> pa.Table:
-    """One partition's live rows matching the predicate (sorted by doc_id).
+                             preds: list[tuple]) -> pa.Table:
+    """One partition's live rows matching ALL predicates (sorted by doc_id).
 
     Keys (doc_id, lsn) are read for EVERY row of every file — supersession
     must stay visible — but the wide payload only for predicate-matching
-    rows, via parquet ``filters`` pushdown when the file's schema carries
-    the column, else a resolved in-memory mask (schema-evolution fallback:
-    an old file misses an additive column, whose registry default still has
-    to face the predicate)."""
+    rows, via parquet ``filters`` pushdown for every predicate whose column
+    the file's schema carries (a flat filters list is a conjunction), with
+    an in-memory residual mask for the rest (schema-evolution fallback: an
+    old file misses an additive column, whose registry default still has to
+    face the predicate)."""
     empty = pa.schema(
         [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
     ).empty_table().select(cols)
     if not manifest.files:
         return empty
-    pred = [(column, op, list(value) if op == "in" else value)]
+    # read set: requested columns plus any residual predicate columns
+    need = list(dict.fromkeys([*cols, *(c for c, _, _ in preds)]))
     key_tabs, match_tabs = [], []
     for f in manifest.files:
         path = pdir / f
         key_tabs.append(pq.read_table(path, columns=["doc_id", "lsn"]))
-        if column == "lsn" or column in pq.read_schema(path).names:
-            mt = registry.resolve_table(pq.read_table(path, filters=pred))
-            match_tabs.append(mt.select(cols))
-        else:
-            mt = registry.resolve_table(pq.read_table(path)).select(cols)
-            mask = (pc.is_in(mt[column], value_set=pa.array(list(value)))
-                    if op == "in" else _CMP[op](mt[column], value))
-            match_tabs.append(mt.filter(pc.fill_null(mask, False)))
+        fnames = set(pq.read_schema(path).names)
+        push = [(c, o, list(v) if o == "in" else v)
+                for c, o, v in preds if c == "lsn" or c in fnames]
+        residual = [(c, o, v) for c, o, v in preds
+                    if not (c == "lsn" or c in fnames)]
+        fcols = [c for c in need if c == "lsn" or c in fnames]
+        mt = pq.read_table(path, columns=fcols, filters=push or None)
+        mt = registry.resolve_table(mt, columns=need)
+        for c, o, v in residual:
+            mt = _apply_mask(mt, c, o, v)
+        match_tabs.append(mt.select(cols))
     matches = pa.concat_tables(match_tabs)
     if not matches.num_rows:
         return empty
@@ -163,38 +192,58 @@ def _read_partition_filtered(pdir: Path, manifest: PartitionManifest,
     )
 
 
-def read_lake_filtered_arrow(lake_dir: str | Path, column: str, op: str, value,
-                             registry: SchemaRegistry | None = None) -> pa.Table:
-    """Driver-side filtered lake read, sorted by doc_id (tests/oracles)."""
+def read_lake_filtered_arrow(lake_dir: str | Path, column, op: str | None = None,
+                             value=None,
+                             registry: SchemaRegistry | None = None,
+                             columns: list[str] | None = None) -> pa.Table:
+    """Driver-side filtered lake read, sorted by doc_id (tests/oracles).
+
+    ``column`` may be a single column (with ``op``/``value``) or a
+    conjunctive predicate list ``[(col, op, value), ...]``. ``columns``
+    projects the output (pushdown: unrequested payload columns are never
+    read, same contract as ``read_lake``)."""
+    from mex_extractors_ray.cdc.apply import _lake_read_cols
+
     registry = registry or sequence_registry()
-    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    preds = _normalize_predicates(column, op, value)
+    cols, out_cols = _lake_read_cols(registry, columns)
+    read_cols = list(dict.fromkeys([*cols, "doc_id", "lsn"]))
     parts = [
         _read_partition_filtered(
-            partition_dir(lake_dir, pid), m, registry, cols, column, op, value)
+            partition_dir(lake_dir, pid), m, registry, read_cols, preds)
         for pid in plan_filtered_read(lake_dir, column, op, value, registry)
         if (m := read_manifest(lake_dir, pid))
     ]
     if not parts:
         return pa.schema(
             [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
-        ).empty_table().select(cols)
-    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+        ).empty_table().select(out_cols)
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending")]).select(out_cols)
 
 
-def read_lake_filtered(lake_dir: str | Path, column: str, op: str, value,
-                       registry: SchemaRegistry | None = None):
+def read_lake_filtered(lake_dir: str | Path, column, op: str | None = None,
+                       value=None,
+                       registry: SchemaRegistry | None = None,
+                       columns: list[str] | None = None):
     """Distributed filtered lake read: one task per SURVIVING partition
     (pruned partitions never become tasks), each doing the byte-minimal
-    partition-local merge — the same no-shuffle shape as ``read_lake``."""
+    partition-local merge — the same no-shuffle shape as ``read_lake``.
+    Accepts a conjunctive predicate list and a ``columns`` projection, both
+    pushed down (see :func:`read_lake_filtered_arrow`)."""
     import ray.data
+
+    from mex_extractors_ray.cdc.apply import _lake_read_cols
 
     registry = registry or sequence_registry()
     registry_json = registry.to_json()
-    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    preds = _normalize_predicates(column, op, value)
+    cols, out_cols = _lake_read_cols(registry, columns)
+    read_cols = list(dict.fromkeys([*cols, "doc_id", "lsn"]))
     pids = plan_filtered_read(lake_dir, column, op, value, registry)
+    schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
     if not pids:
-        schema = pa.schema([*registry.latest.to_arrow(), pa.field("lsn", pa.int64())])
-        return ray.data.from_arrow(schema.empty_table().select(cols))
+        return ray.data.from_arrow(schema.empty_table().select(out_cols))
     lake = str(lake_dir)
 
     def load(batch: dict) -> pa.Table:
@@ -204,10 +253,11 @@ def read_lake_filtered(lake_dir: str | Path, column: str, op: str, value,
             m = read_manifest(lake, int(pid))
             if m:
                 out.append(_read_partition_filtered(
-                    partition_dir(lake, int(pid)), m, reg, cols, column, op, value))
+                    partition_dir(lake, int(pid)), m, reg, read_cols, preds
+                ).select(out_cols))
         return pa.concat_tables(out) if out else pa.schema(
             [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
-        ).empty_table().select(cols)
+        ).empty_table().select(out_cols)
 
     return ray.data.from_items(pids).map_batches(
         load, batch_size=1, batch_format="numpy")

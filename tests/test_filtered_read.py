@@ -131,6 +131,31 @@ def test_filtered_read_across_delta_windows(ray_session, small_log, tmp_path, tm
     assert got.equals(_expected(tmp_lake, "source", "==", "src4"))
 
 
+def test_conjunctive_predicates_and_projection(ray_session, small_log, tmp_lake):
+    paths, _ = small_log
+    ingest_change_log(list(paths), tmp_lake, num_partitions=4,
+                      track_value_counts=("source",))
+    full = read_lake_arrow(tmp_lake)
+    exp = full.filter(pc.and_(
+        pc.fill_null(pc.equal(full["source"], "src2"), False),
+        pc.fill_null(pc.greater_equal(full["n_tok"], 50), False),
+    ))
+    got = read_lake_filtered_arrow(
+        tmp_lake, [("source", "==", "src2"), ("n_tok", ">=", 50)])
+    assert got.num_rows > 0 and got.equals(exp)
+    # projection on top: only the requested columns come back (and the
+    # tokens payload is never read — spy in test_projected_read covers the
+    # unfiltered path; here we check output shape + values)
+    proj = read_lake_filtered_arrow(
+        tmp_lake, [("source", "==", "src2"), ("n_tok", ">=", 50)],
+        columns=["doc_id", "n_tok"])
+    assert proj.column_names == ["doc_id", "n_tok"]
+    assert proj.equals(exp.select(["doc_id", "n_tok"]))
+    # conjunction pruning: impossible source value -> zero partitions planned
+    assert plan_filtered_read(
+        tmp_lake, [("source", "==", "nope"), ("n_tok", ">=", 50)]) == []
+
+
 def test_filtered_rejects_bad_predicates(ray_session, small_log, tmp_lake):
     import pytest
 
