@@ -222,6 +222,48 @@ def cmd_asof(args) -> int:
     return 0
 
 
+def _parse_where(spec: str) -> tuple[str, str, object]:
+    """'col<op>value' → (col, op, typed value). Ops: == != <= >= < > and
+    'col in a,b,c'. Integer-looking values are compared as ints."""
+    import re
+
+    m = re.match(r"^\s*(\w+)\s+in\s+(.+)$", spec)
+    if m:
+        vals = [v.strip() for v in m.group(2).split(",")]
+        typed = [int(v) if re.fullmatch(r"-?\d+", v) else v for v in vals]
+        return m.group(1), "in", typed
+    m = re.match(r"^\s*(\w+)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", spec)
+    if not m:
+        raise SystemExit(f"cannot parse --where {spec!r}")
+    col, op, val = m.groups()
+    return col, op, int(val) if re.fullmatch(r"-?\d+", val) else val
+
+
+def cmd_read(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.cdc.filtered import plan_filtered_read, read_lake_filtered
+
+    columns = args.columns.split(",") if args.columns else None
+    preds = [_parse_where(w) for w in (args.where or [])]
+    if preds:
+        planned = plan_filtered_read(args.lake, preds)
+        ds = read_lake_filtered(args.lake, preds, columns=columns)
+    else:
+        planned = None
+        ds = read_lake(args.lake, columns=columns)
+    if args.out:
+        ds.write_parquet(args.out)
+        ds = (read_lake_filtered(args.lake, preds, columns=columns)
+              if preds else read_lake(args.lake, columns=columns))
+    out = {"rows": ds.count(), "out": args.out}
+    if planned is not None:
+        out["partitions_scanned"] = len(planned)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_changes(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.apply import read_changes
@@ -333,6 +375,17 @@ def main(argv: list[str] | None = None) -> int:
     ao.add_argument("--lsn", type=int, required=True)
     ao.add_argument("--out", default=None, help="optional parquet output dir")
     ao.set_defaults(fn=cmd_asof)
+
+    rd = sub.add_parser(
+        "read", help="filtered/projected lake read with predicate pushdown")
+    rd.add_argument("--lake", required=True)
+    rd.add_argument("--where", action="append", default=[],
+                    help="predicate 'col==v' / 'col>=n' / 'col in a,b' "
+                         "(repeatable; conjunctive)")
+    rd.add_argument("--columns", default=None,
+                    help="comma-separated projection (pushdown)")
+    rd.add_argument("--out", default=None, help="optional parquet output dir")
+    rd.set_defaults(fn=cmd_read)
 
     ch = sub.add_parser("changes", help="change feed: all effects with lsn > --since")
     ch.add_argument("--lake", required=True)

@@ -167,3 +167,17 @@ def test_filtered_rejects_bad_predicates(ray_session, small_log, tmp_lake):
         read_lake_filtered_arrow(tmp_lake, "nope", "==", 1)
     with pytest.raises(ValueError):
         read_lake_filtered_arrow(tmp_lake, "source", "~", "x")
+
+
+def test_cli_where_parser():
+    from mex_extractors_ray.cli import _parse_where
+
+    assert _parse_where("source==src3") == ("source", "==", "src3")
+    assert _parse_where("n_tok>=96") == ("n_tok", ">=", 96)
+    assert _parse_where("lang != de") == ("lang", "!=", "de")
+    assert _parse_where("source in src0,src5") == ("source", "in", ["src0", "src5"])
+    assert _parse_where("n_tok in 1,2") == ("n_tok", "in", [1, 2])
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _parse_where("gibberish")
