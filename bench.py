@@ -220,6 +220,30 @@ def run_bench() -> dict:
             "groups": mv_tbl.num_rows,
         }
 
+        # pushdown-read economics: a 1-in-6 selective predicate through the
+        # filtered reader (winners from a cheap key stream, payload bytes
+        # only for matching rows) and a 2-column projected read, vs the
+        # full merge — all driver-side on the same lake
+        from mex_extractors_ray.cdc.apply import read_lake_arrow
+        from mex_extractors_ray.cdc.filtered import read_lake_filtered_arrow
+
+        t0 = time.time()
+        hits = read_lake_filtered_arrow(lake, "source", "==", "src3")
+        filtered_sec = time.time() - t0
+        t0 = time.time()
+        full = read_lake_arrow(lake)
+        full_sec = time.time() - t0
+        t0 = time.time()
+        read_lake_arrow(lake, columns=["source", "n_tok"])
+        projected_sec = time.time() - t0
+        tail["pushdown"] = {
+            "filtered_read_sec": round(filtered_sec, 3),
+            "projected_read_sec": round(projected_sec, 3),
+            "full_scan_sec": round(full_sec, 3),
+            "match_rows": hits.num_rows,
+            "live_rows": full.num_rows,
+        }
+
     from mex_extractors_ray.pipelines import catalog
 
     qtimes: dict[str, float] = {}

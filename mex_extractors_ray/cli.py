@@ -283,7 +283,14 @@ def cmd_iexport(args) -> int:
         fold_export, incremental_export)
 
     fn = fold_export if args.fold else incremental_export
-    kw = {} if args.fold else {"num_shards": args.shards, "min_n_tok": args.min_n_tok}
+    kw = {} if args.fold else {"num_shards": args.shards}
+    if not args.fold:
+        # only pass filters the user actually stated — unspecified ones
+        # inherit the export's recorded identity (manifest)
+        if args.min_n_tok is not None:
+            kw["min_n_tok"] = args.min_n_tok
+        if args.where:
+            kw["where"] = [_parse_where(w) for w in args.where]
     m = fn(args.lake, args.out, **kw)
     print(json.dumps({"watermark": m["watermark"], "windows": len(m["windows"])}))
     ray.shutdown()
@@ -397,7 +404,11 @@ def main(argv: list[str] | None = None) -> int:
     ie.add_argument("--lake", required=True)
     ie.add_argument("--out", required=True)
     ie.add_argument("--shards", type=int, default=16)
-    ie.add_argument("--min-n-tok", type=int, default=0, dest="min_n_tok")
+    ie.add_argument("--min-n-tok", type=int, default=None, dest="min_n_tok")
+    ie.add_argument("--where", action="append", default=[],
+                    help="maintained-view predicate 'col==v' (repeatable, "
+                         "conjunctive; part of the export's identity — "
+                         "omit on follow-on calls to inherit)")
     ie.add_argument("--fold", action="store_true",
                     help="rewrite as one fresh base window (clears retraction debt)")
     ie.set_defaults(fn=cmd_iexport)

@@ -1514,6 +1514,53 @@ def q_cdc_incremental_export(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_filtered_view_export(sf_dir: str) -> pa.Table:
+    """MAINTAINED FILTERED VIEW, hash-checked end to end: an incremental
+    export with ``where=[("source", "==", "src1")]`` after EACH of two
+    ingest windows. Maintenance is the retract-all-changed discipline:
+    window 2 retracts every changed doc and re-adds only upserts that
+    pass the predicate — so docs updated OUT of src1 vanish and docs
+    updated INTO it appear, exactly the closed-form final state
+    post-filtered (the oracle). The base window reads through
+    ``read_lake_filtered`` (pushdown)."""
+    from mex_extractors_ray.cdc.apply import ingest_change_log
+    from mex_extractors_ray.pipelines.incremental_export import (
+        incremental_export, read_export_arrow)
+
+    where = [("source", "==", "src1")]
+    key = (sf_dir, "filtered_view_export")
+    if key not in _LAKE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}|fv_export".encode()).hexdigest()[:10]
+        base = WORK_ROOT / f"cdc-{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, lake_dir, out_dir = base / "log", base / "lake", base / "export"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        cut = int(pc.max(log["lsn"]).as_py()) // 2
+        for w, chunk in enumerate([log.filter(pc.less_equal(log["lsn"], cut)),
+                                   log.filter(pc.greater(log["lsn"], cut))]):
+            paths = []
+            for i, start in enumerate(range(0, chunk.num_rows, 100_000)):
+                p = log_dir / f"log-w{w}-{i:05d}.parquet"
+                pq.write_table(chunk.slice(start, 100_000), p, compression="snappy")
+                paths.append(str(p))
+            ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS,
+                              track_value_counts=("source",))
+            incremental_export(lake_dir, out_dir, num_shards=8, where=where)
+        _LAKE_CACHE[key] = out_dir
+    exp = read_export_arrow(_LAKE_CACHE[key])
+    return pa.table(
+        {
+            "doc_id": exp["doc_id"],
+            "source": exp["source"],
+            "lang": exp["lang"],
+            "n_tok": exp["n_tok"].cast(pa.int64()),
+            "last_lsn": exp["lsn"],
+            "tok_sum": _tok_sums(exp["tokens"]),
+        }
+    )
+
+
 LOOKUP_IDS = [f"doc-{i}" for i in range(0, 500, 7)]
 
 
@@ -2091,6 +2138,7 @@ _QUERY_FNS = {
         "cdc_point_lookups": q_cdc_point_lookups,
         "cdc_filtered_read": q_cdc_filtered_read,
         "cdc_filtered_range": q_cdc_filtered_range,
+        "cdc_filtered_view_export": q_cdc_filtered_view_export,
         "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2503,6 +2551,8 @@ GROUP BY b.bracket
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src3'",
         "cdc_filtered_range":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE n_tok >= 96",
+        "cdc_filtered_view_export":
+            f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src1'",
         "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),

@@ -144,13 +144,44 @@ def _gc_unlisted_windows(out: Path, manifest: dict | None) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _canon_where(where) -> list[tuple] | None:
+    """Canonical (col, op, value) tuples — JSON round-trip stable, so the
+    manifest-recorded filter compares equal to the caller's."""
+    if not where:
+        return None
+    return [(c, o, list(v) if isinstance(v, (list, tuple)) else v)
+            for c, o, v in where]
+
+
+_INHERIT = object()  # "caller didn't say" — inherit from the manifest
+
+
 def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
                        num_shards: int = 16, seed: int = 0,
-                       min_n_tok: int = 0,
+                       min_n_tok: int | object = _INHERIT,
+                       where: list[tuple] | None | object = _INHERIT,
                        registry: SchemaRegistry | None = None,
                        _rebase: bool = False) -> dict:
     """Bring the export current with the lake; returns the manifest.
     No-op (manifest returned unchanged) when already at the watermark.
+
+    ``where`` is a conjunctive predicate list ``[(col, op, value), ...]``
+    (the ``cdc.filtered`` grammar): the export becomes a MAINTAINED
+    FILTERED VIEW of the lake. Maintenance is sound for free because every
+    changed doc_id is retracted regardless of whether its new version
+    passes the filter — a doc UPDATED OUT of the predicate is retracted
+    and simply not re-added, a doc updated INTO it lands in the window's
+    upserts. The rebase path reads through ``read_lake_filtered``
+    (partition pruning + row-group pushdown + byte-minimal payload fetch).
+
+    The filter parameters (``where``, ``min_n_tok``) are part of the
+    export's identity: they are recorded in the manifest, UNSPECIFIED
+    parameters on follow-on calls INHERIT the recorded values (the same
+    discipline as the ingest's tracked-view inheritance — the tail loop
+    keeps a filtered export fresh without re-stating its filter), and an
+    EXPLICIT mismatching value raises — per-window filters would silently
+    mix views (docs only re-face the predicate in windows where they
+    change).
 
     Rebase (fresh base window replacing the whole window list) happens
     when: no manifest yet; ``_rebase=True`` (``fold_export``); or the
@@ -162,8 +193,17 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = _read_export_manifest(out)
+    prev_min = (manifest or {}).get("min_n_tok", 0)
+    prev_where = _canon_where((manifest or {}).get("where"))
+    min_n_tok = prev_min if min_n_tok is _INHERIT else min_n_tok
+    where = prev_where if where is _INHERIT else _canon_where(where)
     wm = lake_high_watermark(lake_dir)
     since = manifest["watermark"] if manifest else None
+    if manifest and (prev_min, prev_where) != (min_n_tok, where):
+        raise ValueError(
+            f"export at {out} was built with filter {(prev_min, prev_where)}; "
+            f"refusing to append a window with {(min_n_tok, where)} — "
+            "per-window filters would mix views. Start a new export dir.")
     if manifest and since == wm and not _rebase:
         return manifest
     if manifest and since > wm:
@@ -189,7 +229,14 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
     wdir = out / wname
 
     if rebase:
-        ds = read_lake(lake_dir, registry)
+        if where:
+            from mex_extractors_ray.cdc.filtered import read_lake_filtered
+
+            # pushdown base build: pruned partitions never become tasks,
+            # payload bytes only for predicate-matching rows
+            ds = read_lake_filtered(lake_dir, where, registry=registry)
+        else:
+            ds = read_lake(lake_dir, registry)
     else:
         # doc_id-keyed coarse shuffle → the per-block fold is exact even
         # when Ray splits a partition's feed into many blocks; the folded
@@ -207,6 +254,18 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
             lambda t: t.filter(pc.fill_null(
                 pc.greater_equal(t["n_tok"], min_n_tok), False)),
             batch_format="pyarrow")
+    if where and not rebase:
+        # incremental windows face the predicate in-stream (the rebase
+        # path already read through the pushdown); retracted-then-filtered
+        # docs are exactly the updated-out-of-view case
+        from mex_extractors_ray.cdc.filtered import _apply_mask
+
+        def _where(t: pa.Table, _preds=tuple(where)) -> pa.Table:
+            for c, o, v in _preds:
+                t = _apply_mask(t, c, o, v)
+            return t
+
+        ds = ds.map_batches(_where, batch_format="pyarrow")
     ds = ds.map_batches(_shard_route(num_shards, seed), batch_format="pyarrow")
     ds.write_parquet(str(wdir), partition_cols=["shard"],
                      min_rows_per_file=64 * 1024)
@@ -223,6 +282,7 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
         "num_shards": num_shards,
         "seed": seed,
         "min_n_tok": min_n_tok,
+        "where": [list(p) for p in where] if where else None,
         "watermark": wm,
         "folds": folds,
         "windows": ([window] if rebase else [*manifest["windows"], window]),
@@ -286,5 +346,6 @@ def fold_export(lake_dir: str | Path, out_dir: str | Path) -> dict:
     manifest = _read_export_manifest(out)
     if manifest is None:
         return incremental_export(lake_dir, out_dir)
-    params = {k: manifest[k] for k in ("num_shards", "seed", "min_n_tok")}
+    # filters (min_n_tok / where) inherit from the manifest automatically
+    params = {k: manifest[k] for k in ("num_shards", "seed")}
     return incremental_export(lake_dir, out_dir, _rebase=True, **params)

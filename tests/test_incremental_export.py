@@ -219,3 +219,60 @@ def test_export_exact_fold_across_feed_blocks(ray_session, tmp_path):
     exp = read_export_arrow(out)
     assert "ghost" not in exp["doc_id"].to_pylist()
     _lake_equal(lake, out)
+
+
+def _src_log(rows) -> pa.Table:
+    """rows: (doc_id, lsn, op, source)"""
+    t = _log([(r[0], r[1], r[2]) for r in rows])
+    return t.set_column(t.column_names.index("source"), "source",
+                        pa.array([r[3] for r in rows]))
+
+
+def test_filtered_view_export(ray_session, tmp_path):
+    """where= makes the export a MAINTAINED FILTERED VIEW: docs updated
+    out of the predicate retract, docs updated into it appear."""
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    w1 = _src_log([("a", 1, "insert", "srcA"), ("b", 2, "insert", "srcB"),
+                   ("c", 3, "insert", "srcB")])
+    # a leaves the view (srcA->srcB), c enters it (srcB->srcA), b deleted
+    w2 = _src_log([("a", 11, "update", "srcB"), ("c", 12, "update", "srcA"),
+                   ("b", 13, "delete", "srcB")])
+    where = [("source", "==", "srcA")]
+    p1, p2 = tmp_path / "l1.parquet", tmp_path / "l2.parquet"
+    pq.write_table(w1, p1)
+    pq.write_table(w2, p2)
+    ingest_change_log([str(p1)], lake, num_partitions=2)
+    incremental_export(lake, out, where=where)
+    assert read_export_arrow(out)["doc_id"].to_pylist() == ["a"]
+    ingest_change_log([str(p2)], lake, num_partitions=2)
+    m = incremental_export(lake, out, where=where)
+    assert len(m["windows"]) == 2  # incremental window, not a rebase
+    got = read_export_arrow(out)
+    assert got["doc_id"].to_pylist() == ["c"]
+    assert got["lsn"].to_pylist() == [12]
+    # fold preserves the filter and the view
+    fold_export(lake, out)
+    folded = read_export_arrow(out)
+    assert folded["doc_id"].to_pylist() == ["c"]
+    m = incremental_export(lake, out, where=where)  # no-op at watermark
+    assert len(m["windows"]) == 1
+
+
+def test_filter_identity_guard(ray_session, tmp_path):
+    lake, out = tmp_path / "lk", tmp_path / "exp"
+    p = tmp_path / "l.parquet"
+    pq.write_table(_src_log([("a", 1, "insert", "srcA")]), p)
+    ingest_change_log([str(p)], lake, num_partitions=2)
+    incremental_export(lake, out, where=[("source", "==", "srcA")])
+    with pytest.raises(ValueError, match="refusing to append"):
+        incremental_export(lake, out, where=[("source", "==", "srcB")])
+    with pytest.raises(ValueError, match="refusing to append"):
+        incremental_export(lake, out, where=None)  # explicit drop refuses
+    with pytest.raises(ValueError, match="refusing to append"):
+        incremental_export(lake, out, min_n_tok=5,
+                           where=[("source", "==", "srcA")])
+    # same filter (list-vs-tuple spelling) is accepted
+    incremental_export(lake, out, where=[["source", "==", "srcA"]])
+    # UNSPECIFIED filter inherits the manifest's (the tail-loop call shape)
+    m = incremental_export(lake, out)
+    assert m["where"] == [["source", "==", "srcA"]]
