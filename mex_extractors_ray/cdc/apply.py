@@ -286,6 +286,55 @@ def _stats_merge(prev: dict[str, list[int]], sub: dict[str, list[int]],
     return {k: v for k, v in out.items() if v[0] > 0}
 
 
+def _bounds_of(col: pa.ChunkedArray | pa.Array):
+    """Exact ``[lo, hi]`` of a column's non-null values (``None`` if there
+    are none) as JSON-able Python scalars. Orderable primitives only —
+    integer / floating / string — so the manifest stays a plain JSON doc
+    and pruning comparisons are well-defined."""
+    t = col.type
+    if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_string(t) or pa.types.is_large_string(t)):
+        raise TypeError(
+            f"track_bounds: column type {t} is not an orderable primitive "
+            "(integer / floating / string)")
+    mm = pc.min_max(col)
+    lo = mm["min"].as_py()
+    return None if lo is None else [lo, mm["max"].as_py()]
+
+
+def _bounds_union(a, b):
+    """Widen-only merge of two ``[lo, hi] | None`` zone maps."""
+    if a is None:
+        return None if b is None else list(b)
+    if b is None:
+        return list(a)
+    return [min(a[0], b[0]), max(a[1], b[1])]
+
+
+def read_live_bounds(lake_dir: str | Path, col: str):
+    """Lake-wide ``[lo, hi]`` of ``col`` from the MAINTAINED per-partition
+    zone maps alone — O(P) manifest reads, zero data files touched
+    (``None`` when no partition proves a live non-null value).
+
+    CONSERVATIVE: delta windows only widen a partition's bounds (a delete
+    never shrinks them), so the result is a sound SUPERSET interval of the
+    live min/max; it is EXACT right after every partition folded
+    (compaction / repartition / ``delta=False``), which recomputes bounds
+    from the live state. Raises if any partition does not maintain the
+    column (ingest with ``track_bounds=(col,)`` consistently)."""
+    out = None
+    for pid in _manifested_pids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m is None:
+            continue
+        if col not in (m.agg_bounds or {}):
+            raise ValueError(
+                f"partition {m.partition} does not maintain bounds for "
+                f"{col!r}; ingest with track_bounds=({col!r},)")
+        out = _bounds_union(out, m.agg_bounds[col])
+    return out
+
+
 def read_live_value_counts(lake_dir: str | Path, col: str) -> pa.Table:
     """Lake-wide GROUP BY ``col`` from the MAINTAINED per-partition
     aggregates alone — O(P) manifest reads, zero data files touched, no
@@ -403,18 +452,24 @@ def _metrics_row(pid: int, **kw) -> pa.Table:
 
 def _tracked_aggs_delta(pdir, old_files, registry, manifest, touched,
                         old_tomb_ids, tomb_table, upsert_data,
-                        track_value_counts, track_group_sums):
+                        track_value_counts, track_group_sums,
+                        track_bounds=()):
     """Incremental update of every tracked aggregate on the delta path.
     ONE filtered, column-pruned read of the old files serves all tracked
     items; items without prior state (first enable on an existing lake)
-    recount this partition's after-state once (self-healing)."""
+    recount this partition's after-state once (self-healing). Zone maps
+    (``track_bounds``) update widen-only from the window's upserts — no
+    old-file read at all once established."""
     prev_counts = (manifest.agg_counts or {}) if manifest else {}
     prev_sums = (manifest.agg_sums or {}) if manifest else {}
+    prev_bounds = (manifest.agg_bounds or {}) if manifest else {}
     need: set[str] = set(track_value_counts)
     for g, v in track_group_sums:
         need.update((g, v))
-    if not need:
-        return {}, {}
+    fresh_bounds = [c for c in track_bounds if c not in prev_bounds]
+    need.update(fresh_bounds)
+    if not need and not track_bounds:
+        return {}, {}, {}
     cols = sorted(need)
     inc_possible = bool(manifest)
     fresh_counts = [c for c in track_value_counts if c not in prev_counts]
@@ -439,12 +494,23 @@ def _tracked_aggs_delta(pdir, old_files, registry, manifest, touched,
                 ))
             )
     full_after = None
-    if fresh_counts or fresh_sums:
+    if fresh_counts or fresh_sums or fresh_bounds:
         full_after = merge_live(
             [_read_file_columns(pdir, f, cols, registry) for f in old_files]
             + [upsert_data.select(["doc_id", "lsn", *cols])],
             tomb_arr,
         )
+
+    agg_bounds: dict = {}
+    for c in track_bounds:
+        if c in prev_bounds:
+            # widen-only: previously-live ⊆ prev bounds, new-live ⊆
+            # previously-live ∪ upserts — deletes never shrink (the fold
+            # recomputes exactly, self-healing)
+            agg_bounds[c] = _bounds_union(prev_bounds[c],
+                                          _bounds_of(upsert_data[c]))
+        else:
+            agg_bounds[c] = _bounds_of(full_after[c])
 
     agg_counts: dict = {}
     for c in track_value_counts:
@@ -467,14 +533,15 @@ def _tracked_aggs_delta(pdir, old_files, registry, manifest, touched,
             )
         else:
             agg_sums[key] = _group_stats_dict(full_after, g, v)
-    return agg_counts, agg_sums
+    return agg_counts, agg_sums, agg_bounds
 
 
 def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
                     mode: str = "last_wins", delta: bool = True,
                     compact_threshold: int = 8,
                     track_value_counts: tuple = (),
-                    track_group_sums: tuple = ()) -> pa.Table:
+                    track_group_sums: tuple = (),
+                    track_bounds: tuple = ()) -> pa.Table:
     """Merge one partition's change events into its lake state (one call per
     pid per run; returns a one-row metrics table).
 
@@ -609,9 +676,10 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # Resurrections: not in old-live → no sub, in upserts → add. Deletes
         # of non-live docs: neither side. first_wins: touched = new docs
         # only, so sub is structurally empty (existing docs immutable).
-        agg_counts, agg_sums = _tracked_aggs_delta(
+        agg_counts, agg_sums, agg_bounds = _tracked_aggs_delta(
             pdir, old_files, registry, manifest, touched, old_tomb_ids,
             tomb_table, upsert_data, track_value_counts, track_group_sums,
+            track_bounds,
         )
     else:
         # ---- fold path: merge base + deltas + this window into one base
@@ -646,6 +714,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         agg_counts = {c: _value_counts_dict(data_tbl[c]) for c in track_value_counts}
         agg_sums = {f"{g}|{v}": _group_stats_dict(data_tbl, g, v)
                     for g, v in track_group_sums}
+        agg_bounds = {c: _bounds_of(data_tbl[c]) for c in track_bounds}
 
     # phase 1: deterministic files (tmp + atomic rename to tolerate concurrent retries)
     import os
@@ -679,6 +748,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             history_floor=history_floor,
             agg_counts=agg_counts,
             agg_sums=agg_sums,
+            agg_bounds=agg_bounds,
         ),
     )
     return _metrics_row(
@@ -713,6 +783,7 @@ def ingest_change_log(
     skip_sources: list[str] | None = None,
     track_value_counts: tuple | None = None,
     track_group_sums: tuple | None = None,
+    track_bounds: tuple | None = None,
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
 
@@ -725,6 +796,13 @@ def ingest_change_log(
     without re-stating it; pass ``()`` to explicitly drop the view (an
     untracked window would make it stale = silently wrong; the next
     tracked window recounts, self-healing).
+
+    ``track_bounds=(col, ...)`` maintains per-partition ZONE MAPS
+    (conservative live [lo, hi] per orderable-primitive column, widen-only
+    on deltas, exact on folds) that ``plan_filtered_read`` uses to prune
+    partitions for RANGE and equality predicates, and
+    :func:`read_live_bounds` answers lake-wide from manifests alone. Same
+    ``None``-inherits / ``()``-drops discipline as the count views.
 
     Streams: read → resolve/partition → shuffle-by-pid → per-partition apply.
     Never materializes the log on the driver; the only driver-side data is
@@ -751,14 +829,15 @@ def ingest_change_log(
             log_paths, lake_dir, num_partitions, registry, registry_json,
             batch_size, resolve_concurrency, shuffle, mode, delta,
             compact_threshold, skip_sources, track_value_counts,
-            track_group_sums,
+            track_group_sums, track_bounds,
         )
 
 
 def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
                    registry_json, batch_size, resolve_concurrency, shuffle,
                    mode, delta, compact_threshold, skip_sources,
-                   track_value_counts, track_group_sums) -> pa.Table:
+                   track_value_counts, track_group_sums,
+                   track_bounds=None) -> pa.Table:
     Path(lake_dir, "_registry.json").write_text(registry_json)
 
     # partition-count guard: pid = hash(doc_id) % P is part of the lake's
@@ -798,10 +877,11 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
         if shuffle == "hash"
         else contextlib.nullcontext()
     )
-    if track_value_counts is None or track_group_sums is None:
+    if track_value_counts is None or track_group_sums is None or track_bounds is None:
         # inherit: continue whatever views the lake already maintains
         inh_counts: set[str] = set()
         inh_sums: set[tuple[str, str]] = set()
+        inh_bounds: set[str] = set()
         for pid in _manifested_pids(lake_dir):
             m = read_manifest(lake_dir, pid)
             if m:
@@ -809,16 +889,19 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
                 inh_sums.update(
                     tuple(k.split("|", 1)) for k in (m.agg_sums or {})
                 )
+                inh_bounds.update(m.agg_bounds or {})
         if track_value_counts is None:
             track_value_counts = tuple(sorted(inh_counts))
         if track_group_sums is None:
             track_group_sums = tuple(sorted(inh_sums))
+        if track_bounds is None:
+            track_bounds = tuple(sorted(inh_bounds))
 
     with shuffle_ctx:
         metrics = _run_ingest(
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
             resolve_concurrency, mode, delta, compact_threshold, skip_sources,
-            track_value_counts, track_group_sums,
+            track_value_counts, track_group_sums, track_bounds,
         )
         # lake-level completion record: written only after EVERY partition
         # committed. A crash mid-ingest leaves some manifests ahead of this
@@ -841,6 +924,7 @@ def _run_ingest(
     log_paths, lake_dir, num_partitions, registry_json, batch_size,
     resolve_concurrency, mode="last_wins", delta=True, compact_threshold=8,
     skip_sources=None, track_value_counts=(), track_group_sums=(),
+    track_bounds=(),
 ) -> pa.Table:
     import ray.data
 
@@ -872,6 +956,7 @@ def _run_ingest(
         delta=delta, compact_threshold=compact_threshold,
         track_value_counts=tuple(track_value_counts),
         track_group_sums=tuple(tuple(p) for p in track_group_sums),
+        track_bounds=tuple(track_bounds),
     )
     try:
         # shuffle on `_shard` (bijective pid relabeling) — one group per

@@ -56,6 +56,7 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
     # delta fold: last-wins across base+deltas, minus tombstoned docs
     from mex_extractors_ray.cdc.apply import (
+        _bounds_of,
         _group_stats_dict,
         _read_partition_live,
         _value_counts_dict,
@@ -92,6 +93,9 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
                 k: _group_stats_dict(merged, *k.split("|", 1))
                 for k in (m.agg_sums or {})
             },
+            # zone maps recomputed EXACTLY from the folded live state —
+            # this is where delta-widened conservative bounds tighten
+            agg_bounds={c: _bounds_of(merged[c]) for c in (m.agg_bounds or {})},
         ),
     )
     return {"partition": pid, "action": "rewritten", "rows": merged.num_rows}
@@ -195,6 +199,16 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             ).as_py() or 0
             if overlap:
                 errors.append(f"{overlap} doc_ids both live and tombstoned")
+        # zone-map soundness: every live non-null value inside the
+        # (conservative) manifest bounds; None = provably no such value
+        for c, b in (m.agg_bounds or {}).items():
+            mm = pc.min_max(live[c])
+            lo = mm["min"].as_py()
+            if lo is None:
+                continue
+            if b is None or lo < b[0] or mm["max"].as_py() > b[1]:
+                errors.append(f"zone map for {c!r} {b} excludes live values "
+                              f"[{lo}, {mm['max'].as_py()}]")
     elif m.row_count:
         errors.append(f"row_count 0 != manifest {m.row_count}")
     return {"partition": pid, "ok": not errors, "errors": errors}
@@ -363,6 +377,7 @@ def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
     import ray.data
 
     from mex_extractors_ray.cdc.apply import read_lake, resolve_and_partition
+    from mex_extractors_ray.cdc.apply import _bounds_of as _bnd
     from mex_extractors_ray.cdc.apply import _group_stats_dict as _gsd
     from mex_extractors_ray.cdc.apply import _value_counts_dict as _vcd
 
@@ -397,8 +412,11 @@ def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
         if m:
             tracked_cols.update(m.agg_counts or {})
             tracked_cols.update(f"sums:{k}" for k in (m.agg_sums or {}))
-    tracked = tuple(sorted(c for c in tracked_cols if not c.startswith("sums:")))
+            tracked_cols.update(f"bounds:{k}" for k in (m.agg_bounds or {}))
+    tracked = tuple(sorted(c for c in tracked_cols
+                           if not c.startswith(("sums:", "bounds:"))))
     tracked_sums = tuple(sorted(c[5:] for c in tracked_cols if c.startswith("sums:")))
+    tracked_bounds = tuple(sorted(c[7:] for c in tracked_cols if c.startswith("bounds:")))
 
     new = Path(str(old) + f".repart-{new_num_partitions}")
     if new.exists():
@@ -441,6 +459,7 @@ def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
                 file_lsns=[watermark],
                 agg_counts={c: _vcd(t[c]) for c in tracked},
                 agg_sums={k: _gsd(t, *k.split("|", 1)) for k in tracked_sums},
+                agg_bounds={c: _bnd(t[c]) for c in tracked_bounds},
             ),
         )
         return pa.table({"partition": pa.array([pid], pa.int32()), "rows": pa.array([t.num_rows], pa.int64())})

@@ -95,38 +95,74 @@ def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
 
     Prunes only where absence is PROVABLE: ``doc_id`` equality/membership
     via the ingest's hash partitioner; tracked columns (maintained live
-    value counts) via the per-partition count maps. Everything else — range
-    ops, untracked columns — scans all manifested partitions (row-group
-    pushdown still applies inside)."""
+    value counts) via the per-partition count maps; RANGE and equality
+    predicates on zone-mapped columns (``track_bounds``) via the
+    per-partition conservative [lo, hi] intervals. Everything else scans
+    all manifested partitions (row-group pushdown still applies inside)."""
     registry = registry or sequence_registry()
     preds = _normalize_predicates(column, op, value)
     for c, o, _ in preds:
         _check_predicate(registry, c, o)
     pids = _manifested_pids(lake_dir)
     keep = set(pids)
+    manifests = {}
     for c, o, v in preds:
-        if o == "==":
-            values = [v]
-        elif o == "in":
-            values = list(v)
-        else:
-            continue
-        if c == "doc_id":
+        values = [v] if o == "==" else (list(v) if o == "in" else None)
+        if c == "doc_id" and values is not None:
             P = lake_num_partitions(lake_dir)
             keep &= {int(p) for p in np.unique(
                 assign_partitions(pa.array([str(x) for x in values], pa.string()), P)
             )}
             continue
+        if o == "!=":
+            continue
         survive = set()
         for pid in pids:
-            m = read_manifest(lake_dir, pid)
+            m = manifests.get(pid)
+            if m is None:
+                m = manifests[pid] = read_manifest(lake_dir, pid)
             if m is None:
                 continue
-            counts = (m.agg_counts or {}).get(c)
-            if counts is None or any(str(x) in counts for x in values):
-                survive.add(pid)
+            counts = (m.agg_counts or {}).get(c) if values is not None else None
+            if counts is not None:
+                # exact live counts: equality/membership prunes precisely
+                if any(str(x) in counts for x in values):
+                    survive.add(pid)
+                continue
+            if c in (m.agg_bounds or {}):
+                if _bounds_may_match(m.agg_bounds[c], o, v):
+                    survive.add(pid)
+                continue
+            survive.add(pid)  # untracked: absence not provable
         keep &= survive
     return [p for p in pids if p in keep]
+
+
+def _bounds_may_match(bounds, op: str, value) -> bool:
+    """Can any live value inside the conservative ``[lo, hi]`` zone map
+    satisfy ``op value``? ``bounds is None`` = tracked, provably no live
+    non-null value → nothing matches. Incomparable types (caller passed a
+    string for an int column, mixed-era manifests): assume a match —
+    pruning must stay provable."""
+    if bounds is None:
+        return False
+    lo, hi = bounds
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "in":
+            return any(lo <= x <= hi for x in value)
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True
+    return True
 
 
 def _apply_mask(t: pa.Table, column: str, op: str, value) -> pa.Table:

@@ -70,6 +70,14 @@ class PartitionManifest:
     # live doc goes (a sum alone cannot distinguish "empty" from "sums to
     # zero"). Integer value columns only (exact +/- arithmetic).
     agg_sums: dict = field(default_factory=dict)
+    # ZONE MAPS: {col: [lo, hi] | None} — CONSERVATIVE bounds over this
+    # partition's live non-null values. Delta windows only WIDEN (a delete
+    # never shrinks them — recomputing the true min/max would need a data
+    # read), folds/compactions recompute them EXACTLY (tightening,
+    # self-healing). None = tracked but no live non-null value provable →
+    # every range/equality predicate on the column prunes the partition.
+    # Sound for pruning by construction: live values ⊆ [lo, hi] always.
+    agg_bounds: dict = field(default_factory=dict)
     write_completed_at: str = ""  # informational only; excluded from equality checks
 
     def to_json(self) -> str:
@@ -97,13 +105,20 @@ def manifest_path(lake_dir: str | Path, pid: int) -> Path:
     return partition_dir(lake_dir, pid) / "manifest.json"
 
 
+_MANIFEST_FIELDS = {f.name for f in PartitionManifest.__dataclass_fields__.values()}
+
+
 def read_manifest(lake_dir: str | Path, pid: int) -> PartitionManifest | None:
     p = manifest_path(lake_dir, pid)
     try:
         doc = json.loads(p.read_text())
     except FileNotFoundError:
         return None
-    return PartitionManifest(**doc)
+    # forward-compat: a manifest written by a NEWER engine may carry fields
+    # this version doesn't know; ignoring them keeps rolling upgrades (and
+    # mixed-version clusters) readable — new fields are always additive
+    return PartitionManifest(**{k: v for k, v in doc.items()
+                                if k in _MANIFEST_FIELDS})
 
 
 def sha256_file(path: str | Path) -> str:

@@ -75,6 +75,7 @@ def cmd_ingest(args) -> int:
         # implicit drop; `--track-counts ""` has no way to request a drop —
         # that is deliberate (dropping a view is an API-level decision)
         track_value_counts=tuple(args.track_counts.split(",")) if args.track_counts else None,
+        track_bounds=tuple(args.track_bounds.split(",")) if args.track_bounds else None,
     )
     run_id = f"{int(pc.max(metrics['last_lsn']).as_py() or 0):020d}"
     append_lineage(args.lake, metrics, run_id=run_id)
@@ -339,6 +340,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated bounded-cardinality lake columns to "
                         "maintain per-partition live value counts for "
                         "(read back with `counts`)")
+    i.add_argument("--track-bounds", default="",
+                   help="comma-separated orderable lake columns to maintain "
+                        "per-partition zone maps for (range-predicate "
+                        "partition pruning in `read`)")
     i.set_defaults(fn=cmd_ingest)
 
     r = sub.add_parser("replay")

@@ -127,7 +127,8 @@ def build_cdc_lake(sf_dir: str, mode: str = "last_wins", windows: int = 1) -> Pa
         last_metrics = ingest_change_log(
             paths, lake_dir, num_partitions=CDC_PARTITIONS, mode=mode,
             track_value_counts=("source",),
-            track_group_sums=(("source", "n_tok"),))
+            track_group_sums=(("source", "n_tok"),),
+            track_bounds=("n_tok",))
     from mex_extractors_ray.state.checks import append_lineage
 
     append_lineage(lake_dir, last_metrics,
@@ -191,6 +192,19 @@ def q_cdc_live_counts(sf_dir: str) -> pa.Table:
             "sum_n_tok": out["n_tok_sum"].cast(pa.int64()),
         }
     )
+
+
+def q_cdc_live_bounds(sf_dir: str) -> pa.Table:
+    """Lake-wide MIN/MAX from the MAINTAINED ZONE MAPS alone — O(P)
+    manifest reads, zero data files opened. Hash-checked at the EXACT
+    point: the single-window lake is all base folds, where bounds are
+    recomputed from live state (the conservative widen-only regime of
+    delta windows is covered by tests/test_zone_maps.py)."""
+    from mex_extractors_ray.cdc.apply import read_live_bounds
+
+    lo, hi = read_live_bounds(build_cdc_lake(sf_dir), "n_tok")
+    return pa.table({"lo": pa.array([int(lo)], pa.int64()),
+                     "hi": pa.array([int(hi)], pa.int64())})
 
 
 def q_cdc_tombstones(sf_dir: str) -> pa.Table:
@@ -1343,7 +1357,13 @@ def q_jaccard_pairs(sf_dir: str):
         lambda t: t.filter(pc.less(t["doc_id"], JACCARD_SUBSET)),
         batch_format="pyarrow",
     )
-    ids = np.sort(sub.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy())
+    # the bounded id list is driver-side by construction; a pushdown
+    # parquet read (doc_id column only, row-group filtered) is cheaper
+    # than a Ray round-trip and keeps one schema per plan
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"],
+                      filters=[("doc_id", "<", JACCARD_SUBSET)])["doc_id"]
+        .to_numpy())
     a, b = np.triu_indices(len(ids), k=1)
     cand = _rd().from_arrow(pa.table({
         "a": pa.array(ids[a].astype(np.int64)),
@@ -2064,6 +2084,7 @@ _QUERY_FNS = {
         "cdc_final_state": q_cdc_final_state,
         "cdc_first_wins_state": q_cdc_first_wins_state,
         "cdc_live_counts": q_cdc_live_counts,
+        "cdc_live_bounds": q_cdc_live_bounds,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_partition_metrics": q_cdc_partition_metrics,
         "cdc_partition_routing": q_cdc_partition_routing,
@@ -2180,6 +2201,9 @@ SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY 1
 """,
+        "cdc_live_bounds":
+            f"SELECT CAST(MIN(n_tok) AS BIGINT) AS lo, "
+            f"CAST(MAX(n_tok) AS BIGINT) AS hi FROM ({_CDC_FINAL_SQL})",
         "cdc_partition_routing": f"""
 SELECT CAST(p.partition AS BIGINT) AS partition,
        CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
