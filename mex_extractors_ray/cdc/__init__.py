@@ -10,4 +10,15 @@ __all__ = [
     "PartitionManifest",
     "read_manifest",
     "replay_reference",
+    "replicate_lake",
 ]
+
+
+def __getattr__(name):
+    # lazy: replicate pulls in pipelines.incremental_export; keep the core
+    # import light for workers that only need the apply
+    if name == "replicate_lake":
+        from mex_extractors_ray.cdc.replicate import replicate_lake
+
+        return replicate_lake
+    raise AttributeError(name)

@@ -765,7 +765,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
 
 
 def ingest_change_log(
-    log_paths: str | list[str],
+    log_paths,  # parquet path(s), or an already-built change-stream Dataset
     lake_dir: str | Path,
     num_partitions: int = 32,
     registry: SchemaRegistry | None = None,
@@ -928,7 +928,11 @@ def _run_ingest(
 ) -> pa.Table:
     import ray.data
 
-    ds = ray.data.read_parquet(log_paths)
+    # a change stream may arrive as an already-built Dataset (the
+    # replicator feeds another lake's change feed straight in) — same
+    # semantics, no staging write
+    ds = (log_paths if isinstance(log_paths, ray.data.Dataset)
+          else ray.data.read_parquet(log_paths))
     # resolve runs as stateless tasks on the shared (pre-warmed) worker
     # pool: the per-call state (a parsed registry) is microseconds to
     # rebuild, and tasks scale elastically with cluster CPUs where a fixed

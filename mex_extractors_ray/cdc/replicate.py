@@ -1,0 +1,124 @@
+"""Lake-to-lake replication: keep a replica lake equal to a source lake by
+shipping the source's CHANGE FEED, not its data files.
+
+The reference re-extracts every source system in full on every run
+(``mex/extractors/pipeline/base.py:51-105`` — the run-timestamp sensor
+re-materializes everything); at lake scale a downstream copy must instead
+consume changes ∝ lag. This module composes two existing primitives:
+
+- :func:`~mex_extractors_ray.cdc.apply.read_changes` — the source's
+  manifest-pruned change feed (bytes read ∝ lag, never lake size), and
+- :func:`~mex_extractors_ray.cdc.apply.ingest_change_log` — the replica is
+  a FIRST-CLASS lake written through the standard exactly-once apply, so
+  point lookups, filtered reads, exports and further replication all work
+  on it, and re-delivered changes are dropped idempotently by the
+  per-partition watermarks.
+
+The replica may use a DIFFERENT partition count than the source (replica
+re-sharding: a read-optimized copy at higher P is one call).
+
+Consistency under a concurrently-ingesting source: the bootstrap snapshot
+is not atomic across partitions (readers take no lease), so a partition
+read mid-ingest may already contain rows above the recorded watermark.
+That is safe BY IDEMPOTENCE: the next incremental pass re-delivers those
+windows' winners, the replica's apply drops the already-committed ones as
+late, and convergence holds at every replicate() return that observed a
+quiescent source.
+
+Identity: ``_replica.json`` records the source path and the replicated
+watermark. Replicating a DIFFERENT source into the same replica raises —
+two feeds interleaved into one lake would fork doc histories silently.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+
+from mex_extractors_ray.cdc.apply import (
+    ingest_change_log,
+    lake_num_partitions,
+    read_changes,
+    read_lake,
+)
+from mex_extractors_ray.cdc.manifest import atomic_write_bytes
+from mex_extractors_ray.pipelines.incremental_export import (
+    _lake_feed_floor,
+    lake_high_watermark,
+)
+from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
+
+_MARKER = "_replica.json"
+
+
+def read_replica_state(dst_dir: str | Path) -> dict | None:
+    try:
+        return json.loads((Path(dst_dir) / _MARKER).read_text())
+    except FileNotFoundError:
+        return None
+
+
+def _tag_op(t: pa.Table, op: str) -> pa.Table:
+    return t.append_column("op", pa.array([op] * t.num_rows, pa.string()))
+
+
+def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
+                   num_partitions: int | None = None,
+                   registry: SchemaRegistry | None = None) -> dict:
+    """Bring the replica at ``dst_dir`` current with ``src_dir``; returns
+    the replica marker. Three regimes, decided from metadata alone:
+
+    - **noop**: replica watermark == source watermark (nothing read).
+    - **incremental**: the source feed since the replica's watermark is
+      ingested (bytes ∝ lag, manifest-pruned at the source).
+    - **bootstrap / rebase**: no marker yet, or the replica's watermark has
+      fallen below the source's change-feed floor (a fold squashed the
+      history the replica still needs). The replica is rebuilt from the
+      source's LIVE state (op=insert at each row's own lsn) — a derived
+      artifact, so the wipe loses nothing; deletes below the watermark are
+      already reflected as absence.
+    """
+    src, dst = Path(src_dir), Path(dst_dir)
+    registry = registry or sequence_registry()
+    state = read_replica_state(dst)
+    if state is not None and str(state.get("src")) != str(src):
+        raise ValueError(
+            f"replica at {dst} tracks source {state.get('src')!r}; refusing "
+            f"to apply the feed of {str(src)!r} — interleaved feeds would "
+            "fork doc histories. Use a fresh replica dir.")
+    if num_partitions is None:
+        num_partitions = (int(state["num_partitions"]) if state
+                          else lake_num_partitions(src))
+    since = int(state["watermark"]) if state else -1
+    src_wm = lake_high_watermark(src)
+    if state is not None and since >= src_wm:
+        return {**state, "mode": "noop"}
+
+    rebase = state is None or since < _lake_feed_floor(src)
+    if rebase:
+        # derived artifact: wiping loses nothing, and a partial previous
+        # replica must not survive (its extra docs would linger forever)
+        if dst.exists():
+            shutil.rmtree(dst)
+        feed = read_lake(src, registry).map_batches(
+            lambda t, _op="insert": _tag_op(t, _op), batch_format="pyarrow")
+    else:
+        feed = read_changes(src, since, registry)  # rows already carry op
+
+    ingest_change_log(feed, dst, num_partitions=num_partitions,
+                      registry=registry)
+    state = {
+        "src": str(src),
+        "watermark": src_wm,
+        "num_partitions": num_partitions,
+        "mode": "bootstrap" if rebase else "incremental",
+    }
+    # marker AFTER the ingest's last manifest commit: a crash in between
+    # re-ships from the old watermark and the apply drops the re-delivered
+    # windows as late — idempotent resume, never a gap
+    atomic_write_bytes(dst / _MARKER, json.dumps(
+        {k: v for k, v in state.items() if k != "mode"}).encode())
+    return state

@@ -278,6 +278,17 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.replicate import replicate_lake
+
+    kw = {"num_partitions": args.partitions} if args.partitions else {}
+    m = replicate_lake(args.src, args.dst, **kw)
+    print(json.dumps(m))
+    ray.shutdown()
+    return 0
+
+
 def cmd_iexport(args) -> int:
     ray = _ray()
     from mex_extractors_ray.pipelines.incremental_export import (
@@ -404,6 +415,16 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--out", default=None, help="optional parquet output dir")
     ch.set_defaults(fn=cmd_changes)
+
+    rp = sub.add_parser("replicate",
+                        help="bring a replica lake current with a source "
+                             "lake via its change feed (bytes ∝ lag)")
+    rp.add_argument("--src", required=True)
+    rp.add_argument("--dst", required=True)
+    rp.add_argument("-p", "--partitions", type=int, default=None,
+                    help="replica partition count (default: inherit marker, "
+                         "else the source's)")
+    rp.set_defaults(fn=cmd_replicate)
 
     ie = sub.add_parser("iexport", help="incremental training export off the change feed")
     ie.add_argument("--lake", required=True)

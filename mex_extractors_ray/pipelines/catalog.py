@@ -1581,6 +1581,49 @@ def q_cdc_filtered_view_export(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_replica_state(sf_dir: str) -> pa.Table:
+    """Lake-to-lake replication, hash-checked end to end: a RE-SHARDED
+    replica (P/2 partitions) is bootstrapped after window 1 and brought
+    current by one incremental feed pass after window 2; its final live
+    state must equal the source's closed-form final state — which also
+    proves the feed-shipping path (read_changes → ingest) preserves
+    last-wins, deletes and payloads across a partition-count change."""
+    from mex_extractors_ray.cdc.apply import ingest_change_log as _ingest
+    from mex_extractors_ray.cdc.replicate import replicate_lake
+
+    key = (sf_dir, "replica_state")
+    if key not in _LAKE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}|replica".encode()).hexdigest()[:10]
+        base = WORK_ROOT / f"cdc-{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, src_dir, dst_dir = base / "log", base / "src", base / "dst"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        cut = int(pc.max(log["lsn"]).as_py()) // 2
+        for w, chunk in enumerate([log.filter(pc.less_equal(log["lsn"], cut)),
+                                   log.filter(pc.greater(log["lsn"], cut))]):
+            paths = []
+            for i, start in enumerate(range(0, chunk.num_rows, 100_000)):
+                p = log_dir / f"log-w{w}-{i:05d}.parquet"
+                pq.write_table(chunk.slice(start, 100_000), p, compression="snappy")
+                paths.append(str(p))
+            _ingest(paths, src_dir, num_partitions=CDC_PARTITIONS)
+            replicate_lake(src_dir, dst_dir,
+                           num_partitions=max(1, CDC_PARTITIONS // 2))
+        _LAKE_CACHE[key] = dst_dir
+    lake = read_lake_arrow(_LAKE_CACHE[key])
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 LOOKUP_IDS = [f"doc-{i}" for i in range(0, 500, 7)]
 
 
@@ -2160,6 +2203,7 @@ _QUERY_FNS = {
         "cdc_filtered_read": q_cdc_filtered_read,
         "cdc_filtered_range": q_cdc_filtered_range,
         "cdc_filtered_view_export": q_cdc_filtered_view_export,
+        "cdc_replica_state": q_cdc_replica_state,
         "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2577,6 +2621,7 @@ GROUP BY b.bracket
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE n_tok >= 96",
         "cdc_filtered_view_export":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src1'",
+        "cdc_replica_state": _CDC_FINAL_SQL,
         "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
