@@ -130,13 +130,16 @@ def tail_once(
     registry: SchemaRegistry | None = None,
     require_stable: bool = True,
     export_out: str | Path | None = None,
+    replica_out: str | Path | None = None,
 ) -> dict:
     """One sensor-check + incremental ingest. Returns a small report.
 
     ``export_out`` chains the downstream consumer into the same poll: after
     a non-empty ingest, ``pipelines.incremental_export`` brings the sharded
     training export current off the change feed — the full WAL-segment →
-    lake → export loop in one sensor tick, each leg costing ∝ the window."""
+    lake → export loop in one sensor tick, each leg costing ∝ the window.
+    ``replica_out`` chains a replica lake the same way (one feed pass per
+    non-empty tick; its own marker makes re-runs idempotent)."""
     segments = discover_new_segments(log_dir, lake_dir, require_stable=require_stable)
     if not segments:
         return {"segments": 0, "applied": 0, "noop": True}
@@ -161,6 +164,12 @@ def tail_once(
         m = incremental_export(lake_dir, export_out, registry=registry)
         report["export_windows"] = len(m["windows"])
         report["export_watermark"] = m["watermark"]
+    if replica_out is not None and applied:
+        from mex_extractors_ray.cdc.replicate import replicate_lake
+
+        r = replicate_lake(lake_dir, replica_out, registry=registry)
+        report["replica_mode"] = r["mode"]
+        report["replica_watermark"] = r["watermark"]
     return report
 
 
@@ -171,12 +180,13 @@ def tail_loop(
     max_polls: int | None = None,
     num_partitions: int = 32,
     export_out: str | Path | None = None,
+    replica_out: str | Path | None = None,
 ) -> None:
     """Poll-and-ingest loop (Ctrl-C or max_polls to stop)."""
     polls = 0
     while max_polls is None or polls < max_polls:
         report = tail_once(log_dir, lake_dir, num_partitions=num_partitions,
-                           export_out=export_out)
+                           export_out=export_out, replica_out=replica_out)
         print(json.dumps({"poll": polls, **report}), flush=True)
         polls += 1
         if max_polls is None or polls < max_polls:

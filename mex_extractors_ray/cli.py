@@ -140,7 +140,7 @@ def cmd_tail(args) -> int:
     tail_loop(
         args.log, args.lake, poll_seconds=args.poll,
         max_polls=args.max_polls, num_partitions=args.partitions,
-        export_out=args.export_out,
+        export_out=args.export_out, replica_out=args.replica_out,
     )
     ray.shutdown()
     return 0
@@ -383,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("-p", "--partitions", type=int, default=32)
     tl.add_argument("--export-out", default=None, dest="export_out",
                     help="chain the incremental training export into each poll")
+    tl.add_argument("--replica-out", default=None, dest="replica_out",
+                    help="chain a replica lake into each poll (one feed pass)")
     tl.set_defaults(fn=cmd_tail)
 
     co = sub.add_parser("counts")

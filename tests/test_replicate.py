@@ -75,6 +75,29 @@ def test_identity_guard(ray_session, tmp_path):
         replicate_lake(src2, dst)
 
 
+def test_tail_chains_replica(ray_session, tmp_path):
+    """The sensor tick drives log → lake → replica in one pass; the replica
+    tracks the lake segment by segment."""
+    import shutil as _sh
+
+    from mex_extractors_ray.cdc.tail import tail_once
+
+    src, dst = tmp_path / "lake", tmp_path / "replica"
+    paths = synth_change_log(tmp_path / "log", n_events=2000, n_docs=200,
+                             seed=9, shard_rows=1000)
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    for i, p in enumerate(paths):
+        _sh.copy(p, wal / f"log-{i:05d}.parquet")
+        (wal / f"log-{i:05d}.parquet.closed").touch()
+        r = tail_once(wal, src, num_partitions=2, replica_out=dst)
+        assert r["replica_mode"] in ("bootstrap", "incremental")
+        _equal_lakes(src, dst)
+    # caught-up tick: no ingest, no replica pass
+    r = tail_once(wal, src, num_partitions=2, replica_out=dst)
+    assert r["noop"] and "replica_mode" not in r
+
+
 def test_rebase_when_source_folded_history(ray_session, tmp_path):
     src, dst = tmp_path / "src", tmp_path / "dst"
     paths = synth_change_log(tmp_path / "log", n_events=6000, n_docs=400,
