@@ -65,8 +65,43 @@ def _tag_op(t: pa.Table, op: str) -> pa.Table:
     return t.append_column("op", pa.array([op] * t.num_rows, pa.string()))
 
 
+def _canon_where(where) -> list[list] | None:
+    """JSON-round-trip-stable predicate canon (the export's discipline:
+    the recorded filter must compare equal to the caller's spelling)."""
+    if not where:
+        return None
+    return [[c, o, list(v) if isinstance(v, (list, tuple)) else v]
+            for c, o, v in where]
+
+
+_INHERIT = object()  # "caller didn't say" — inherit the marker's filter
+
+
+def _face_predicate(preds):
+    """Feed transform for a FILTERED replica: an upsert whose new version
+    fails the predicate becomes a DELETE (the updated-out-of-view
+    retraction), deletes pass through, in-view upserts pass through."""
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.cdc.filtered import _CMP
+
+    def fn(t: pa.Table, _preds=tuple(tuple(p) for p in preds)) -> pa.Table:
+        in_view = None
+        for c, o, v in _preds:
+            m = (pc.is_in(t[c], value_set=pa.array(list(v))) if o == "in"
+                 else _CMP[o](t[c], v))
+            m = pc.fill_null(m, False)
+            in_view = m if in_view is None else pc.and_(in_view, m)
+        op = pc.if_else(in_view, t["op"],
+                        pa.scalar("delete", pa.string()))
+        return t.set_column(t.column_names.index("op"), "op", op)
+
+    return fn
+
+
 def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
                    num_partitions: int | None = None,
+                   where: list | None | object = _INHERIT,
                    registry: SchemaRegistry | None = None) -> dict:
     """Bring the replica at ``dst_dir`` current with ``src_dir``; returns
     the replica marker. Three regimes, decided from metadata alone:
@@ -80,6 +115,19 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
       source's LIVE state (op=insert at each row's own lsn) — a derived
       artifact, so the wipe loses nothing; deletes below the watermark are
       already reflected as absence.
+
+    ``where`` (conjunctive ``[(col, op, value), ...]``, the ``cdc.filtered``
+    grammar) makes this a FILTERED REPLICA — a maintained-view LAKE holding
+    exactly the source rows that pass the predicate. Maintenance: an upsert
+    whose new version fails the predicate ships as a DELETE (the doc may
+    never have been in view — the spurious tombstone is correct, just
+    debt), so updated-out-of-view docs retract and updated-into-view docs
+    appear. The bootstrap reads through the pushdown filtered reader.
+    Tombstone debt from out-of-view churn grows with the feed, not the
+    corpus, and a rebase (which re-bootstraps from filtered live state)
+    clears it. Like the export, the filter is part of the replica's
+    IDENTITY: marker-recorded, inherited when unspecified, refused on
+    explicit mismatch (per-window filters would silently mix views).
     """
     src, dst = Path(src_dir), Path(dst_dir)
     registry = registry or sequence_registry()
@@ -89,6 +137,13 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
             f"replica at {dst} tracks source {state.get('src')!r}; refusing "
             f"to apply the feed of {str(src)!r} — interleaved feeds would "
             "fork doc histories. Use a fresh replica dir.")
+    prev_where = _canon_where((state or {}).get("where"))
+    where = prev_where if where is _INHERIT else _canon_where(where)
+    if state is not None and prev_where != where:
+        raise ValueError(
+            f"replica at {dst} was built with filter {prev_where}; refusing "
+            f"a pass with {where} — per-window filters would mix views. "
+            "Use a fresh replica dir.")
     if num_partitions is None:
         num_partitions = (int(state["num_partitions"]) if state
                           else lake_num_partitions(src))
@@ -100,13 +155,24 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
     rebase = state is None or since < _lake_feed_floor(src)
     if rebase:
         # derived artifact: wiping loses nothing, and a partial previous
-        # replica must not survive (its extra docs would linger forever)
+        # replica must not survive (its extra docs would linger forever);
+        # a rebase also clears a filtered replica's tombstone debt
         if dst.exists():
             shutil.rmtree(dst)
-        feed = read_lake(src, registry).map_batches(
+        if where:
+            from mex_extractors_ray.cdc.filtered import read_lake_filtered
+
+            base = read_lake_filtered(src, [tuple(p) for p in where],
+                                      registry=registry)
+        else:
+            base = read_lake(src, registry)
+        feed = base.map_batches(
             lambda t, _op="insert": _tag_op(t, _op), batch_format="pyarrow")
     else:
         feed = read_changes(src, since, registry)  # rows already carry op
+        if where:
+            feed = feed.map_batches(_face_predicate(where),
+                                    batch_format="pyarrow")
 
     ingest_change_log(feed, dst, num_partitions=num_partitions,
                       registry=registry)
@@ -114,6 +180,7 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
         "src": str(src),
         "watermark": src_wm,
         "num_partitions": num_partitions,
+        "where": where,
         "mode": "bootstrap" if rebase else "incremental",
     }
     # marker AFTER the ingest's last manifest commit: a crash in between

@@ -283,6 +283,8 @@ def cmd_replicate(args) -> int:
     from mex_extractors_ray.cdc.replicate import replicate_lake
 
     kw = {"num_partitions": args.partitions} if args.partitions else {}
+    if args.where:
+        kw["where"] = [_parse_where(w) for w in args.where]
     m = replicate_lake(args.src, args.dst, **kw)
     print(json.dumps(m))
     ray.shutdown()
@@ -426,6 +428,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("-p", "--partitions", type=int, default=None,
                     help="replica partition count (default: inherit marker, "
                          "else the source's)")
+    rp.add_argument("--where", action="append", default=[],
+                    help="filtered-replica predicate 'col==v' (repeatable, "
+                         "conjunctive; part of the replica's identity — "
+                         "omit on follow-on passes to inherit)")
     rp.set_defaults(fn=cmd_replicate)
 
     ie = sub.add_parser("iexport", help="incremental training export off the change feed")

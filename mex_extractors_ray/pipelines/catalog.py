@@ -1624,6 +1624,48 @@ def q_cdc_replica_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_filtered_replica(sf_dir: str) -> pa.Table:
+    """FILTERED REPLICA, hash-checked: a replica maintained with
+    ``where=[("source","==","src2")]`` across two source windows must equal
+    the closed-form final state post-filtered — upserts leaving the
+    predicate ship as deletes (retraction), entrants appear, and the
+    bootstrap reads through the pushdown filtered reader."""
+    from mex_extractors_ray.cdc.apply import ingest_change_log as _ingest
+    from mex_extractors_ray.cdc.replicate import replicate_lake
+
+    where = [("source", "==", "src2")]
+    key = (sf_dir, "filtered_replica")
+    if key not in _LAKE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}|freplica".encode()).hexdigest()[:10]
+        base = WORK_ROOT / f"cdc-{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, src_dir, dst_dir = base / "log", base / "src", base / "dst"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        cut = int(pc.max(log["lsn"]).as_py()) // 2
+        for w, chunk in enumerate([log.filter(pc.less_equal(log["lsn"], cut)),
+                                   log.filter(pc.greater(log["lsn"], cut))]):
+            paths = []
+            for i, start in enumerate(range(0, chunk.num_rows, 100_000)):
+                p = log_dir / f"log-w{w}-{i:05d}.parquet"
+                pq.write_table(chunk.slice(start, 100_000), p, compression="snappy")
+                paths.append(str(p))
+            _ingest(paths, src_dir, num_partitions=CDC_PARTITIONS)
+            replicate_lake(src_dir, dst_dir, where=where)
+        _LAKE_CACHE[key] = dst_dir
+    lake = read_lake_arrow(_LAKE_CACHE[key])
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 LOOKUP_IDS = [f"doc-{i}" for i in range(0, 500, 7)]
 
 
@@ -2204,6 +2246,7 @@ _QUERY_FNS = {
         "cdc_filtered_range": q_cdc_filtered_range,
         "cdc_filtered_view_export": q_cdc_filtered_view_export,
         "cdc_replica_state": q_cdc_replica_state,
+        "cdc_filtered_replica": q_cdc_filtered_replica,
         "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2622,6 +2665,8 @@ GROUP BY b.bracket
         "cdc_filtered_view_export":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src1'",
         "cdc_replica_state": _CDC_FINAL_SQL,
+        "cdc_filtered_replica":
+            f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src2'",
         "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),

@@ -75,6 +75,56 @@ def test_identity_guard(ray_session, tmp_path):
         replicate_lake(src2, dst)
 
 
+def _src_rows(rows):
+    """rows: (doc_id, lsn, op, source)"""
+    n = len(rows)
+    return pa.table({
+        "lsn": pa.array([r[1] for r in rows], pa.int64()),
+        "op": [r[2] for r in rows],
+        "doc_id": [r[0] for r in rows],
+        "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array([1] * n, pa.int32()),
+        "source": [r[3] for r in rows],
+        "schema_version": pa.array([2] * n, pa.int32()),
+        "lang": ["de"] * n,
+    })
+
+
+def test_filtered_replica_in_out_transitions(ray_session, tmp_path):
+    """where= makes the replica a maintained-view LAKE: docs updated out of
+    the predicate retract, docs updated into it appear; filter identity is
+    marker-recorded (inherit / refuse-mismatch)."""
+    import pyarrow.compute as pc
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    where = [("source", "==", "srcA")]
+    w1 = _src_rows([("a", 1, "insert", "srcA"), ("b", 2, "insert", "srcB"),
+                    ("c", 3, "insert", "srcB")])
+    # a leaves the view, c enters it, b (never in view) deleted
+    w2 = _src_rows([("a", 11, "update", "srcB"), ("c", 12, "update", "srcA"),
+                    ("b", 13, "delete", "srcB")])
+    p1, p2 = tmp_path / "w1.parquet", tmp_path / "w2.parquet"
+    pq.write_table(w1, p1)
+    pq.write_table(w2, p2)
+    ingest_change_log([str(p1)], src, num_partitions=2)
+    m = replicate_lake(src, dst, where=where)
+    assert m["mode"] == "bootstrap"
+    assert read_lake_arrow(dst)["doc_id"].to_pylist() == ["a"]
+    ingest_change_log([str(p2)], src, num_partitions=2)
+    m = replicate_lake(src, dst)  # unspecified where inherits the marker
+    assert m["mode"] == "incremental" and m["where"] == [["source", "==", "srcA"]]
+    got = read_lake_arrow(dst)
+    assert got["doc_id"].to_pylist() == ["c"]
+    assert got["lsn"].to_pylist() == [12]
+    live = read_lake_arrow(src)
+    assert got.equals(live.filter(pc.equal(live["source"], "srcA")))
+    # explicit mismatch refused
+    with pytest.raises(ValueError, match="mix views"):
+        replicate_lake(src, dst, where=[("source", "==", "srcB")])
+    with pytest.raises(ValueError, match="mix views"):
+        replicate_lake(src, dst, where=None)
+
+
 def test_tail_chains_replica(ray_session, tmp_path):
     """The sensor tick drives log → lake → replica in one pass; the replica
     tracks the lake segment by segment."""
