@@ -244,6 +244,34 @@ def run_bench() -> dict:
             "live_rows": full.num_rows,
         }
 
+        # replication economics: bootstrap a replica of the live lake, then
+        # one more source window followed by an incremental feed pass —
+        # replica catch-up cost ∝ lag, not lake size
+        from mex_extractors_ray.cdc.replicate import replicate_lake
+
+        replica = BENCH_ROOT / "replica"
+        shutil.rmtree(replica, ignore_errors=True)
+        t0 = time.time()
+        replicate_lake(lake, replica)
+        boot_sec = time.time() - t0
+        wm3 = wm2 + 2 * tail_n
+        rp_paths = ensure_log(tail_n, n_docs, seed=17, lsn_start=wm3)
+        ingest_change_log(rp_paths, lake, num_partitions=num_partitions)
+        t0 = time.time()
+        replicate_lake(lake, replica)
+        incr_sec = time.time() - t0
+        t0 = time.time()
+        noop_mode = replicate_lake(lake, replica)["mode"]
+        noop_sec = time.time() - t0
+        tail["replication"] = {
+            "bootstrap_sec": round(boot_sec, 3),
+            "incremental_sec": round(incr_sec, 3),
+            "incremental_events": tail_n,
+            "caught_up_sec": round(noop_sec, 4),
+            "caught_up_mode": noop_mode,
+            "replica_rows": int(full.num_rows),
+        }
+
     from mex_extractors_ray.pipelines import catalog
 
     qtimes: dict[str, float] = {}
