@@ -123,6 +123,19 @@ def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
                 m = manifests[pid] = read_manifest(lake_dir, pid)
             if m is None:
                 continue
+            if c == "lsn":
+                # free zone map: live lsn ≤ the partition watermark, so
+                # upper-bounded ops prune from last_lsn alone ("recent
+                # changes" queries skip cold partitions); no lower bound
+                # is known unless lsn is bounds-tracked (checked below)
+                hi = m.last_lsn
+                passes = (o in ("<", "<=")
+                          or (o == ">" and hi > v)
+                          or (o == ">=" and hi >= v)
+                          or (o == "==" and v <= hi)
+                          or (o == "in" and any(x <= hi for x in values)))
+                if not passes:
+                    continue
             counts = (m.agg_counts or {}).get(c) if values is not None else None
             if counts is not None:
                 # exact live counts: equality/membership prunes precisely

@@ -153,6 +153,24 @@ def test_repartition_recomputes_bounds(ray_session, tmp_path, tmp_lake):
         pc.min(live["n_tok"]).as_py(), pc.max(live["n_tok"]).as_py()]
 
 
+def test_lsn_watermark_pruning(ray_session, tmp_path, tmp_lake):
+    """Upper-bounded lsn predicates prune from the manifest watermark alone
+    — no tracking needed; reads stay exact."""
+    ingest_change_log(_clustered_log(tmp_path), tmp_lake, num_partitions=P)
+    marks = sorted(
+        read_manifest(tmp_lake, p).last_lsn
+        for p in range(P) if read_manifest(tmp_lake, p))
+    all_pids = plan_filtered_read(tmp_lake, "source", "==", "srcA")
+    # above the global watermark: every partition pruned
+    assert plan_filtered_read(tmp_lake, "lsn", ">", marks[-1]) == []
+    # between the lowest and highest per-partition watermark: strict subset
+    plan = plan_filtered_read(tmp_lake, "lsn", ">", marks[0])
+    assert 0 < len(plan) < len(all_pids)
+    for op, v in [(">", marks[0]), (">=", marks[-1]), ("==", marks[0] + 1)]:
+        got = read_lake_filtered_arrow(tmp_lake, "lsn", op, v)
+        assert got.equals(_expected(tmp_lake, "lsn", op, v)), (op, v)
+
+
 def test_unorderable_column_refused(ray_session, tmp_path, tmp_lake):
     with pytest.raises(Exception, match="orderable"):
         ingest_change_log(_clustered_log(tmp_path), tmp_lake,
