@@ -298,8 +298,15 @@ def _bounds_of(col: pa.ChunkedArray | pa.Array):
             f"track_bounds: column type {t} is not an orderable primitive "
             "(integer / floating / string)")
     mm = pc.min_max(col)
-    lo = mm["min"].as_py()
-    return None if lo is None else [lo, mm["max"].as_py()]
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return None
+    if pa.types.is_floating(t) and (lo != lo or hi != hi):
+        # NaN poisons min_max AND fails every comparison in the pruning
+        # check (IEEE), which would wrongly prune real values sharing the
+        # partition — degrade to the unbounded (never-prunes) interval
+        return [float("-inf"), float("inf")]
+    return [lo, hi]
 
 
 def _bounds_union(a, b):

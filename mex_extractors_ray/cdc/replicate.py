@@ -132,6 +132,13 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
     src, dst = Path(src_dir), Path(dst_dir)
     registry = registry or sequence_registry()
     state = read_replica_state(dst)
+    if state is None and (dst / "_lake_meta.json").exists():
+        # a lake with no replica marker was NOT written by the replicator —
+        # the rebase below wipes dst, so refusing here prevents destroying
+        # an unrelated lake a caller pointed at by mistake
+        raise ValueError(
+            f"{dst} is an existing lake with no _replica.json; refusing to "
+            "overwrite it — pick a fresh replica dir.")
     if state is not None and str(state.get("src")) != str(src):
         raise ValueError(
             f"replica at {dst} tracks source {state.get('src')!r}; refusing "
@@ -139,6 +146,11 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
             "fork doc histories. Use a fresh replica dir.")
     prev_where = _canon_where((state or {}).get("where"))
     where = prev_where if where is _INHERIT else _canon_where(where)
+    if where:
+        from mex_extractors_ray.cdc.filtered import _check_predicate
+
+        for c, o, _ in where:
+            _check_predicate(registry, c, o)
     if state is not None and prev_where != where:
         raise ValueError(
             f"replica at {dst} was built with filter {prev_where}; refusing "

@@ -148,6 +148,18 @@ def test_tail_chains_replica(ray_session, tmp_path):
     assert r["noop"] and "replica_mode" not in r
 
 
+def test_refuses_to_wipe_unrelated_lake(ray_session, tmp_path):
+    src, other = tmp_path / "src", tmp_path / "other"
+    for lake, seed in [(src, 1), (other, 2)]:
+        p = synth_change_log(tmp_path / f"log{seed}", n_events=300,
+                             n_docs=30, seed=seed, shard_rows=300)
+        ingest_change_log(p, lake, num_partitions=2)
+    before = read_lake_arrow(other)
+    with pytest.raises(ValueError, match="no _replica.json"):
+        replicate_lake(src, other)  # would otherwise rmtree a real lake
+    assert read_lake_arrow(other).equals(before)
+
+
 def test_rebase_when_source_folded_history(ray_session, tmp_path):
     src, dst = tmp_path / "src", tmp_path / "dst"
     paths = synth_change_log(tmp_path / "log", n_events=6000, n_docs=400,

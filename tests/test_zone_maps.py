@@ -175,3 +175,26 @@ def test_unorderable_column_refused(ray_session, tmp_path, tmp_lake):
     with pytest.raises(Exception, match="orderable"):
         ingest_change_log(_clustered_log(tmp_path), tmp_lake,
                           num_partitions=P, track_bounds=("tokens",))
+
+
+def test_nan_bounds_sound():
+    """NaN rows never satisfy a range/equality predicate (IEEE), so bounds
+    that EXCLUDE NaN are sound: pruning only claims 'no row matches'. This
+    pyarrow's min_max skips NaN (like nulls) — assert that, plus the
+    defensive never-prunes degrade if a NaN ever reaches the interval."""
+    from mex_extractors_ray.cdc.apply import _bounds_of, _bounds_union
+    from mex_extractors_ray.cdc.filtered import _bounds_may_match
+
+    b = _bounds_of(pa.array([1.0, float("nan"), 5.0], pa.float64()))
+    assert b == [1.0, 5.0]
+    assert _bounds_may_match(b, ">=", 3.0)
+    # NaN rows can't match, so a NaN-only partition pruning everything is
+    # correct behavior — whatever min_max returns for it must never claim
+    # a match it can't deliver; and the defensive unbounded interval (the
+    # degrade path for min_max versions that propagate NaN) never prunes
+    inf = [float("-inf"), float("inf")]
+    assert _bounds_may_match(inf, "==", 42)
+    assert _bounds_union(b, inf) == inf
+    import json
+
+    assert json.loads(json.dumps(inf)) == inf  # manifest round-trip
