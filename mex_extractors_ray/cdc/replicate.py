@@ -99,9 +99,43 @@ def _face_predicate(preds):
     return fn
 
 
+def _apply_transform(transform, out_schema: pa.Schema):
+    """Feed stage for a TRANSFORM view: upserts go through the user's
+    row-wise transform (presented without ``op``; must return exactly one
+    output row per input row — dropping rows would leave stale view
+    versions, that is ``where``'s job), deletes are reshaped to the
+    transformed schema (payload irrelevant — retraction is by doc_id)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        is_del = pc.equal(t["op"], "delete")
+        dels = t.filter(is_del)
+        ups = t.filter(pc.invert(is_del))
+        out = transform(ups.drop_columns(["op"]))
+        if out.num_rows != ups.num_rows:
+            raise ValueError(
+                f"transform returned {out.num_rows} rows for {ups.num_rows} "
+                "upserts; transforms must be row-wise (use where= to filter)")
+        pieces = [out.append_column("op", pa.array(["upsert"] * out.num_rows,
+                                                   pa.string()))]
+        if dels.num_rows:
+            cols = {
+                name: (dels[name] if name in dels.column_names
+                       else pa.nulls(dels.num_rows, out_schema.field(name).type))
+                for name in out.column_names
+            }
+            cols["op"] = dels["op"]
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+    return fn
+
+
 def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
                    num_partitions: int | None = None,
                    where: list | None | object = _INHERIT,
+                   transform=None, transform_id: str | None = None,
+                   dst_registry: SchemaRegistry | None = None,
                    registry: SchemaRegistry | None = None) -> dict:
     """Bring the replica at ``dst_dir`` current with ``src_dir``; returns
     the replica marker. Three regimes, decided from metadata alone:
@@ -128,6 +162,19 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
     clears it. Like the export, the filter is part of the replica's
     IDENTITY: marker-recorded, inherited when unspecified, refused on
     explicit mismatch (per-window filters would silently mix views).
+
+    ``transform`` (with a mandatory ``transform_id``) makes this a
+    MAINTAINED TRANSFORM VIEW (select-project incremental view
+    maintenance): a PURE ROW-WISE function ``pa.Table -> pa.Table`` applied
+    to every upsert (source lake schema, ``doc_id``/``lsn`` preserved,
+    exactly one output row per input row); composed AFTER ``where``. The
+    view row for a doc is a pure function of its source row, so the
+    retract-by-key discipline maintains it for free. A transform that adds
+    or reshapes columns needs ``dst_registry`` describing the view's
+    schema. Identity: ``transform_id`` is marker-recorded; a follow-on pass
+    must present the SAME id together with the callable (the callable
+    cannot be reconstructed from the marker), and a bare pass on a
+    transform view raises rather than silently writing untransformed rows.
     """
     src, dst = Path(src_dir), Path(dst_dir)
     registry = registry or sequence_registry()
@@ -151,6 +198,18 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
 
         for c, o, _ in where:
             _check_predicate(registry, c, o)
+    if (transform is None) != (transform_id is None):
+        raise ValueError("transform and transform_id must be given together "
+                         "(the id is the view's marker identity)")
+    prev_tid = (state or {}).get("transform_id")
+    if state is not None and prev_tid != transform_id:
+        raise ValueError(
+            f"replica at {dst} is a transform view with id {prev_tid!r}; "
+            f"got {transform_id!r} — a pass without the view's own "
+            "transform would write untransformed (or differently "
+            "transformed) rows. Pass the same transform + id.")
+    dst_registry = dst_registry or registry
+    out_schema = dst_registry.latest.to_arrow()
     if state is not None and prev_where != where:
         raise ValueError(
             f"replica at {dst} was built with filter {prev_where}; refusing "
@@ -178,6 +237,17 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
                                       registry=registry)
         else:
             base = read_lake(src, registry)
+        if transform is not None:
+            def _checked(t: pa.Table, _tf=transform) -> pa.Table:
+                out = _tf(t)
+                if out.num_rows != t.num_rows:
+                    raise ValueError(
+                        f"transform returned {out.num_rows} rows for "
+                        f"{t.num_rows}; transforms must be row-wise "
+                        "(use where= to filter)")
+                return out
+
+            base = base.map_batches(_checked, batch_format="pyarrow")
         feed = base.map_batches(
             lambda t, _op="insert": _tag_op(t, _op), batch_format="pyarrow")
     else:
@@ -185,14 +255,18 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
         if where:
             feed = feed.map_batches(_face_predicate(where),
                                     batch_format="pyarrow")
+        if transform is not None:
+            feed = feed.map_batches(_apply_transform(transform, out_schema),
+                                    batch_format="pyarrow")
 
     ingest_change_log(feed, dst, num_partitions=num_partitions,
-                      registry=registry)
+                      registry=dst_registry)
     state = {
         "src": str(src),
         "watermark": src_wm,
         "num_partitions": num_partitions,
         "where": where,
+        "transform_id": transform_id,
         "mode": "bootstrap" if rebase else "incremental",
     }
     # marker AFTER the ingest's last manifest commit: a crash in between

@@ -1666,6 +1666,69 @@ def q_cdc_filtered_replica(sf_dir: str) -> pa.Table:
     )
 
 
+def _bucketize_view(t: pa.Table) -> pa.Table:
+    """The cdc_transform_view's row-wise transform (module-level so Ray
+    workers import it instead of pickling a test closure)."""
+    return t.append_column(
+        "tok_bucket", pc.divide(t["n_tok"].cast(pa.int64()), pa.scalar(10, pa.int64())))
+
+
+def _view_registry():
+    from mex_extractors_ray.schema import SchemaRegistry, SchemaVersion
+
+    return SchemaRegistry([SchemaVersion(1, (
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int64()),
+        ("source", pa.string()),
+        ("lang", pa.string()),
+        ("tok_bucket", pa.int64()),
+    ), {"lang": "de"})])
+
+
+def q_cdc_transform_view(sf_dir: str) -> pa.Table:
+    """MAINTAINED TRANSFORM VIEW (select-project IVM), hash-checked: a
+    replica maintained with a row-wise transform (adds tok_bucket =
+    n_tok // 10 under the view's own registry) across two source windows
+    must equal the transform of the closed-form final state — updates
+    re-derive the view row, deletes retract it."""
+    from mex_extractors_ray.cdc.apply import ingest_change_log as _ingest
+    from mex_extractors_ray.cdc.replicate import replicate_lake
+
+    vr = _view_registry()
+    key = (sf_dir, "transform_view")
+    if key not in _LAKE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}|tview".encode()).hexdigest()[:10]
+        base = WORK_ROOT / f"cdc-{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, src_dir, dst_dir = base / "log", base / "src", base / "dst"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        cut = int(pc.max(log["lsn"]).as_py()) // 2
+        for w, chunk in enumerate([log.filter(pc.less_equal(log["lsn"], cut)),
+                                   log.filter(pc.greater(log["lsn"], cut))]):
+            paths = []
+            for i, start in enumerate(range(0, chunk.num_rows, 100_000)):
+                p = log_dir / f"log-w{w}-{i:05d}.parquet"
+                pq.write_table(chunk.slice(start, 100_000), p, compression="snappy")
+                paths.append(str(p))
+            _ingest(paths, src_dir, num_partitions=CDC_PARTITIONS)
+            replicate_lake(src_dir, dst_dir, transform=_bucketize_view,
+                           transform_id="tok-bucket-v1", dst_registry=vr)
+        _LAKE_CACHE[key] = dst_dir
+    lake = read_lake_arrow(_LAKE_CACHE[key], registry=vr)
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "tok_bucket": lake["tok_bucket"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 LOOKUP_IDS = [f"doc-{i}" for i in range(0, 500, 7)]
 
 
@@ -2247,6 +2310,7 @@ _QUERY_FNS = {
         "cdc_filtered_view_export": q_cdc_filtered_view_export,
         "cdc_replica_state": q_cdc_replica_state,
         "cdc_filtered_replica": q_cdc_filtered_replica,
+        "cdc_transform_view": q_cdc_transform_view,
         "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2667,6 +2731,9 @@ GROUP BY b.bracket
         "cdc_replica_state": _CDC_FINAL_SQL,
         "cdc_filtered_replica":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src2'",
+        "cdc_transform_view":
+            f"SELECT doc_id, source, n_tok, CAST(n_tok // 10 AS BIGINT) "
+            f"AS tok_bucket, last_lsn, tok_sum FROM ({_CDC_FINAL_SQL})",
         "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),

@@ -148,6 +148,71 @@ def test_tail_chains_replica(ray_session, tmp_path):
     assert r["noop"] and "replica_mode" not in r
 
 
+def _view_registry():
+    from mex_extractors_ray.schema import SchemaRegistry, SchemaVersion
+
+    return SchemaRegistry([SchemaVersion(1, (
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int64()),
+        ("source", pa.string()),
+        ("lang", pa.string()),
+        ("tok_bucket", pa.int64()),
+    ), {"lang": "de"})])
+
+
+def test_transform_view_maintained(ray_session, tmp_path):
+    """transform= maintains a select-project view: derived columns stay
+    consistent with the source's live rows across update/delete windows."""
+    import pyarrow.compute as pc
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        # defined in-test so Ray pickles it by value (workers cannot
+        # import the test module)
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "tok_bucket", _pc.divide(t["n_tok"].cast(pa.int64()), 10))
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    paths = synth_change_log(tmp_path / "log", n_events=4000, n_docs=400,
+                             seed=21, shard_rows=1000)
+    half = len(paths) // 2
+    vr = _view_registry()
+    kw = dict(transform=_bucketize, transform_id="bucketize-v1",
+              dst_registry=vr)
+    ingest_change_log(paths[:half], src, num_partitions=4)
+    m = replicate_lake(src, dst, **kw)
+    assert m["mode"] == "bootstrap"
+    ingest_change_log(paths[half:], src, num_partitions=4)
+    m = replicate_lake(src, dst, **kw)
+    assert m["mode"] == "incremental"
+    live = read_lake_arrow(src)
+    got = read_lake_arrow(dst, registry=vr)
+    want = _bucketize(live).select(got.column_names)
+    assert got.equals(want)
+    # a delete-only follow-on window retracts from the view
+    doomed = live["doc_id"][0].as_py()
+    last = int(pc.max(live["lsn"]).as_py())
+    dels = _src_rows([(doomed, last + 1, "delete", "src1")])
+    p = tmp_path / "del.parquet"
+    pq.write_table(dels, p)
+    ingest_change_log([str(p)], src, num_partitions=4)
+    replicate_lake(src, dst, **kw)
+    assert doomed not in read_lake_arrow(dst, registry=vr)["doc_id"].to_pylist()
+    # identity: a bare pass on a transform view refuses
+    with pytest.raises(ValueError, match="transform view"):
+        replicate_lake(src, dst)
+    with pytest.raises(ValueError, match="transform view"):
+        replicate_lake(src, dst, transform=_bucketize,
+                       transform_id="bucketize-v2", dst_registry=vr)
+    # row-dropping transforms are refused (that's where='s job)
+    with pytest.raises(Exception, match="row-wise"):
+        replicate_lake(tmp_path / "src", tmp_path / "dst2",
+                       transform=lambda t: t.slice(0, 0),
+                       transform_id="bad", dst_registry=vr)
+
+
 def test_refuses_to_wipe_unrelated_lake(ray_session, tmp_path):
     src, other = tmp_path / "src", tmp_path / "other"
     for lake, seed in [(src, 1), (other, 2)]:
