@@ -64,6 +64,20 @@ def test_resharded_replica(ray_session, tmp_path):
     assert got["doc_id"].to_pylist() == sorted(ids)
 
 
+def test_chained_replication(ray_session, tmp_path):
+    """Replicas are first-class lakes, so replication chains: src → r1 → r2
+    stays equal end to end across incremental windows."""
+    src, r1, r2 = tmp_path / "src", tmp_path / "r1", tmp_path / "r2"
+    paths = synth_change_log(tmp_path / "log", n_events=3000, n_docs=300,
+                             seed=13, shard_rows=1000)
+    for p in paths:
+        ingest_change_log([p], src, num_partitions=2)
+        replicate_lake(src, r1)
+        replicate_lake(r1, r2, num_partitions=4)
+    _equal_lakes(src, r1)
+    _equal_lakes(src, r2)
+
+
 def test_identity_guard(ray_session, tmp_path):
     src1, src2, dst = tmp_path / "s1", tmp_path / "s2", tmp_path / "dst"
     for s, seed in [(src1, 1), (src2, 2)]:
