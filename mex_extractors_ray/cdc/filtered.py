@@ -76,6 +76,21 @@ def _check_predicate(registry: SchemaRegistry, column: str, op: str) -> None:
         raise TypeError(f"cannot filter on list column {column!r}")
 
 
+INHERIT = object()  # "caller didn't say" — inherit the recorded filter
+
+
+def canon_where(where) -> list[list] | None:
+    """JSON-round-trip-stable canon of a conjunctive predicate list (the
+    grammar's single canonicalizer — the export manifest and the replica
+    marker both record this shape, so an identity comparison between the
+    recorded filter and a caller's spelling is exact regardless of
+    tuple-vs-list spelling)."""
+    if not where:
+        return None
+    return [[c, o, list(v) if isinstance(v, (list, tuple)) else v]
+            for c, o, v in where]
+
+
 def _normalize_predicates(column, op, value) -> list[tuple[str, str, object]]:
     """Accept a single (column, op, value) or a conjunctive list of such
     triples passed as ``column=[(c, o, v), ...]`` (op/value then unused)."""
@@ -85,6 +100,25 @@ def _normalize_predicates(column, op, value) -> list[tuple[str, str, object]]:
             raise ValueError("empty predicate list")
         return preds
     return [(column, op, value)]
+
+
+def _count_probe_keys(values, typ) -> list[str] | None:
+    """Probe keys canonicalized through the SAME cast the maintained count
+    maps use (Arrow cast-to-string of the COLUMN's type): ``str(True)`` is
+    ``'True'`` but the map key is ``'true'``; ``str(5.0)`` is ``'5.0'`` but
+    an int64 column's key is ``'5'``. A probe value the column type cannot
+    represent (e.g. 5.5 against int64) returns None → no pruning for this
+    predicate (conservative; the row filter still applies downstream).
+    Null probe values are dropped: equality with null matches no row."""
+    try:
+        arr = pa.array(values)
+        if typ is not None and not arr.type.equals(typ):
+            arr = arr.cast(typ)
+        return [k for k in pc.cast(arr, pa.string()).to_pylist()
+                if k is not None]
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError,
+            ValueError, TypeError):
+        return None
 
 
 def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
@@ -99,13 +133,25 @@ def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
     predicates on zone-mapped columns (``track_bounds``) via the
     per-partition conservative [lo, hi] intervals. Everything else scans
     all manifested partitions (row-group pushdown still applies inside)."""
+    pids, _ = _plan_with_manifests(lake_dir, column, op, value, registry)
+    return pids
+
+
+def _plan_with_manifests(lake_dir: str | Path, column, op: str | None = None,
+                         value=None,
+                         registry: SchemaRegistry | None = None):
+    """(surviving pids, {pid: manifest}) — the manifests read for pruning
+    are returned so the driver-side read does not parse every one twice."""
     registry = registry or sequence_registry()
     preds = _normalize_predicates(column, op, value)
     for c, o, _ in preds:
         _check_predicate(registry, c, o)
+    fields = dict(registry.latest.fields)
     pids = _manifested_pids(lake_dir)
     keep = set(pids)
     manifests = {}
+    for pid in pids:
+        manifests[pid] = read_manifest(lake_dir, pid)
     for c, o, v in preds:
         values = [v] if o == "==" else (list(v) if o == "in" else None)
         if c == "doc_id" and values is not None:
@@ -116,11 +162,13 @@ def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
             continue
         if o == "!=":
             continue
+        probe_keys = None
+        if values is not None:
+            probe_keys = _count_probe_keys(
+                values, fields.get(c, pa.int64() if c == "lsn" else None))
         survive = set()
         for pid in pids:
-            m = manifests.get(pid)
-            if m is None:
-                m = manifests[pid] = read_manifest(lake_dir, pid)
+            m = manifests[pid]
             if m is None:
                 continue
             if c == "lsn":
@@ -138,8 +186,10 @@ def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
                     continue
             counts = (m.agg_counts or {}).get(c) if values is not None else None
             if counts is not None:
-                # exact live counts: equality/membership prunes precisely
-                if any(str(x) in counts for x in values):
+                # exact live counts: equality/membership prunes precisely —
+                # but only on canonicalized probe keys (None = the probe
+                # could not be expressed in the column's type: no pruning)
+                if probe_keys is None or any(k in counts for k in probe_keys):
                     survive.add(pid)
                 continue
             if c in (m.agg_bounds or {}):
@@ -148,7 +198,8 @@ def plan_filtered_read(lake_dir: str | Path, column, op: str | None = None,
                 continue
             survive.add(pid)  # untracked: absence not provable
         keep &= survive
-    return [p for p in pids if p in keep]
+    surviving = [p for p in pids if p in keep]
+    return surviving, manifests
 
 
 def _bounds_may_match(bounds, op: str, value) -> bool:
@@ -257,11 +308,12 @@ def read_lake_filtered_arrow(lake_dir: str | Path, column, op: str | None = None
     preds = _normalize_predicates(column, op, value)
     cols, out_cols = _lake_read_cols(registry, columns)
     read_cols = list(dict.fromkeys([*cols, "doc_id", "lsn"]))
+    pids, manifests = _plan_with_manifests(lake_dir, column, op, value, registry)
     parts = [
         _read_partition_filtered(
             partition_dir(lake_dir, pid), m, registry, read_cols, preds)
-        for pid in plan_filtered_read(lake_dir, column, op, value, registry)
-        if (m := read_manifest(lake_dir, pid))
+        for pid in pids
+        if (m := manifests.get(pid))
     ]
     if not parts:
         return pa.schema(

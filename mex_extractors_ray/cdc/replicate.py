@@ -20,10 +20,14 @@ re-sharding: a read-optimized copy at higher P is one call).
 Consistency under a concurrently-ingesting source: the bootstrap snapshot
 is not atomic across partitions (readers take no lease), so a partition
 read mid-ingest may already contain rows above the recorded watermark.
-That is safe BY IDEMPOTENCE: the next incremental pass re-delivers those
-windows' winners, the replica's apply drops the already-committed ones as
-late, and convergence holds at every replicate() return that observed a
-quiescent source.
+The bootstrap therefore CUTS the snapshot at the watermark it recorded
+before reading (rows with lsn > src_wm are excluded): every replica
+partition's own watermark stays ≤ src_wm, the next incremental pass
+(since = src_wm) re-delivers everything concurrent, and convergence holds
+at every replicate() return that observed a quiescent source. (Without
+the cut, a replica partition MIXING early- and late-read source
+partitions — resharded replicas — would watermark past changes the early
+reads missed and drop their re-delivery as late, permanently.)
 
 Identity: ``_replica.json`` records the source path and the replicated
 watermark. Replicating a DIFFERENT source into the same replica raises —
@@ -65,16 +69,9 @@ def _tag_op(t: pa.Table, op: str) -> pa.Table:
     return t.append_column("op", pa.array([op] * t.num_rows, pa.string()))
 
 
-def _canon_where(where) -> list[list] | None:
-    """JSON-round-trip-stable predicate canon (the export's discipline:
-    the recorded filter must compare equal to the caller's spelling)."""
-    if not where:
-        return None
-    return [[c, o, list(v) if isinstance(v, (list, tuple)) else v]
-            for c, o, v in where]
-
-
-_INHERIT = object()  # "caller didn't say" — inherit the marker's filter
+# single canonicalizer + inherit sentinel live with the predicate grammar
+from mex_extractors_ray.cdc.filtered import INHERIT as _INHERIT
+from mex_extractors_ray.cdc.filtered import canon_where as _canon_where
 
 
 def _face_predicate(preds):
@@ -99,7 +96,7 @@ def _face_predicate(preds):
     return fn
 
 
-def _apply_transform(transform, out_schema: pa.Schema):
+def _apply_transform(transform):
     """Feed stage for a TRANSFORM view: upserts go through the user's
     row-wise transform (presented without ``op``; must return exactly one
     output row per input row — dropping rows would leave stale view
@@ -116,13 +113,25 @@ def _apply_transform(transform, out_schema: pa.Schema):
             raise ValueError(
                 f"transform returned {out.num_rows} rows for {ups.num_rows} "
                 "upserts; transforms must be row-wise (use where= to filter)")
+        for req in ("doc_id", "lsn"):
+            if req not in out.column_names:
+                raise ValueError(
+                    f"transform dropped the {req!r} column; transforms must "
+                    "preserve doc_id and lsn (retraction and idempotence "
+                    "key on them)")
         pieces = [out.append_column("op", pa.array(["upsert"] * out.num_rows,
                                                    pa.string()))]
         if dels.num_rows:
+            # reshape deletes to the TRANSFORMED schema exactly (a transform
+            # may retype a column it keeps the name of — reusing dels'
+            # source-typed columns would make concat_tables raise): only the
+            # retraction keys survive, cast to the output's types; every
+            # payload column is null (irrelevant — retraction is by doc_id)
             cols = {
-                name: (dels[name] if name in dels.column_names
-                       else pa.nulls(dels.num_rows, out_schema.field(name).type))
-                for name in out.column_names
+                fld.name: (dels[fld.name].cast(fld.type)
+                           if fld.name in ("doc_id", "lsn")
+                           else pa.nulls(dels.num_rows, fld.type))
+                for fld in out.schema
             }
             cols["op"] = dels["op"]
             pieces.append(pa.table(cols))
@@ -209,7 +218,6 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
             "transform would write untransformed (or differently "
             "transformed) rows. Pass the same transform + id.")
     dst_registry = dst_registry or registry
-    out_schema = dst_registry.latest.to_arrow()
     if state is not None and prev_where != where:
         raise ValueError(
             f"replica at {dst} was built with filter {prev_where}; refusing "
@@ -220,8 +228,16 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
                           else lake_num_partitions(src))
     since = int(state["watermark"]) if state else -1
     src_wm = lake_high_watermark(src)
-    if state is not None and since >= src_wm:
+    if state is not None and since == src_wm:
         return {**state, "mode": "noop"}
+    if state is not None and since > src_wm:
+        # a replica AHEAD of its source means the source was wiped and
+        # rebuilt (LSNs restarted): silently no-oping would track a dead
+        # history and later splice the new feed onto the old state — the
+        # same guard the export raises for
+        raise ValueError(
+            f"replica watermark {since} is AHEAD of the source ({src_wm}) "
+            f"— was {src} wiped and rebuilt? Use a fresh replica dir.")
 
     rebase = state is None or since < _lake_feed_floor(src)
     if rebase:
@@ -230,6 +246,18 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
         # a rebase also clears a filtered replica's tombstone debt
         if dst.exists():
             shutil.rmtree(dst)
+        # INTENT marker before the ingest: a crash between the ingest's
+        # first manifest commit (which writes _lake_meta.json) and the
+        # final marker write would otherwise leave a lake the
+        # unrelated-lake guard above refuses forever. watermark=-2 is
+        # below every feed floor, so a resume always takes this rebase
+        # branch again (wiping the partial bootstrap).
+        dst.mkdir(parents=True, exist_ok=True)
+        atomic_write_bytes(dst / _MARKER, json.dumps({
+            "src": str(src), "watermark": -2,
+            "num_partitions": num_partitions, "where": where,
+            "transform_id": transform_id,
+        }).encode())
         if where:
             from mex_extractors_ray.cdc.filtered import read_lake_filtered
 
@@ -237,6 +265,20 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
                                       registry=registry)
         else:
             base = read_lake(src, registry)
+        # snapshot consistency cut: the per-partition reads are not atomic
+        # (readers take no lease), so a source partition read mid-ingest can
+        # contribute rows ABOVE src_wm — and a replica partition mixing
+        # early- and late-read source partitions (num_partitions != source
+        # P) would then set its watermark past changes the early reads
+        # missed, making the next incremental pass drop them as late,
+        # permanently. Cutting the bootstrap at src_wm caps every replica
+        # partition's watermark at src_wm, so the next pass (since=src_wm)
+        # re-delivers everything concurrent — idempotent, never a gap.
+        import pyarrow.compute as pc
+
+        base = base.map_batches(
+            lambda t, _wm=src_wm: t.filter(pc.less_equal(t["lsn"], _wm)),
+            batch_format="pyarrow")
         if transform is not None:
             def _checked(t: pa.Table, _tf=transform) -> pa.Table:
                 out = _tf(t)
@@ -256,7 +298,7 @@ def replicate_lake(src_dir: str | Path, dst_dir: str | Path, *,
             feed = feed.map_batches(_face_predicate(where),
                                     batch_format="pyarrow")
         if transform is not None:
-            feed = feed.map_batches(_apply_transform(transform, out_schema),
+            feed = feed.map_batches(_apply_transform(transform),
                                     batch_format="pyarrow")
 
     ingest_change_log(feed, dst, num_partitions=num_partitions,

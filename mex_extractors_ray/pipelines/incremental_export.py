@@ -144,16 +144,9 @@ def _gc_unlisted_windows(out: Path, manifest: dict | None) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def _canon_where(where) -> list[tuple] | None:
-    """Canonical (col, op, value) tuples — JSON round-trip stable, so the
-    manifest-recorded filter compares equal to the caller's."""
-    if not where:
-        return None
-    return [(c, o, list(v) if isinstance(v, (list, tuple)) else v)
-            for c, o, v in where]
-
-
-_INHERIT = object()  # "caller didn't say" — inherit from the manifest
+# single canonicalizer + inherit sentinel live with the predicate grammar
+from mex_extractors_ray.cdc.filtered import INHERIT as _INHERIT
+from mex_extractors_ray.cdc.filtered import canon_where as _canon_where
 
 
 def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
@@ -189,9 +182,24 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
     lake fold squashed the history the feed would need, so the export
     re-bases from the live lake instead of dying on the floor error
     (cost ∝ lake, the price of having lagged past a fold)."""
+    from mex_extractors_ray.cdc.manifest import writer_lock
+
     registry = registry or sequence_registry()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    # one exporter at a time per OUT dir (the lake itself is only read):
+    # two concurrent calls at the same watermark would write into the same
+    # deterministic window dir and the second commit's rglob would list
+    # BOTH writers' shard files — duplicated docs blessed by checksums
+    with writer_lock(out, "export"):
+        return _locked_export(lake_dir, out, num_shards=num_shards,
+                              seed=seed, min_n_tok=min_n_tok, where=where,
+                              registry=registry, _rebase=_rebase)
+
+
+def _locked_export(lake_dir: str | Path, out: Path, *, num_shards: int,
+                   seed: int, min_n_tok, where,
+                   registry: SchemaRegistry, _rebase: bool) -> dict:
     manifest = _read_export_manifest(out)
     prev_min = (manifest or {}).get("min_n_tok", 0)
     prev_where = _canon_where((manifest or {}).get("where"))
@@ -282,7 +290,7 @@ def incremental_export(lake_dir: str | Path, out_dir: str | Path, *,
         "num_shards": num_shards,
         "seed": seed,
         "min_n_tok": min_n_tok,
-        "where": [list(p) for p in where] if where else None,
+        "where": where,
         "watermark": wm,
         "folds": folds,
         "windows": ([window] if rebase else [*manifest["windows"], window]),
@@ -300,9 +308,11 @@ def _window_tables(out: Path, w: dict, prefix: str) -> list[pa.Table]:
             if f["name"].startswith(prefix)]
 
 
-def read_export_arrow(out_dir: str | Path) -> pa.Table:
+def read_export_arrow(out_dir: str | Path,
+                      registry: SchemaRegistry | None = None) -> pa.Table:
     """The live exported corpus (driver-side, doc_id-sorted): per window,
-    shard rows minus doc_ids retracted by any LATER window."""
+    shard rows minus doc_ids retracted by any LATER window. ``registry``
+    only shapes the EMPTY result (rows carry their written schema)."""
     out = Path(out_dir)
     manifest = _read_export_manifest(out)
     if manifest is None:
@@ -328,14 +338,15 @@ def read_export_arrow(out_dir: str | Path) -> pa.Table:
                 pc.is_in(t["doc_id"], value_set=ids), False)))
         parts.append(t.drop_columns([c for c in ("shard",) if c in t.column_names]))
     if not parts:
-        reg = sequence_registry()
+        reg = registry or sequence_registry()
         return pa.schema(
             [*reg.latest.to_arrow(), pa.field("lsn", pa.int64())]
         ).empty_table()
     return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
 
 
-def fold_export(lake_dir: str | Path, out_dir: str | Path) -> dict:
+def fold_export(lake_dir: str | Path, out_dir: str | Path,
+                registry: SchemaRegistry | None = None) -> dict:
     """Rewrite the export as one fresh base window at the lake's current
     watermark (clears retraction debt — the compactor analog). Two-phase
     like every commit here: the new base is written FIRST, the manifest
@@ -345,7 +356,10 @@ def fold_export(lake_dir: str | Path, out_dir: str | Path) -> dict:
     out = Path(out_dir)
     manifest = _read_export_manifest(out)
     if manifest is None:
-        return incremental_export(lake_dir, out_dir)
-    # filters (min_n_tok / where) inherit from the manifest automatically
+        return incremental_export(lake_dir, out_dir, registry=registry)
+    # filters (min_n_tok / where) inherit from the manifest automatically;
+    # the registry must be forwarded too — a fold of an export built under
+    # a custom registry must not silently rebase through the default one
     params = {k: manifest[k] for k in ("num_shards", "seed")}
-    return incremental_export(lake_dir, out_dir, _rebase=True, **params)
+    return incremental_export(lake_dir, out_dir, _rebase=True,
+                              registry=registry, **params)

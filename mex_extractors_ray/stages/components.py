@@ -90,6 +90,25 @@ def _small_star_block(g: pa.Table) -> pa.Table:
     return pa.table({"u": out_u[keep], "v": out_v[keep]}, schema=_SCHEMA)
 
 
+def _min_label_block(g: pa.Table) -> pa.Table:
+    """Smallest label per node over one hash block of (node, component)
+    rows: sort + run-boundary mask (the shared finalize kernel of
+    connected_components / component_labels / update_components)."""
+    t = g.sort_by([("node", "ascending"), ("component", "ascending")])
+    return t.filter(pa.array(_run_starts(t["node"])))
+
+
+def _self_label(col: str):
+    """map_batches fn: every row labels itself (singleton restoration)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(t[col], pa.int64())
+        return pa.table({"node": n, "component": n})
+
+    return fn
+
+
 def _dedup_pairs(ds, num_partitions: int):
     """Exact distinct over (u,v) pairs: hash-shuffle on u co-locates every
     copy of a pair, then one in-block sort + run-boundary mask on BOTH
@@ -179,12 +198,8 @@ def connected_components(edges, a: str = "a", b: str = "b",
         roots = pa.table({"node": t["v"], "component": t["v"]})
         return pa.concat_tables([members, roots])
 
-    def min_per_node(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("node", "ascending"), ("component", "ascending")])
-        return t.filter(pa.array(_run_starts(t["node"])))
-
     labeled = cur.map_batches(assignments, batch_format="pyarrow")
-    return _keyed_blocks(labeled, "node", min_per_node, num_partitions)
+    return _keyed_blocks(labeled, "node", _min_label_block, num_partitions)
 
 
 def component_labels(edges, nodes, a: str = "a", b: str = "b",
@@ -192,23 +207,12 @@ def component_labels(edges, nodes, a: str = "a", b: str = "b",
     """CC labels for a full corpus: every row of ``nodes`` gets a
     ``component`` (its CC min-id when it touches an edge, itself when it is
     a singleton).  The dedup-keeper rule is then ``node == component``."""
-    import pyarrow.compute as pc
-
     cc = connected_components(edges, a, b, num_partitions)
-
-    def self_label(t: pa.Table) -> pa.Table:
-        n = pc.cast(t[node_col], pa.int64())
-        return pa.table({"node": n, "component": n})
-
-    singles = nodes.map_batches(self_label, batch_format="pyarrow")
-
-    def min_per_node(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("node", "ascending"), ("component", "ascending")])
-        return t.filter(pa.array(_run_starts(t["node"])))
-
+    singles = nodes.map_batches(_self_label(node_col), batch_format="pyarrow")
     # union + min-per-node: the CC label is ≤ the node id by construction,
     # so min() picks the edge-derived label when one exists
-    return _keyed_blocks(cc.union(singles), "node", min_per_node, num_partitions)
+    return _keyed_blocks(cc.union(singles), "node", _min_label_block,
+                         num_partitions)
 
 
 def components_sql(edges_sql: str, nodes_sql: str) -> str:
@@ -262,14 +266,6 @@ def update_components(labels, new_edges, a: str = "a", b: str = "b",
 
     # singletons (label == self) carry no star edge; restore them, letting
     # an edge-derived label win where the window connected a former single
-    def self_label(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["node"], pa.int64())
-        return pa.table({"node": n, "component": n})
-
-    def min_per_node(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("node", "ascending"), ("component", "ascending")])
-        return t.filter(pa.array(_run_starts(t["node"])))
-
-    singles = labels.map_batches(self_label, batch_format="pyarrow")
-    return _keyed_blocks(merged.union(singles), "node", min_per_node,
+    singles = labels.map_batches(_self_label("node"), batch_format="pyarrow")
+    return _keyed_blocks(merged.union(singles), "node", _min_label_block,
                          num_partitions)
