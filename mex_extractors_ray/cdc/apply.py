@@ -54,10 +54,122 @@ from mex_extractors_ray.cdc.manifest import (
     read_manifest,
     sha256_file,
 )
-from mex_extractors_ray.hashing import assign_partitions
 from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
 
 SYSTEM_COLS = ("lsn", "op", "schema_version", "pid")
+
+# ---------------------------------------------------------------------------
+# partition routing — extendible-hash splits for hot partitions
+#
+# The lake's identity is its BASE partition count P (pid0 = hash(doc_id) % P)
+# plus a per-base-partition split depth table (``_lake_meta.json``:
+# ``{"num_partitions": P, "splits": {"<pid0>": d}}``, absent key = depth 0).
+# A base partition at depth d is physically stored as 2^d child partitions;
+# a key routes to child c = (hash // P) mod 2^d — higher hash bits, so the
+# refinement is independent of the base assignment. Physical ids are
+#
+#     phys = pid0 + P * (2^d - 1 + c)          (d = 0  ⇒  phys = pid0)
+#
+# which gives three invariants the whole engine leans on:
+#   * phys % P == pid0 (the base partition is recoverable from the id),
+#   * ids at different depths are disjoint (offsets {0},{1,2}·P,{3..6}·P,…),
+#     so a split mints FRESH physical ids — the crash-safety primitive:
+#     children are committed under ids no reader enumerates until the meta
+#     depth table flips atomically, and the superseded parents become
+#     orphan directories the vacuum sweeps,
+#   * depth only ever increases, so an id is never reused.
+#
+# This is the 100-TB skew remedy SURVEY.md §4 calls for: ONE hot partition
+# is rewritten (cost ∝ that partition), where repartition_lake rewrites the
+# world. Key-locality of the keyed merge is preserved — no salting.
+# ---------------------------------------------------------------------------
+
+
+def _norm_splits(splits) -> dict[int, int]:
+    """Normalize a depth table (JSON round-trips stringify keys)."""
+    return {int(k): int(v) for k, v in (splits or {}).items() if int(v) > 0}
+
+
+def split_children(pid0: int, P: int, depth: int) -> list[int]:
+    """The physical ids of base partition ``pid0`` at ``depth``."""
+    if depth <= 0:
+        return [pid0]
+    base = (1 << depth) - 1
+    return [pid0 + P * (base + c) for c in range(1 << depth)]
+
+
+def live_physical_pids(P: int, splits) -> list[int]:
+    """Every physical partition id the current meta makes visible."""
+    splits = _norm_splits(splits)
+    out: list[int] = []
+    for pid0 in range(P):
+        out.extend(split_children(pid0, P, splits.get(pid0, 0)))
+    return sorted(out)
+
+
+def load_lake_meta(lake_dir: str | Path) -> dict:
+    """The lake's routing identity: ``{"num_partitions": P, "splits": {...}}``
+    (splits keys normalized to int). Raises if the lake has no meta."""
+    import json as _json
+
+    meta_path = Path(lake_dir, "_lake_meta.json")
+    try:
+        meta = _json.loads(meta_path.read_text())
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"lake at {lake_dir} has no _lake_meta.json — not an ingested lake"
+        ) from None
+    meta["splits"] = _norm_splits(meta.get("splits"))
+    return meta
+
+
+@functools.lru_cache(maxsize=64)
+def _depth_arrays(P: int, splits_key: tuple) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(depth[pid0], offset[pid0], sorted live ids) — the vectorized routing
+    tables for one (P, splits) identity. offset[pid0] = P*(2^d - 1)."""
+    depth = np.zeros(P, dtype=np.uint64)
+    for pid0, d in splits_key:
+        depth[pid0] = d
+    offset = (np.uint64(P) * ((np.uint64(1) << depth) - np.uint64(1))).astype(np.int64)
+    live = np.asarray(live_physical_pids(P, dict(splits_key)), dtype=np.int64)
+    return depth, offset, live
+
+
+def _splits_key(splits) -> tuple:
+    return tuple(sorted(_norm_splits(splits).items()))
+
+
+def route_hashes(h: np.ndarray, P: int, splits=None) -> np.ndarray:
+    """Vectorized key-hash → physical partition id (int32). With no splits
+    this is exactly ``h % P`` (the historical layout)."""
+    pid0 = (h % np.uint64(P)).astype(np.int64)
+    key = _splits_key(splits)
+    if not key:
+        return pid0.astype(np.int32)
+    depth, offset, _ = _depth_arrays(P, key)
+    d = depth[pid0]
+    mask = (np.uint64(1) << d) - np.uint64(1)
+    c = ((h // np.uint64(P)) & mask).astype(np.int64)
+    return (pid0 + offset[pid0] + np.int64(P) * c).astype(np.int32)
+
+
+def route_keys(keys: pa.Array | pa.ChunkedArray, P: int, splits=None) -> np.ndarray:
+    """doc_id array → physical partition id, meta-aware (the point-lookup
+    and predicate-pruning router)."""
+    from mex_extractors_ray.hashing import hash_key_array
+
+    return route_hashes(hash_key_array(keys), P, splits)
+
+
+def dense_shard_index(phys: np.ndarray, P: int, splits=None) -> tuple[np.ndarray, int]:
+    """(dense index in [0, K), K) for a physical-id array — the bijection
+    the ``_shard`` relabeling needs (physical ids are sparse once any
+    partition has split; shuffle buckets must stay dense)."""
+    key = _splits_key(splits)
+    if not key:
+        return phys, P
+    _, _, live = _depth_arrays(P, key)
+    return np.searchsorted(live, phys.astype(np.int64)).astype(np.int32), len(live)
 
 
 class ResolveAndPartition:
@@ -68,19 +180,21 @@ class ResolveAndPartition:
     and applied per batch in ``__call__`` — zero-copy Arrow in/out.
     """
 
-    def __init__(self, registry_json: str, num_partitions: int):
+    def __init__(self, registry_json: str, num_partitions: int, splits=None):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.num_partitions = num_partitions
+        self.splits = _norm_splits(splits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.registry.resolve_table(batch)
-        pid = assign_partitions(batch["doc_id"], self.num_partitions)
+        pid = route_keys(batch["doc_id"], self.num_partitions, self.splits)
         return batch.append_column("pid", pa.array(pid))
 
 
 def resolve_and_partition(
     batch: pa.Table, registry_json: str, num_partitions: int, prereduce: bool = True,
     mode: str = "last_wins", skip_sources: list[str] | None = None,
+    splits=None,
 ) -> pa.Table:
     """Stateless-task form of ResolveAndPartition (same semantics).
 
@@ -125,14 +239,17 @@ def resolve_and_partition(
         t = t.filter(pa.array(mask))
         h = np.asarray(t["_h"], dtype=np.int64).view(np.uint64)
         batch = t.drop_columns(["_h"])
-    pid = (h % np.uint64(num_partitions)).astype(np.int32)
+    pid = route_hashes(h, num_partitions, splits)
     batch = batch.append_column("pid", pa.array(pid))
     # `_shard` routes the shuffle through a pid→aggregator-bucket bijection
     # (see hashing.shuffle_labels): no hash-shuffle partition is ever
     # empty, so no schema-less RefBundles reach the streaming executor.
+    # Physical ids are sparse once any partition has split, so the tag is
+    # computed on the dense rank of the live-id table, K buckets total.
     from mex_extractors_ray.hashing import shard_tags
 
-    return batch.append_column("_shard", shard_tags(pid, num_partitions))
+    dense, K = dense_shard_index(pid, num_partitions, splits)
+    return batch.append_column("_shard", shard_tags(dense, K))
 
 
 def _reduce_per_doc(group: pa.Table, mode: str = "last_wins") -> pa.Table:
@@ -855,6 +972,7 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
     import json as _json
 
     meta_path = Path(lake_dir, "_lake_meta.json")
+    splits: dict[int, int] = {}
     if meta_path.exists():
         meta = _json.loads(meta_path.read_text())
         if meta.get("num_partitions") != num_partitions:
@@ -863,6 +981,10 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
                 f"{meta.get('num_partitions')}, got {num_partitions}; "
                 "use cdc.compact.repartition_lake to change the layout"
             )
+        # the depth table is part of the lake's routing identity — the
+        # ingest inherits it (a caller never passes splits explicitly;
+        # they change only through compact.split_partition's atomic flip)
+        splits = _norm_splits(meta.get("splits"))
     else:
         from mex_extractors_ray.cdc.manifest import atomic_write_bytes
 
@@ -879,8 +1001,11 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
 
     from mex_extractors_ray import runtime as _rt
 
+    # K = live PHYSICAL partition count (= P until a split raises a base
+    # partition's depth) — the shuffle width and the map_groups group count
+    K = len(live_physical_pids(num_partitions, splits)) if splits else num_partitions
     shuffle_ctx = (
-        _rt.hash_shuffle(max_aggregators=num_partitions)
+        _rt.hash_shuffle(max_aggregators=K)
         if shuffle == "hash"
         else contextlib.nullcontext()
     )
@@ -909,6 +1034,7 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
             log_paths, lake_dir, num_partitions, registry_json, batch_size,
             resolve_concurrency, mode, delta, compact_threshold, skip_sources,
             track_value_counts, track_group_sums, track_bounds,
+            splits=splits, num_shards=K,
         )
         # lake-level completion record: written only after EVERY partition
         # committed. A crash mid-ingest leaves some manifests ahead of this
@@ -931,7 +1057,7 @@ def _run_ingest(
     log_paths, lake_dir, num_partitions, registry_json, batch_size,
     resolve_concurrency, mode="last_wins", delta=True, compact_threshold=8,
     skip_sources=None, track_value_counts=(), track_group_sums=(),
-    track_bounds=(),
+    track_bounds=(), splits=None, num_shards=None,
 ) -> pa.Table:
     import ray.data
 
@@ -947,10 +1073,15 @@ def _run_ingest(
     # pools are reserved for stages with real per-actor state (enrichers,
     # broadcast joins, ANN — see stages/).
     kwargs = {"concurrency": resolve_concurrency} if resolve_concurrency else {}
+    splits = _norm_splits(splits)
+    num_shards = num_shards or (
+        len(live_physical_pids(num_partitions, splits)) if splits else num_partitions
+    )
     ds = ds.map_batches(
         functools.partial(
             resolve_and_partition, registry_json=registry_json,
             num_partitions=num_partitions, mode=mode, skip_sources=skip_sources,
+            splits=splits,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -971,8 +1102,8 @@ def _run_ingest(
     )
     try:
         # shuffle on `_shard` (bijective pid relabeling) — one group per
-        # pid as before, but no aggregator bucket is empty
-        grouped = ds.groupby("_shard", num_partitions=num_partitions)
+        # live physical pid, and no aggregator bucket is empty
+        grouped = ds.groupby("_shard", num_partitions=num_shards)
     except TypeError:  # older Ray without num_partitions
         grouped = ds.groupby("_shard")
     metrics_ds = grouped.map_groups(fn, batch_format="pyarrow")
@@ -1002,10 +1133,23 @@ def lake_files(lake_dir: str | Path) -> list[str]:
 
 
 def _manifested_pids(lake_dir: str | Path) -> list[int]:
-    return sorted(
+    """Partition ids every READER enumerates: manifested dirs, restricted
+    to the meta's live physical set once any base partition has split —
+    superseded split parents (and a crashed split's not-yet-flipped
+    children) have manifests on disk but are invisible by construction."""
+    globbed = sorted(
         int(p.parent.name.split("=")[1])
         for p in Path(lake_dir).glob("partition=*/manifest.json")
     )
+    try:
+        meta = load_lake_meta(lake_dir)
+    except FileNotFoundError:
+        return globbed  # hand-built lake (tests) — no routing identity
+    # filter even when splits == {}: a crashed FIRST split leaves child
+    # manifests (ids ≥ P) on disk with the depth table never flipped —
+    # they must stay invisible until a vacuum sweeps them
+    live = set(live_physical_pids(meta["num_partitions"], meta["splits"]))
+    return [p for p in globbed if p in live]
 
 
 def _lake_read_cols(registry: SchemaRegistry,
@@ -1362,8 +1506,8 @@ def lookup_docs(lake_dir: str | Path, doc_ids,
     ).empty_table()
     if len(doc_ids) == 0:
         return empty
-    P = lake_num_partitions(lake_dir)
-    pids = assign_partitions(doc_ids, P)
+    meta = load_lake_meta(lake_dir)
+    pids = route_keys(doc_ids, meta["num_partitions"], meta["splits"])
     parts = [empty]
     for pid in np.unique(pids):
         m = read_manifest(lake_dir, int(pid))

@@ -21,6 +21,7 @@ import os
 import uuid
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -36,10 +37,28 @@ from mex_extractors_ray.cdc.manifest import (
 from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
 
 
-def _partition_ids(lake_dir: str | Path) -> list[int]:
+def _all_partition_dirs(lake_dir: str | Path) -> list[int]:
+    """Every on-disk partition id, INCLUDING split orphans (vacuum's view)."""
     return sorted(
         int(p.name.split("=")[1]) for p in Path(lake_dir).glob("partition=*") if p.is_dir()
     )
+
+
+def _partition_ids(lake_dir: str | Path) -> list[int]:
+    """On-disk partition ids restricted to the meta's live physical set
+    (compact/verify must never touch a split's retired parents or a
+    crashed split's not-yet-flipped children)."""
+    globbed = _all_partition_dirs(lake_dir)
+    from mex_extractors_ray.cdc.apply import live_physical_pids, load_lake_meta
+
+    try:
+        meta = load_lake_meta(lake_dir)
+    except FileNotFoundError:
+        return globbed  # hand-built lake (tests) — no routing identity
+    # filter even when splits == {}: a crashed first split's children
+    # (ids ≥ P) must stay invisible to compact/verify
+    live = set(live_physical_pids(meta["num_partitions"], meta["splits"]))
+    return [p for p in globbed if p in live]
 
 
 def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
@@ -225,8 +244,8 @@ def verify_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None) ->
         return []
     lake = str(lake_dir)
 
-    def run(batch: pa.Table) -> pa.Table:
-        rows = [verify_partition(lake, int(p), rj) for p in batch["id"].to_pylist()]
+    def run(batch: dict) -> pa.Table:
+        rows = [verify_partition(lake, int(p), rj) for p in batch["item"]]
         return pa.Table.from_pylist(
             [
                 {"partition": r["partition"], "ok": r["ok"], "errors": "; ".join(r["errors"])}
@@ -234,7 +253,10 @@ def verify_lake(lake_dir: str | Path, registry: SchemaRegistry | None = None) ->
             ]
         )
 
-    out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="pyarrow")
+    # enumerate the ACTUAL live pids (from_items, not range(max+1)):
+    # split children make physical ids sparse — pid0 + P·(2^d−1+c) at
+    # depth d — and a dense range would spawn ghost no-op tasks
+    out = ray.data.from_items(pids).map_batches(run, batch_size=1, batch_format="numpy")
     return out.take_all()
 
 
@@ -304,13 +326,27 @@ def vacuum_lake(lake_dir: str | Path, dry_run: bool = False) -> dict:
                 if not dry_run:
                     p.unlink()
         pids = _partition_ids(lake)
+        # whole-directory orphans from partition splits: retired parents
+        # (crash after the meta flip) and never-flipped children (crash
+        # before it) are partition dirs OUTSIDE the live physical set —
+        # with the lease held they are sweepable in full
+        dead_dirs = sorted(set(_all_partition_dirs(lake)) - set(pids))
+        for dp in dead_dirs:
+            ddir = partition_dir(lake, dp)
+            for f in ddir.rglob("*"):
+                if f.is_file():
+                    root_bytes += f.stat().st_size
+                    root_removed += 1
+            if not dry_run:
+                import shutil as _sh
+
+                _sh.rmtree(ddir, ignore_errors=True)
         reports: list[dict] = []
         if pids:
-            def run(batch: pa.Table) -> pa.Table:
+            def run(batch: dict) -> pa.Table:
                 rows = [
                     vacuum_partition(lake, int(p), dry_run)
-                    for p in batch["id"].to_pylist()
-                    if int(p) in pid_set
+                    for p in batch["item"]
                 ]
                 return pa.Table.from_pylist(
                     [
@@ -332,9 +368,9 @@ def vacuum_lake(lake_dir: str | Path, dry_run: bool = False) -> dict:
                     ),
                 )
 
-            pid_set = set(pids)
-            out = ray.data.range(max(pids) + 1).map_batches(
-                run, batch_size=1, batch_format="pyarrow"
+            # from_items over the actual ids: split children are sparse
+            out = ray.data.from_items(pids).map_batches(
+                run, batch_size=1, batch_format="numpy"
             )
             reports = out.take_all()
     return {
@@ -546,3 +582,205 @@ def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
     os.replace(new, old)
     shutil.rmtree(backup)
     return {"partitions": len(out), "rows": sum(r["rows"] for r in out), "watermark": watermark}
+
+
+# ---------------------------------------------------------------------------
+# hot-partition split — the in-place skew remedy
+# ---------------------------------------------------------------------------
+
+
+def split_partition(
+    lake_dir: str | Path,
+    pid0: int,
+    registry: SchemaRegistry | None = None,
+    force: bool = False,
+) -> dict:
+    """Double ONE base partition's physical fan-out (extendible-hash split,
+    see ``cdc/apply.py`` routing notes) — the 100-TB skew remedy SURVEY.md
+    §4 calls for: a hot partition is rewritten at a cost ∝ that partition,
+    where ``repartition_lake`` rewrites the whole lake.
+
+    Zero-shuffle by construction: a child at depth d+1 has exactly one
+    parent at depth d (its child index mod 2^d), so the split runs as one
+    independent task per parent partition — read the parent's live rows +
+    tombstone snapshot, route each by hash bit d, write the two children's
+    files and manifests. Child ids are FRESH (disjoint id ranges per
+    depth), so nothing is visible to readers until the final atomic
+    ``_lake_meta.json`` depth flip; a crash before the flip leaves orphan
+    child directories the vacuum sweeps, and a crash after it leaves
+    orphan PARENT directories — same sweep, no reader ever sees both.
+
+    Children carry the collapsed parent watermark and a squashed history
+    (``history_floor = last_lsn``): change-feed consumers behind that
+    floor rebase from live state, exactly as after a fold or compaction.
+    """
+    from mex_extractors_ray.cdc.manifest import writer_lock
+
+    registry = registry or sequence_registry()
+    with writer_lock(Path(lake_dir), "split"):
+        return _locked_split(Path(lake_dir), int(pid0), registry, force)
+
+
+def _split_one_parent(lake: str, parent: int, pid0: int, P: int, new_d: int,
+                      watermark: int, rj: str, tracked: tuple,
+                      tracked_sums: tuple, tracked_bounds: tuple) -> list[dict]:
+    """Write BOTH children of one parent physical partition (task body)."""
+    from mex_extractors_ray.cdc.apply import (
+        _bounds_of,
+        _group_stats_dict,
+        _read_partition_live,
+        _value_counts_dict,
+        split_children,
+    )
+    from mex_extractors_ray.hashing import hash_key_array
+
+    registry = SchemaRegistry.from_json(rj)
+    cols = [n for n, _ in registry.latest.fields] + ["lsn"]
+    m = read_manifest(lake, parent)
+    pdir = partition_dir(lake, parent)
+    live = _read_partition_live(pdir, m, registry, cols)
+    tomb = None
+    if m.tombstone_file and (pdir / m.tombstone_file).exists():
+        tomb = pq.read_table(pdir / m.tombstone_file, columns=["doc_id", "lsn"])
+    kids = split_children(pid0, P, new_d)
+    half = len(kids) >> 1
+    # this parent's child index at depth d = parent's own index; its two
+    # children at depth d+1 are c_old and c_old + 2^d
+    c_old = (parent - pid0) // P - (half - 1) if new_d > 1 else 0
+    mask_bits = np.uint64((1 << new_d) - 1)
+
+    def child_index(doc_ids) -> np.ndarray:
+        h = hash_key_array(doc_ids)
+        return ((h // np.uint64(P)) & mask_bits).astype(np.int64)
+
+    c_live = child_index(live["doc_id"]) if live.num_rows else np.empty(0, np.int64)
+    c_tomb = (child_index(tomb["doc_id"])
+              if tomb is not None and tomb.num_rows else np.empty(0, np.int64))
+    out = []
+    for c_new in (c_old, c_old + (1 << (new_d - 1))):
+        kid = kids[c_new]
+        kdir = partition_dir(lake, kid)
+        kdir.mkdir(parents=True, exist_ok=True)
+        t = live.filter(pa.array(c_live == c_new)).sort_by([("doc_id", "ascending")])
+        files, checksums, lsns, digest = [], [], [], ""
+        if t.num_rows:
+            name = f"part-{kid:05d}-{watermark:020d}.parquet"
+            tmp = kdir / f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(t, tmp, compression="snappy")
+            os.replace(tmp, kdir / name)
+            digest = sha256_file(kdir / name)
+            files, checksums, lsns = [name], [digest], [watermark]
+        tomb_name, tomb_rows = None, 0
+        if tomb is not None:
+            tt = tomb.filter(pa.array(c_tomb == c_new))
+            if tt.num_rows:
+                tomb_name = f"tombstones-{kid:05d}-{watermark:020d}.parquet"
+                tmp = kdir / f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(tt.sort_by([("doc_id", "ascending")]), tmp,
+                               compression="snappy")
+                os.replace(tmp, kdir / tomb_name)
+                tomb_rows = tt.num_rows
+        commit_manifest(lake, PartitionManifest(
+            partition=kid,
+            last_lsn=watermark,
+            files=files,
+            tombstone_file=tomb_name,
+            schema_version=registry.latest_version,
+            sha256_checksum=digest,
+            file_checksums=checksums,
+            row_count=t.num_rows,
+            tombstone_count=tomb_rows,
+            history_floor=watermark,
+            file_lsns=lsns,
+            agg_counts={c: _value_counts_dict(t[c]) for c in tracked},
+            agg_sums={k: _group_stats_dict(t, *k.split("|", 1)) for k in tracked_sums},
+            agg_bounds={c: _bounds_of(t[c]) for c in tracked_bounds},
+        ))
+        out.append({"partition": kid, "rows": t.num_rows, "tombstones": tomb_rows})
+    return out
+
+
+def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) -> dict:
+    import shutil
+
+    import ray.data
+
+    from mex_extractors_ray.cdc.apply import (
+        load_lake_meta,
+        read_ingest_state,
+        split_children,
+    )
+    from mex_extractors_ray.cdc.manifest import atomic_write_bytes
+
+    meta = load_lake_meta(lake)
+    P, splits = int(meta["num_partitions"]), dict(meta["splits"])
+    if not 0 <= pid0 < P:
+        raise ValueError(f"pid0 must be a BASE partition id in [0, {P}), got {pid0}")
+    d = splits.get(pid0, 0)
+    new_d = d + 1
+    parents = [p for p in split_children(pid0, P, d) if read_manifest(lake, p)]
+    marks = [read_manifest(lake, p).last_lsn for p in parents]
+    watermark = max(marks, default=-1)
+    # same partial-commit refusal as repartition_lake: collapsing parent
+    # watermarks onto the children would drop a lagging parent's
+    # un-applied replayed events as "late" — silent data loss
+    completed = read_ingest_state(lake)
+    if marks and completed >= 0 and watermark > completed and not force:
+        raise ValueError(
+            f"partition {pid0} has watermarks up to {watermark} but the last "
+            f"fully-committed ingest reached only {completed}: an ingest "
+            "partially committed. Re-run it to convergence first, or pass "
+            "force=True."
+        )
+    tracked_cols: set[str] = set()
+    for p in parents:
+        m = read_manifest(lake, p)
+        tracked_cols.update(m.agg_counts or {})
+        tracked_cols.update(f"sums:{k}" for k in (m.agg_sums or {}))
+        tracked_cols.update(f"bounds:{k}" for k in (m.agg_bounds or {}))
+    tracked = tuple(sorted(c for c in tracked_cols
+                           if not c.startswith(("sums:", "bounds:"))))
+    tracked_sums = tuple(sorted(c[5:] for c in tracked_cols if c.startswith("sums:")))
+    tracked_bounds = tuple(sorted(c[7:] for c in tracked_cols if c.startswith("bounds:")))
+
+    rj = registry.to_json()
+    rows: list[dict] = []
+    if parents:
+        lk = str(lake)
+
+        def run(batch: dict) -> pa.Table:
+            recs: list[dict] = []
+            for p in batch["item"]:
+                recs.extend(_split_one_parent(
+                    lk, int(p), pid0, P, new_d, watermark, rj,
+                    tracked, tracked_sums, tracked_bounds))
+            return pa.Table.from_pylist(recs, schema=pa.schema(
+                [("partition", pa.int64()), ("rows", pa.int64()),
+                 ("tombstones", pa.int64())]))
+
+        rows = (
+            ray.data.from_items(parents)
+            .map_batches(run, batch_size=1, batch_format="numpy")
+            .take_all()
+        )
+
+    # THE atomic visibility flip: readers enumerate children iff this
+    # write lands; until then every child manifest above is invisible
+    new_splits = dict(splits)
+    new_splits[pid0] = new_d
+    atomic_write_bytes(lake / "_lake_meta.json", json.dumps(
+        {**meta, "num_partitions": P,
+         "splits": {str(k): v for k, v in sorted(new_splits.items())}}
+    ).encode())
+    # retire the superseded parents eagerly (a crash here just leaves
+    # orphan dirs — non-live, so readers ignore them and vacuum sweeps)
+    for p in parents:
+        shutil.rmtree(partition_dir(lake, p), ignore_errors=True)
+    return {
+        "pid0": pid0, "depth": new_d,
+        "children": split_children(pid0, P, new_d),
+        "parents_retired": parents,
+        "rows": sum(r["rows"] for r in rows),
+        "tombstones": sum(r["tombstones"] for r in rows),
+        "watermark": watermark,
+    }

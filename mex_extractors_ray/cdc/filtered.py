@@ -43,14 +43,12 @@ import pyarrow.parquet as pq
 from mex_extractors_ray.cdc.apply import (
     _manifested_pids,
     _reduce_per_doc,
-    lake_num_partitions,
 )
 from mex_extractors_ray.cdc.manifest import (
     PartitionManifest,
     partition_dir,
     read_manifest,
 )
-from mex_extractors_ray.hashing import assign_partitions
 from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
 
 _CMP = {
@@ -155,10 +153,13 @@ def _plan_with_manifests(lake_dir: str | Path, column, op: str | None = None,
     for c, o, v in preds:
         values = [v] if o == "==" else (list(v) if o == "in" else None)
         if c == "doc_id" and values is not None:
-            P = lake_num_partitions(lake_dir)
-            keep &= {int(p) for p in np.unique(
-                assign_partitions(pa.array([str(x) for x in values], pa.string()), P)
-            )}
+            from mex_extractors_ray.cdc.apply import load_lake_meta, route_keys
+
+            meta = load_lake_meta(lake_dir)
+            keep &= {int(p) for p in np.unique(route_keys(
+                pa.array([str(x) for x in values], pa.string()),
+                meta["num_partitions"], meta["splits"],
+            ))}
             continue
         if o == "!=":
             continue

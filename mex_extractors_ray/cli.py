@@ -156,6 +156,16 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.compact import split_partition
+
+    out = split_partition(args.lake, args.pid, force=args.force)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.compact import compact
@@ -371,6 +381,16 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--lake", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "split",
+        help="double ONE hot base partition's physical fan-out "
+             "(extendible-hash split; cost ∝ that partition, not lake size)")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--pid", type=int, required=True,
+                    help="BASE partition id in [0, num_partitions)")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_split)
 
     vc = sub.add_parser("vacuum", help="reclaim crash orphans (unreferenced files)")
     vc.add_argument("--lake", required=True)

@@ -228,6 +228,65 @@ def q_cdc_tombstones(sf_dir: str) -> pa.Table:
     )
 
 
+def build_split_lake(sf_dir: str) -> Path:
+    """A lake whose two hottest base partitions were HOT-SPLIT between two
+    ingest windows (cdc/compact.split_partition: extendible-hash split,
+    fresh physical ids, atomic meta flip) — the skew remedy exercised
+    under real traffic: window 2 must route into the children."""
+    key = (sf_dir, "hotsplit")
+    if key in _LAKE_CACHE:
+        return _LAKE_CACHE[key]
+    tag = hashlib.sha1(f"{sf_dir}|hotsplit".encode()).hexdigest()[:10]
+    base = WORK_ROOT / f"cdc-{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir, lake_dir = base / "log", base / "lake"
+    log_dir.mkdir(parents=True)
+    events = pq.read_table(f"{sf_dir}/events.parquet")
+    log = change_log_from_events(events)
+    cut = int(pc.max(log["lsn"]).as_py()) // 2
+    shard_rows = 100_000
+    for w, chunk in enumerate((log.filter(pc.less_equal(log["lsn"], cut)),
+                               log.filter(pc.greater(log["lsn"], cut)))):
+        paths = []
+        for i, start in enumerate(range(0, chunk.num_rows, shard_rows)):
+            p = log_dir / f"log-w{w}-{i:05d}.parquet"
+            pq.write_table(chunk.slice(start, shard_rows), p, compression="snappy")
+            paths.append(str(p))
+        if w == 1:
+            # between the windows: split the two most loaded base
+            # partitions (one of them twice → depth 2, multi-level routing)
+            from mex_extractors_ray.cdc.compact import split_partition
+
+            loads = {pid: (read_manifest(lake_dir, pid).row_count if
+                           read_manifest(lake_dir, pid) else 0)
+                     for pid in range(CDC_PARTITIONS)}
+            hot = sorted(loads, key=lambda p: (-loads[p], p))[:2]
+            split_partition(lake_dir, hot[0])
+            split_partition(lake_dir, hot[0])
+            split_partition(lake_dir, hot[1])
+        ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS)
+    _LAKE_CACHE[key] = lake_dir
+    return lake_dir
+
+
+def q_cdc_split_state(sf_dir: str) -> pa.Table:
+    """Final state across a mid-stream hot-partition split — hash-checked
+    against the SAME oracle as cdc_final_state: the split must be
+    invisible in the data (routing + tombstones + watermarks all survive
+    the extendible-hash re-layout)."""
+    lake = read_lake_arrow(build_split_lake(sf_dir))
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 _CDC_LOG_SQL = """
   SELECT event_id AS lsn,
          'doc-' || CAST(user_id AS VARCHAR) AS doc_id,
@@ -2234,6 +2293,7 @@ _QUERY_FNS = {
         "cdc_live_counts": q_cdc_live_counts,
         "cdc_live_bounds": q_cdc_live_bounds,
         "cdc_tombstones": q_cdc_tombstones,
+        "cdc_split_state": q_cdc_split_state,
         "cdc_partition_metrics": q_cdc_partition_metrics,
         "cdc_partition_routing": q_cdc_partition_routing,
         "lake_verify_report": q_lake_verify_report,
@@ -2369,6 +2429,8 @@ ORDER BY 1
         + """
 SELECT doc_id, lsn AS last_lsn FROM ranked WHERE rn = 1 AND op = 'delete'
 """,
+        # the split is a pure physical re-layout: same oracle as final state
+        "cdc_split_state": _CDC_FINAL_SQL,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100,

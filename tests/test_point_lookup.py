@@ -51,5 +51,5 @@ def test_lookup_touches_only_routed_partitions(ray_session, tmp_path, monkeypatc
 
 
 def test_lookup_requires_lake_meta(ray_session, tmp_path):
-    with pytest.raises(ValueError, match="_lake_meta"):
+    with pytest.raises(FileNotFoundError, match="_lake_meta"):
         lookup_docs(tmp_path / "no-such-lake", ["a"])
