@@ -145,13 +145,14 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
 def _locked_compact(lake: str, pids, rj: str) -> list[dict]:
     import ray.data
 
-    def run(batch: pa.Table) -> pa.Table:
-        rows = [compact_partition(lake, int(p), rj) for p in batch["id"].to_pylist()]
+    def run(batch: dict) -> pa.Table:
+        rows = [compact_partition(lake, int(p), rj) for p in batch["item"]]
         return pa.Table.from_pylist(
             [{"partition": r["partition"], "action": r["action"]} for r in rows]
         )
 
-    out = ray.data.range(max(pids) + 1).map_batches(run, batch_size=1, batch_format="pyarrow")
+    # from_items over the actual ids: split children are sparse
+    out = ray.data.from_items(pids).map_batches(run, batch_size=1, batch_format="numpy")
     return out.take_all()
 
 
@@ -784,3 +785,74 @@ def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) 
         "tombstones": sum(r["tombstones"] for r in rows),
         "watermark": watermark,
     }
+
+
+def partition_loads(lake_dir: str | Path) -> list[dict]:
+    """Per live physical partition: live rows (manifest counter) and
+    on-disk bytes (file stats) — O(P) manifest reads, no data files
+    opened. The split policy's input."""
+    out = []
+    for pid in _partition_ids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m is None:
+            continue
+        pdir = partition_dir(lake_dir, pid)
+        names = list(m.files) + list(m.delete_logs)
+        if m.tombstone_file:
+            names.append(m.tombstone_file)
+        nbytes = 0
+        for f in names:
+            try:
+                nbytes += (pdir / f).stat().st_size
+            except FileNotFoundError:
+                pass
+        out.append({"partition": pid, "rows": m.row_count, "bytes": nbytes})
+    return out
+
+
+def split_hot_partitions(
+    lake_dir: str | Path,
+    *,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+    max_rounds: int = 4,
+    force: bool = False,
+    dry_run: bool = False,
+) -> dict:
+    """The auto-split POLICY: scan manifests, split every base partition
+    with a live physical child above ``max_rows`` / ``max_bytes``, repeat
+    until all are under (or ``max_rounds`` splits of the same base).
+
+    This is the maintenance job that keeps the 100-TB invariant
+    "partition state ≪ worker heap" true as a lake grows or skews —
+    thresholds come from the operator (e.g. rows such that one
+    partition's live state fits a worker). Scan cost is O(P) manifest
+    reads; split cost is ∝ the hot partitions only.
+
+    Granularity note: the depth table is per BASE partition, so a split
+    rewrites all of the base's current children even when only one is
+    hot (uniform local depth — the directory-per-bucket refinement of
+    classic extendible hashing is deliberately not modeled; at depth d
+    that amplifies one hot child's rewrite by 2^d, bounded by
+    ``max_rounds``)."""
+    if max_rows is None and max_bytes is None:
+        raise ValueError("give max_rows and/or max_bytes")
+    from mex_extractors_ray.cdc.apply import load_lake_meta
+
+    done: list[dict] = []
+    for _ in range(max_rounds):
+        meta = load_lake_meta(lake_dir)
+        P = int(meta["num_partitions"])
+        hot: set[int] = set()
+        for load in partition_loads(lake_dir):
+            if ((max_rows is not None and load["rows"] > max_rows)
+                    or (max_bytes is not None and load["bytes"] > max_bytes)):
+                hot.add(load["partition"] % P)
+        if not hot or dry_run:
+            return {"splits": done, "hot_bases": sorted(hot),
+                    "converged": not hot, "dry_run": dry_run}
+        for pid0 in sorted(hot):
+            r = split_partition(lake_dir, pid0, force=force)
+            done.append({"pid0": pid0, "depth": r["depth"], "rows": r["rows"]})
+    return {"splits": done, "hot_bases": [], "converged": False,
+            "dry_run": False}

@@ -131,6 +131,8 @@ def tail_once(
     require_stable: bool = True,
     export_out: str | Path | None = None,
     replica_out: str | Path | None = None,
+    split_rows_over: int | None = None,
+    split_bytes_over: int | None = None,
 ) -> dict:
     """One sensor-check + incremental ingest. Returns a small report.
 
@@ -139,7 +141,13 @@ def tail_once(
     training export current off the change feed — the full WAL-segment →
     lake → export loop in one sensor tick, each leg costing ∝ the window.
     ``replica_out`` chains a replica lake the same way (one feed pass per
-    non-empty tick; its own marker makes re-runs idempotent)."""
+    non-empty tick; its own marker makes re-runs idempotent).
+
+    ``split_rows_over`` / ``split_bytes_over`` arm the AUTO-SPLIT policy
+    (``compact.split_hot_partitions``) after each non-empty ingest: any
+    base partition whose live state outgrew the threshold doubles its
+    physical fan-out before the next window — the lake keeps the
+    "partition state ≪ worker heap" invariant unattended as it grows."""
     segments = discover_new_segments(log_dir, lake_dir, require_stable=require_stable)
     if not segments:
         return {"segments": 0, "applied": 0, "noop": True}
@@ -158,6 +166,12 @@ def tail_once(
         "row_count": int(pc.sum(metrics["row_count"]).as_py() or 0),
         "noop": applied == 0,
     }
+    if applied and (split_rows_over is not None or split_bytes_over is not None):
+        from mex_extractors_ray.cdc.compact import split_hot_partitions
+
+        s = split_hot_partitions(lake_dir, max_rows=split_rows_over,
+                                 max_bytes=split_bytes_over)
+        report["splits"] = len(s["splits"])
     if export_out is not None and applied:
         from mex_extractors_ray.pipelines.incremental_export import incremental_export
 
@@ -181,12 +195,16 @@ def tail_loop(
     num_partitions: int = 32,
     export_out: str | Path | None = None,
     replica_out: str | Path | None = None,
+    split_rows_over: int | None = None,
+    split_bytes_over: int | None = None,
 ) -> None:
     """Poll-and-ingest loop (Ctrl-C or max_polls to stop)."""
     polls = 0
     while max_polls is None or polls < max_polls:
         report = tail_once(log_dir, lake_dir, num_partitions=num_partitions,
-                           export_out=export_out, replica_out=replica_out)
+                           export_out=export_out, replica_out=replica_out,
+                           split_rows_over=split_rows_over,
+                           split_bytes_over=split_bytes_over)
         print(json.dumps({"poll": polls, **report}), flush=True)
         polls += 1
         if max_polls is None or polls < max_polls:

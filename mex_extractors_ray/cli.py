@@ -141,6 +141,8 @@ def cmd_tail(args) -> int:
         args.log, args.lake, poll_seconds=args.poll,
         max_polls=args.max_polls, num_partitions=args.partitions,
         export_out=args.export_out, replica_out=args.replica_out,
+        split_rows_over=args.split_rows_over,
+        split_bytes_over=args.split_bytes_over,
     )
     ray.shutdown()
     return 0
@@ -158,9 +160,16 @@ def cmd_repartition(args) -> int:
 
 def cmd_split(args) -> int:
     ray = _ray()
-    from mex_extractors_ray.cdc.compact import split_partition
+    from mex_extractors_ray.cdc.compact import split_hot_partitions, split_partition
 
-    out = split_partition(args.lake, args.pid, force=args.force)
+    if args.pid is not None:
+        out = split_partition(args.lake, args.pid, force=args.force)
+    else:
+        if args.rows_over is None and args.bytes_over is None:
+            raise SystemExit("give --pid, or --rows-over/--bytes-over for the policy")
+        out = split_hot_partitions(
+            args.lake, max_rows=args.rows_over, max_bytes=args.bytes_over,
+            force=args.force, dry_run=args.dry_run)
     print(json.dumps(out))
     ray.shutdown()
     return 0
@@ -387,8 +396,14 @@ def main(argv: list[str] | None = None) -> int:
         help="double ONE hot base partition's physical fan-out "
              "(extendible-hash split; cost ∝ that partition, not lake size)")
     sp.add_argument("--lake", required=True)
-    sp.add_argument("--pid", type=int, required=True,
-                    help="BASE partition id in [0, num_partitions)")
+    sp.add_argument("--pid", type=int, default=None,
+                    help="BASE partition id in [0, num_partitions); omit to "
+                         "run the threshold policy instead")
+    sp.add_argument("--rows-over", type=int, default=None, dest="rows_over",
+                    help="policy mode: split bases with live rows above this")
+    sp.add_argument("--bytes-over", type=int, default=None, dest="bytes_over",
+                    help="policy mode: split bases with on-disk bytes above this")
+    sp.add_argument("--dry-run", action="store_true", dest="dry_run")
     sp.add_argument("--force", action="store_true")
     sp.set_defaults(fn=cmd_split)
 
@@ -407,6 +422,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="chain the incremental training export into each poll")
     tl.add_argument("--replica-out", default=None, dest="replica_out",
                     help="chain a replica lake into each poll (one feed pass)")
+    tl.add_argument("--split-rows-over", type=int, default=None,
+                    dest="split_rows_over",
+                    help="auto-split any base partition whose live rows "
+                         "exceed this after a poll's ingest")
+    tl.add_argument("--split-bytes-over", type=int, default=None,
+                    dest="split_bytes_over",
+                    help="auto-split any base partition whose on-disk bytes "
+                         "exceed this after a poll's ingest")
     tl.set_defaults(fn=cmd_tail)
 
     co = sub.add_parser("counts")

@@ -255,3 +255,65 @@ def test_split_empty_base_partition_is_metadata_only(tmp_path, ray_session):
     r = split_partition(lake, empty[0])
     assert r["rows"] == 0 and r["parents_retired"] == []
     assert load_lake_meta(lake)["splits"] == {empty[0]: 1}
+
+
+# ---------------------------------------------------------- auto-split policy
+
+
+def test_split_hot_partitions_policy(split_lake):
+    from mex_extractors_ray.cdc.compact import (
+        partition_loads,
+        split_hot_partitions,
+    )
+
+    lake, table, _ = split_lake
+    expected, _ = replay_reference(table)
+    loads = partition_loads(lake)
+    assert all(l["rows"] > 0 or l["bytes"] > 0 for l in loads)
+    # threshold below the max live partition → at least one split happens
+    threshold = max(l["rows"] for l in loads) - 1
+    r = split_hot_partitions(lake, max_rows=threshold)
+    assert r["splits"], "expected at least one split"
+    assert r["converged"]
+    # convergence: every live partition now at or under the threshold
+    assert all(l["rows"] <= threshold for l in partition_loads(lake))
+    # and the data is untouched
+    assert read_lake_arrow(lake).equals(expected)
+    # idempotent: nothing hot → no further splits
+    r2 = split_hot_partitions(lake, max_rows=threshold)
+    assert not r2["splits"] and r2["converged"]
+
+
+def test_split_policy_dry_run_and_args(split_lake):
+    from mex_extractors_ray.cdc.compact import partition_loads, split_hot_partitions
+
+    lake, _, _ = split_lake
+    with pytest.raises(ValueError, match="max_rows"):
+        split_hot_partitions(lake)
+    loads = partition_loads(lake)
+    threshold = max(l["rows"] for l in loads) - 1
+    before = load_lake_meta(lake)["splits"]
+    r = split_hot_partitions(lake, max_rows=threshold, dry_run=True)
+    assert r["dry_run"] and r["hot_bases"] and not r["splits"]
+    assert load_lake_meta(lake)["splits"] == before  # nothing flipped
+
+
+def test_tail_autosplit(ray_session, small_log, tmp_path, tmp_lake):
+    from mex_extractors_ray.cdc.tail import tail_once
+
+    paths, table = small_log
+    log_dir = tmp_path / "wal"
+    log_dir.mkdir()
+    shutil.copy(paths[0], log_dir / "log-00000.parquet")
+    (log_dir / "log-00000.parquet.closed").touch()
+    # threshold of 1 row: every non-empty base partition splits once
+    r = tail_once(log_dir, tmp_lake, num_partitions=4, split_rows_over=1)
+    assert r["applied"] > 0 and r.get("splits", 0) > 0
+    assert load_lake_meta(tmp_lake)["splits"]
+    # next segment still lands correctly on the split layout
+    shutil.copy(paths[1], log_dir / "log-00001.parquet")
+    (log_dir / "log-00001.parquet.closed").touch()
+    tail_once(log_dir, tmp_lake, num_partitions=4, split_rows_over=1)
+    sub = pa.concat_tables([pq.read_table(paths[0]), pq.read_table(paths[1])])
+    expected, _ = replay_reference(sub)
+    assert read_lake_arrow(tmp_lake).equals(expected)
