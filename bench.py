@@ -272,6 +272,32 @@ def run_bench() -> dict:
             "replica_rows": int(full.num_rows),
         }
 
+        # hot-split economics: splitting ONE hot base partition costs ∝
+        # that partition (~1/P of the lake), where repartition_lake
+        # rewrites the world — the in-place skew remedy measured
+        from mex_extractors_ray.cdc.compact import (
+            partition_loads,
+            split_partition,
+        )
+
+        loads = partition_loads(lake)
+        lake_bytes = sum(l["bytes"] for l in loads)
+        lake_rows = sum(l["rows"] for l in loads)
+        hot = max(loads, key=lambda l: (l["rows"], -l["partition"]))
+        t0 = time.time()
+        sp = split_partition(lake, hot["partition"] % num_partitions)
+        split_sec = time.time() - t0
+        tail["hot_split"] = {
+            "split_sec": round(split_sec, 3),
+            "partition_rows": int(hot["rows"]),
+            "partition_bytes": int(hot["bytes"]),
+            "lake_rows": int(lake_rows),
+            "lake_bytes": int(lake_bytes),
+            "children": len(sp["children"]),
+            # fraction of the lake the split had to touch
+            "touched_fraction": round(hot["bytes"] / max(1, lake_bytes), 4),
+        }
+
     from mex_extractors_ray.pipelines import catalog
 
     qtimes: dict[str, float] = {}

@@ -317,3 +317,41 @@ def test_tail_autosplit(ray_session, small_log, tmp_path, tmp_lake):
     sub = pa.concat_tables([pq.read_table(paths[0]), pq.read_table(paths[1])])
     expected, _ = replay_reference(sub)
     assert read_lake_arrow(tmp_lake).equals(expected)
+
+
+# ------------------------------------------------- interplay with other jobs
+
+
+def test_repartition_after_split_resets_depths(split_lake):
+    from mex_extractors_ray.cdc.compact import repartition_lake
+
+    lake, table, _ = split_lake
+    expected, _ = replay_reference(table)
+    split_partition(lake, 3)
+    split_partition(lake, 5)
+    repartition_lake(lake, 4)
+    # repartition rewrites the whole layout: base P changes, depth table
+    # resets, state survives byte-identically
+    meta = load_lake_meta(lake)
+    assert meta["num_partitions"] == 4 and meta["splits"] == {}
+    assert read_lake_arrow(lake).equals(expected)
+
+
+def test_split_on_replica_lake(split_lake):
+    from mex_extractors_ray.cdc.replicate import replicate_lake
+
+    lake, table, tmp = split_lake
+    dst = str(tmp / "replica")
+    replicate_lake(lake, dst)
+    # the replica is a normal lake: split it, then keep feeding — the
+    # incremental pass must route through the replica's own depth table
+    split_partition(dst, 1)
+    mx = int(pc.max(table["lsn"]).as_py())
+    paths2 = synth_change_log(tmp / "log4", n_events=2000, n_docs=600,
+                              seed=21, shard_rows=1000, lsn_start=mx + 1)
+    t2 = pa.concat_tables(pq.read_table(p) for p in paths2)
+    ingest_change_log(paths2, lake, num_partitions=8)
+    replicate_lake(lake, dst)
+    exp, _ = replay_reference(pa.concat_tables([table, t2]))
+    assert read_lake_arrow(dst).equals(exp)
+    assert load_lake_meta(dst)["splits"] == {1: 1}  # replica keeps its layout
