@@ -355,3 +355,17 @@ def test_split_on_replica_lake(split_lake):
     exp, _ = replay_reference(pa.concat_tables([table, t2]))
     assert read_lake_arrow(dst).equals(exp)
     assert load_lake_meta(dst)["splits"] == {1: 1}  # replica keeps its layout
+
+
+def test_asof_across_split(split_lake):
+    from mex_extractors_ray.cdc.apply import read_lake_asof_arrow
+
+    lake, table, _ = split_lake
+    wm = int(pc.max(table["lsn"]).as_py())
+    split_partition(lake, 2)
+    expected, _ = replay_reference(table)
+    # as-of at the watermark = live state (split children carry it)
+    assert read_lake_asof_arrow(lake, wm).equals(expected)
+    # the split squashed history: as-of below the floor raises cleanly
+    with pytest.raises(ValueError, match="history floor"):
+        read_lake_asof_arrow(lake, wm // 2)
