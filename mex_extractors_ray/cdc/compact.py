@@ -139,7 +139,15 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
         return []
     lake = str(lake_dir)
     with writer_lock(lake_dir, "compact"):
-        return _locked_compact(lake, pids, rj)
+        out = _locked_compact(lake, pids, rj)
+    rewritten = sum(1 for r in out if r["action"] == "rewritten")
+    if rewritten:
+        from mex_extractors_ray.state.checks import record_maintenance
+
+        marks = [m.last_lsn for m in (read_manifest(lake, p) for p in pids) if m]
+        record_maintenance(lake, "compact", f"{max(marks, default=0):020d}", {
+            "partitions": len(out), "rewritten": rewritten})
+    return out
 
 
 def _locked_compact(lake: str, pids, rj: str) -> list[dict]:
@@ -303,7 +311,8 @@ def vacuum_partition(lake_dir: str, pid: int, dry_run: bool = False) -> dict:
     }
 
 
-def vacuum_lake(lake_dir: str | Path, dry_run: bool = False) -> dict:
+def vacuum_lake(lake_dir: str | Path, dry_run: bool = False,
+                retention_seconds: float = 0.0) -> dict:
     """Lake-wide orphan GC (Delta Lake VACUUM analog), distributed one task
     per partition. Takes the writer lease — even for ``dry_run`` — so an
     in-flight ingest's phase-1 files (written, not yet manifest-committed)
@@ -311,6 +320,13 @@ def vacuum_lake(lake_dir: str | Path, dry_run: bool = False) -> dict:
     means crashed. Root-level ``.tmp-*`` scratch from ``atomic_write_bytes``
     (``_lake_meta.json`` / ``_ingest_state.json`` writes) is swept on the
     driver — there are O(1) such files per lake.
+
+    ``retention_seconds`` guards whole-directory split orphans only: the
+    writer lease serializes WRITERS, but a long-running READER that
+    enumerated partitions just before a split's meta flip may still be
+    reading a retired parent dir — the retention window (Delta's VACUUM
+    retention analog) keeps dirs younger than it. In-partition file
+    orphans need no window (readers open only manifest-listed names).
     """
     import ray.data
 
@@ -332,8 +348,18 @@ def vacuum_lake(lake_dir: str | Path, dry_run: bool = False) -> dict:
         # before it) are partition dirs OUTSIDE the live physical set —
         # with the lease held they are sweepable in full
         dead_dirs = sorted(set(_all_partition_dirs(lake)) - set(pids))
+        import time as _time
+
+        now = _time.time()
         for dp in dead_dirs:
             ddir = partition_dir(lake, dp)
+            if retention_seconds > 0:
+                try:
+                    age = now - ddir.stat().st_mtime
+                except FileNotFoundError:
+                    continue
+                if age < retention_seconds:
+                    continue  # possibly still open by a pre-flip reader
             for f in ddir.rglob("*"):
                 if f.is_file():
                     root_bytes += f.stat().st_size
@@ -582,6 +608,11 @@ def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
     os.replace(old, backup)
     os.replace(new, old)
     shutil.rmtree(backup)
+    from mex_extractors_ray.state.checks import record_maintenance
+
+    record_maintenance(old, "repartition", f"p{new_num_partitions}-{watermark:020d}", {
+        "num_partitions": new_num_partitions, "watermark": watermark,
+        "rows": sum(r["rows"] for r in out)})
     return {"partitions": len(out), "rows": sum(r["rows"] for r in out), "watermark": watermark}
 
 
@@ -777,7 +808,7 @@ def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) 
     # orphan dirs — non-live, so readers ignore them and vacuum sweeps)
     for p in parents:
         shutil.rmtree(partition_dir(lake, p), ignore_errors=True)
-    return {
+    out = {
         "pid0": pid0, "depth": new_d,
         "children": split_children(pid0, P, new_d),
         "parents_retired": parents,
@@ -785,6 +816,12 @@ def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) 
         "tombstones": sum(r["tombstones"] for r in rows),
         "watermark": watermark,
     }
+    # layout-change audit record (deterministic marker: a retried split of
+    # the same base to the same depth overwrites its own record)
+    from mex_extractors_ray.state.checks import record_maintenance
+
+    record_maintenance(lake, "split", f"{pid0:05d}-d{new_d}", out)
+    return out
 
 
 def partition_loads(lake_dir: str | Path) -> list[dict]:
@@ -856,3 +893,39 @@ def split_hot_partitions(
             done.append({"pid0": pid0, "depth": r["depth"], "rows": r["rows"]})
     return {"splits": done, "hot_bases": [], "converged": False,
             "dry_run": False}
+
+
+def lake_stats(lake_dir: str | Path) -> dict:
+    """Operator-facing lake summary from manifests + meta alone (O(P)
+    metadata reads, zero data files): layout (base P, depth table, live
+    physical count), totals, watermarks, feed floors, and the per-
+    partition load extremes the split policy acts on."""
+    from mex_extractors_ray.cdc.apply import (
+        load_lake_meta,
+        read_ingest_state,
+    )
+
+    meta = load_lake_meta(lake_dir)
+    loads = partition_loads(lake_dir)
+    marks, floors, tombs = [], [], 0
+    for pid in _partition_ids(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if m is None:
+            continue
+        marks.append(m.last_lsn)
+        floors.append(m.last_lsn if m.history_floor == -2 else m.history_floor)
+        tombs += m.tombstone_count
+    rows = [l["rows"] for l in loads]
+    return {
+        "num_partitions": meta["num_partitions"],
+        "splits": {str(k): v for k, v in sorted(meta["splits"].items())},
+        "live_physical_partitions": len(loads),
+        "rows": sum(rows),
+        "bytes": sum(l["bytes"] for l in loads),
+        "tombstones": tombs,
+        "watermark": max(marks, default=-1),
+        "completed_lsn": read_ingest_state(lake_dir),
+        "feed_floor": max(floors, default=-1),
+        "max_partition_rows": max(rows, default=0),
+        "min_partition_rows": min(rows, default=0),
+    }

@@ -188,11 +188,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    # pure metadata — no Ray session needed
+    from mex_extractors_ray.cdc.compact import lake_stats
+
+    print(json.dumps(lake_stats(args.lake)))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.compact import vacuum_lake
 
-    out = vacuum_lake(args.lake, dry_run=args.dry_run)
+    out = vacuum_lake(args.lake, dry_run=args.dry_run,
+                      retention_seconds=args.retention)
     print(json.dumps({
         "dry_run": out["dry_run"],
         "files_removed": out["files_removed"],
@@ -410,7 +419,14 @@ def main(argv: list[str] | None = None) -> int:
     vc = sub.add_parser("vacuum", help="reclaim crash orphans (unreferenced files)")
     vc.add_argument("--lake", required=True)
     vc.add_argument("--dry-run", action="store_true")
+    vc.add_argument("--retention", type=float, default=0.0,
+                    help="keep split-orphan partition DIRS younger than this "
+                         "many seconds (long-reader safety window)")
     vc.set_defaults(fn=cmd_vacuum)
+
+    st = sub.add_parser("stats", help="lake summary from manifests+meta only")
+    st.add_argument("--lake", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     tl = sub.add_parser("tail")
     tl.add_argument("--log", required=True)

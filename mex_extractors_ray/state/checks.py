@@ -127,3 +127,31 @@ def partition_skew_report(metrics: pa.Table) -> dict:
         "rows_mean": mean,
         "skew_ratio": (mx / mean) if mean else 0.0,
     }
+
+
+def record_maintenance(lake_dir: str | Path, op: str, marker: str,
+                       detail: dict) -> str:
+    """Append one maintenance-op record (split / repartition / compact /
+    vacuum) to the lake's lineage — the layout-change audit trail next to
+    the per-partition ingest metrics. ``marker`` makes the file name
+    deterministic: a retried op overwrites its own record, never
+    duplicates it (the same idempotency discipline as run lineage)."""
+    import json as _json
+
+    d = lineage_dir(lake_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"maint-{op}-{marker}.json"
+    from mex_extractors_ray.cdc.manifest import atomic_write_bytes
+
+    atomic_write_bytes(path, _json.dumps({"op": op, **detail}).encode())
+    return str(path)
+
+
+def read_maintenance_log(lake_dir: str | Path) -> list[dict]:
+    """All maintenance records, file-name order (ops sort within a kind)."""
+    import json as _json
+
+    return [
+        _json.loads(p.read_text())
+        for p in sorted(lineage_dir(lake_dir).glob("maint-*.json"))
+    ]

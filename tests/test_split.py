@@ -369,3 +369,48 @@ def test_asof_across_split(split_lake):
     # the split squashed history: as-of below the floor raises cleanly
     with pytest.raises(ValueError, match="history floor"):
         read_lake_asof_arrow(lake, wm // 2)
+
+
+def test_maintenance_lineage_records(split_lake):
+    from mex_extractors_ray.cdc.compact import compact, repartition_lake
+    from mex_extractors_ray.state.checks import read_maintenance_log
+
+    lake, _, _ = split_lake
+    split_partition(lake, 3)
+    split_partition(lake, 3)  # retry-style second op, distinct marker (d2)
+    compact(lake)
+    log = read_maintenance_log(lake)
+    ops = [r["op"] for r in log]
+    assert ops.count("split") == 2
+    split_recs = [r for r in log if r["op"] == "split"]
+    assert {r["depth"] for r in split_recs} == {1, 2}
+    # idempotency: re-running the same marker overwrites, not duplicates
+    from mex_extractors_ray.state.checks import record_maintenance
+
+    record_maintenance(lake, "split", "00003-d2", split_recs[-1])
+    assert len(read_maintenance_log(lake)) == len(log)
+    # repartition survives the dir swap and appends its own record
+    repartition_lake(lake, 4)
+    assert any(r["op"] == "repartition" for r in read_maintenance_log(lake))
+
+
+def test_lake_stats_and_vacuum_retention(split_lake):
+    from mex_extractors_ray.cdc.compact import lake_stats, vacuum_lake
+
+    lake, table, _ = split_lake
+    r = split_partition(lake, 6)
+    s = lake_stats(lake)
+    assert s["num_partitions"] == 8 and s["splits"] == {"6": 1}
+    assert s["live_physical_partitions"] == len(_manifested_pids(lake))
+    # lake watermark is the max over ALL partitions ≥ the split's parents'
+    assert s["rows"] > 0 and s["watermark"] >= r["watermark"]
+    # plant an orphan child dir (crashed-split shape) and show the
+    # retention window protects it from the sweep, then expires
+    orphan = Path(partition_dir(lake, 6))
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "part-00006-x.parquet").write_bytes(b"x")
+    v1 = vacuum_lake(lake, retention_seconds=3600)
+    assert orphan.exists()  # younger than the window: kept
+    v2 = vacuum_lake(lake)  # no window: swept
+    assert not orphan.exists()
+    assert v2["files_removed"] >= 1
