@@ -83,3 +83,52 @@ def test_lake_equals_replayer_and_export(ray_session, tmp_path_factory,
     exp = read_export_arrow(out)
     assert exp.sort_by([("doc_id", "ascending")]).select(got.column_names).equals(got)
     assert exp.num_rows == got.num_rows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 2)), min_size=1, max_size=40),
+    gaps=st.lists(st.integers(1, 3), min_size=40, max_size=40),
+    n_windows=st.integers(1, 3),
+    data=st.data(),
+)
+def test_lake_equals_replayer_under_random_splits(ray_session,
+                                                  tmp_path_factory,
+                                                  events, gaps, n_windows,
+                                                  data):
+    """Same acceptance bar, with RANDOM hot-partition splits interleaved
+    between ingest windows: any sequence of splits must be invisible in
+    the final state (routing, tombstones, watermarks all survive)."""
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.cdc.compact import split_partition
+
+    lsns = np.cumsum(gaps[: len(events)]).tolist()
+    log = _log_from(events, lsns)
+    max_cuts = min(n_windows - 1, len(set(lsns)))
+    cuts = sorted(data.draw(st.lists(
+        st.sampled_from(lsns), min_size=0, max_size=max_cuts,
+        unique=True))) if max_cuts else []
+    bounds = [-1, *cuts, lsns[-1]]
+    tmp = tmp_path_factory.mktemp("prop_split")
+    lake = tmp / "lake"
+    P = 2
+    for i in range(len(bounds) - 1):
+        w = log.filter(pc.and_(pc.greater(log["lsn"], bounds[i]),
+                               pc.less_equal(log["lsn"], bounds[i + 1])))
+        if w.num_rows == 0:
+            continue
+        p = tmp / f"w{i}.parquet"
+        pq.write_table(w, p)
+        ingest_change_log([str(p)], lake, num_partitions=P)
+        # between windows: split a random base partition (possibly again)
+        for pid0 in data.draw(st.lists(st.integers(0, P - 1),
+                                       min_size=0, max_size=2)):
+            split_partition(lake, pid0)
+    if not lake.exists():
+        return
+    got = read_lake_arrow(lake)
+    expected, _ = replay_reference(log)
+    assert got.equals(expected)
