@@ -287,6 +287,13 @@ def run_bench() -> dict:
         t0 = time.time()
         sp = split_partition(lake, hot["partition"] % num_partitions)
         split_sec = time.time() - t0
+        # one more delta window ON the split layout: routing through the
+        # depth table must not change steady-state ingest cost
+        wm4 = wm3 + 1 + 2 * tail_n
+        ps_paths = ensure_log(tail_n, n_docs, seed=19, lsn_start=wm4)
+        t0 = time.time()
+        ingest_change_log(ps_paths, lake, num_partitions=num_partitions)
+        post_split_sec = time.time() - t0
         tail["hot_split"] = {
             "split_sec": round(split_sec, 3),
             "partition_rows": int(hot["rows"]),
@@ -296,6 +303,8 @@ def run_bench() -> dict:
             "children": len(sp["children"]),
             # fraction of the lake the split had to touch
             "touched_fraction": round(hot["bytes"] / max(1, lake_bytes), 4),
+            # compare with tail["sec"]: same-size window, pre-split layout
+            "post_split_window_sec": round(post_split_sec, 3),
         }
 
     from mex_extractors_ray.pipelines import catalog

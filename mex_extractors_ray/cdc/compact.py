@@ -750,6 +750,13 @@ def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) 
         raise ValueError(f"pid0 must be a BASE partition id in [0, {P}), got {pid0}")
     d = splits.get(pid0, 0)
     new_d = d + 1
+    # id-space insurance: phys = pid0 + P*(2^d-1+c) must stay well inside
+    # int32; depth 20 is a 1,048,576× fan-out of ONE base partition —
+    # beyond it the remedy is repartition_lake (raise P), not more splits
+    if new_d > 20:
+        raise ValueError(
+            f"partition {pid0} is already at split depth {d}; use "
+            "repartition_lake to raise the base partition count instead")
     parents = [p for p in split_children(pid0, P, d) if read_manifest(lake, p)]
     marks = [read_manifest(lake, p).last_lsn for p in parents]
     watermark = max(marks, default=-1)

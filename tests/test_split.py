@@ -414,3 +414,12 @@ def test_lake_stats_and_vacuum_retention(split_lake):
     v2 = vacuum_lake(lake)  # no window: swept
     assert not orphan.exists()
     assert v2["files_removed"] >= 1
+
+
+def test_split_depth_cap(split_lake):
+    lake, _, _ = split_lake
+    meta = json.loads(Path(lake, "_lake_meta.json").read_text())
+    meta["splits"] = {"4": 20}
+    Path(lake, "_lake_meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="repartition_lake"):
+        split_partition(lake, 4)
