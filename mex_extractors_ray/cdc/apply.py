@@ -25,8 +25,11 @@ Scale notes (100 TB design):
   re-reading manifests (late events ≤ watermark are dropped idempotently).
 - hot doc_ids (skewed update streams) collapse inside the last-wins reduce,
   so skew costs shuffle bandwidth but not apply time; partition counts are
-  sized so partition state ≪ worker heap (split P, not salt — key locality
-  must be preserved for the keyed merge, SURVEY.md §4).
+  sized so partition state ≪ worker heap (split, not salt — key locality
+  must be preserved for the keyed merge, SURVEY.md §4). When ONE partition
+  outgrows that budget, ``compact.split_partition`` doubles its physical
+  fan-out in place (extendible-hash, routing notes below) at cost ∝ the
+  partition; ``compact.split_hot_partitions`` automates the thresholds.
 - the per-batch resolve stage is zero-copy Arrow (``batch_format="pyarrow"``)
   and all kernels are pyarrow.compute / numpy — no per-row Python.
 
