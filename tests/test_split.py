@@ -423,3 +423,39 @@ def test_split_depth_cap(split_lake):
     Path(lake, "_lake_meta.json").write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="repartition_lake"):
         split_partition(lake, 4)
+
+
+def test_split_tombstone_only_partition_and_resurrection(tmp_path, ray_session):
+    """A fully-deleted (tombstone-only) partition splits cleanly, and a
+    doc can resurrect through the split layout."""
+    from mex_extractors_ray.cdc.compact import compact
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "a", "b", "c"]),
+        "lsn": pa.array([1, 2, 3, 10, 11, 12], pa.int64()),
+        "op": pa.array(["insert"] * 3 + ["delete"] * 3),
+        "source": pa.array(["s"] * 6), "lang": pa.array(["de"] * 6),
+        "n_tok": pa.array([1, 1, 1, None, None, None], pa.int64()),
+        "tokens": pa.array([[0], [0], [0], None, None, None],
+                           pa.list_(pa.int32())),
+        "schema_version": pa.array([3] * 6, pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "log.parquet")
+    lake = str(tmp_path / "lake")
+    ingest_change_log([str(tmp_path / "log.parquet")], lake, num_partitions=2)
+    compact(lake)  # fold: partitions become empty / tombstone-only
+    for pid0 in (0, 1):
+        split_partition(lake, pid0)
+    exp, _ = replay_reference(t)
+    assert read_lake_arrow(lake).equals(exp)  # zero live rows
+    t2 = pa.table({
+        "doc_id": pa.array(["a"]), "lsn": pa.array([20], pa.int64()),
+        "op": pa.array(["insert"]), "source": pa.array(["s"]),
+        "lang": pa.array(["de"]), "n_tok": pa.array([2], pa.int64()),
+        "tokens": pa.array([[1, 2]], pa.list_(pa.int32())),
+        "schema_version": pa.array([3], pa.int32()),
+    })
+    pq.write_table(t2, tmp_path / "log2.parquet")
+    ingest_change_log([str(tmp_path / "log2.parquet")], lake, num_partitions=2)
+    exp2, _ = replay_reference(pa.concat_tables([t, t2]))
+    assert read_lake_arrow(lake).equals(exp2)
