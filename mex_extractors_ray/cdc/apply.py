@@ -110,16 +110,24 @@ def live_physical_pids(P: int, splits) -> list[int]:
     return sorted(out)
 
 
+class LakeMetaError(FileNotFoundError, ValueError):
+    """A directory has no readable ``_lake_meta.json`` — not an ingested
+    lake. Derives from BOTH FileNotFoundError (the underlying OS condition)
+    and ValueError (what ``lake_num_partitions`` raised before splits
+    existed), so callers written against either exception keep working."""
+
+
 def load_lake_meta(lake_dir: str | Path) -> dict:
     """The lake's routing identity: ``{"num_partitions": P, "splits": {...}}``
-    (splits keys normalized to int). Raises if the lake has no meta."""
+    (splits keys normalized to int). Raises :class:`LakeMetaError` if the
+    lake has no meta."""
     import json as _json
 
     meta_path = Path(lake_dir, "_lake_meta.json")
     try:
         meta = _json.loads(meta_path.read_text())
     except FileNotFoundError:
-        raise FileNotFoundError(
+        raise LakeMetaError(
             f"lake at {lake_dir} has no _lake_meta.json — not an ingested lake"
         ) from None
     meta["splits"] = _norm_splits(meta.get("splits"))

@@ -68,9 +68,9 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
     registry = SchemaRegistry.from_json(registry_json)
     m = read_manifest(lake_dir, pid)
     if m is None:
-        return {"partition": pid, "action": "missing"}
+        return {"partition": pid, "action": "missing", "last_lsn": -1}
     if m.schema_version == registry.latest_version and len(m.files) <= 1:
-        return {"partition": pid, "action": "noop"}
+        return {"partition": pid, "action": "noop", "last_lsn": m.last_lsn}
     pdir = partition_dir(lake_dir, pid)
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
     # delta fold: last-wins across base+deltas, minus tombstoned docs
@@ -117,7 +117,8 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             agg_bounds={c: _bounds_of(merged[c]) for c in (m.agg_bounds or {})},
         ),
     )
-    return {"partition": pid, "action": "rewritten", "rows": merged.num_rows}
+    return {"partition": pid, "action": "rewritten", "rows": merged.num_rows,
+            "last_lsn": m.last_lsn}
 
 
 def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> list[dict]:
@@ -140,13 +141,17 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
     lake = str(lake_dir)
     with writer_lock(lake_dir, "compact"):
         out = _locked_compact(lake, pids, rj)
-    rewritten = sum(1 for r in out if r["action"] == "rewritten")
-    if rewritten:
-        from mex_extractors_ray.state.checks import record_maintenance
+        rewritten = sum(1 for r in out if r["action"] == "rewritten")
+        if rewritten:
+            from mex_extractors_ray.state.checks import record_maintenance
 
-        marks = [m.last_lsn for m in (read_manifest(lake, p) for p in pids) if m]
-        record_maintenance(lake, "compact", f"{max(marks, default=0):020d}", {
-            "partitions": len(out), "rewritten": rewritten})
+            # marker from the manifests the LOCKED compaction itself read
+            # (threaded back per partition) — never re-read unlocked, where
+            # a racing ingest could advance last_lsn past what this compact
+            # actually folded and a retry would mint a second record
+            marks = [r["last_lsn"] for r in out if r["action"] != "missing"]
+            record_maintenance(lake, "compact", f"{max(marks, default=0):020d}", {
+                "partitions": len(out), "rewritten": rewritten})
     return out
 
 
@@ -156,7 +161,8 @@ def _locked_compact(lake: str, pids, rj: str) -> list[dict]:
     def run(batch: dict) -> pa.Table:
         rows = [compact_partition(lake, int(p), rj) for p in batch["item"]]
         return pa.Table.from_pylist(
-            [{"partition": r["partition"], "action": r["action"]} for r in rows]
+            [{"partition": r["partition"], "action": r["action"],
+              "last_lsn": r["last_lsn"]} for r in rows]
         )
 
     # from_items over the actual ids: split children are sparse
@@ -355,8 +361,16 @@ def vacuum_lake(lake_dir: str | Path, dry_run: bool = False,
             ddir = partition_dir(lake, dp)
             if retention_seconds > 0:
                 try:
-                    age = now - ddir.stat().st_mtime
-                except FileNotFoundError:
+                    # split-retired parents carry an explicit flip-time
+                    # marker (_locked_split); crash orphans (never-flipped
+                    # children) have none — their dir mtime IS the crash
+                    marker = ddir / "_retired.json"
+                    if marker.exists():
+                        ref = float(json.loads(marker.read_text())["retired_at"])
+                    else:
+                        ref = ddir.stat().st_mtime
+                    age = now - ref
+                except (FileNotFoundError, KeyError, ValueError):
                     continue
                 if age < retention_seconds:
                     continue  # possibly still open by a pre-flip reader
@@ -733,7 +747,7 @@ def _split_one_parent(lake: str, parent: int, pid0: int, P: int, new_d: int,
 
 
 def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) -> dict:
-    import shutil
+    import time as _time
 
     import ray.data
 
@@ -811,10 +825,19 @@ def _locked_split(lake: Path, pid0: int, registry: SchemaRegistry, force: bool) 
         {**meta, "num_partitions": P,
          "splits": {str(k): v for k, v in sorted(new_splits.items())}}
     ).encode())
-    # retire the superseded parents eagerly (a crash here just leaves
-    # orphan dirs — non-live, so readers ignore them and vacuum sweeps)
+    # retire the superseded parents WITHOUT deleting: a long-running reader
+    # that enumerated partitions from the pre-flip meta may still be
+    # scanning these dirs, so they stay on disk for vacuum_lake's retention
+    # window to sweep — the same supersede-then-vacuum discipline
+    # compact_partition follows. The marker records the actual flip time so
+    # vacuum's age check doesn't lean on dir mtime (which for these dirs
+    # predates the flip by the partition's whole write history).
+    retired_at = _time.time()
     for p in parents:
-        shutil.rmtree(partition_dir(lake, p), ignore_errors=True)
+        atomic_write_bytes(
+            Path(partition_dir(lake, p)) / "_retired.json",
+            json.dumps({"retired_at": retired_at, "op": "split",
+                        "pid0": pid0, "depth": new_d}).encode())
     out = {
         "pid0": pid0, "depth": new_d,
         "children": split_children(pid0, P, new_d),
@@ -883,22 +906,29 @@ def split_hot_partitions(
         raise ValueError("give max_rows and/or max_bytes")
     from mex_extractors_ray.cdc.apply import load_lake_meta
 
-    done: list[dict] = []
-    for _ in range(max_rounds):
-        meta = load_lake_meta(lake_dir)
-        P = int(meta["num_partitions"])
+    def scan_hot() -> list[int]:
+        P = int(load_lake_meta(lake_dir)["num_partitions"])
         hot: set[int] = set()
         for load in partition_loads(lake_dir):
             if ((max_rows is not None and load["rows"] > max_rows)
                     or (max_bytes is not None and load["bytes"] > max_bytes)):
                 hot.add(load["partition"] % P)
+        return sorted(hot)
+
+    done: list[dict] = []
+    for _ in range(max_rounds):
+        hot = scan_hot()
         if not hot or dry_run:
-            return {"splits": done, "hot_bases": sorted(hot),
+            return {"splits": done, "hot_bases": hot,
                     "converged": not hot, "dry_run": dry_run}
-        for pid0 in sorted(hot):
+        for pid0 in hot:
             r = split_partition(lake_dir, pid0, force=force)
             done.append({"pid0": pid0, "depth": r["depth"], "rows": r["rows"]})
-    return {"splits": done, "hot_bases": [], "converged": False,
+    # max_rounds exhausted: one more scan so the report reflects the FINAL
+    # layout — the last round's splits may well have cooled every base, and
+    # claiming non-convergence with an empty hot list would misreport that
+    hot = scan_hot()
+    return {"splits": done, "hot_bases": hot, "converged": not hot,
             "dry_run": False}
 
 

@@ -1,0 +1,107 @@
+"""Round-4 review fixes: split retirement goes through the vacuum
+retention window (no eager delete), split_hot_partitions reports the
+final layout after max_rounds, compact's maintenance marker is computed
+under the writer lock, and load_lake_meta's error type stays
+catchable-as-ValueError."""
+
+import json
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mex_extractors_ray.cdc import ingest_change_log, replay_reference
+from mex_extractors_ray.cdc.apply import (
+    LakeMetaError,
+    _manifested_pids,
+    load_lake_meta,
+    read_lake_arrow,
+)
+from mex_extractors_ray.cdc.compact import (
+    compact,
+    partition_loads,
+    split_hot_partitions,
+    split_partition,
+    vacuum_lake,
+)
+from mex_extractors_ray.cdc.manifest import partition_dir
+from mex_extractors_ray.gen import synth_change_log
+from mex_extractors_ray.state.checks import read_maintenance_log
+
+
+@pytest.fixture()
+def lake8(tmp_path, ray_session):
+    paths = synth_change_log(tmp_path / "log", n_events=6000, n_docs=600,
+                             seed=11, shard_rows=2000)
+    table = pa.concat_tables(pq.read_table(p) for p in paths)
+    lake = str(tmp_path / "lake")
+    ingest_change_log(paths, lake, num_partitions=8)
+    return lake, table
+
+
+def test_split_leaves_retired_parents_for_vacuum(lake8):
+    lake, table = lake8
+    expected, _ = replay_reference(table)
+    r = split_partition(lake, 3)
+    # the retired parent dir SURVIVES the split (a pre-flip reader may
+    # still be scanning it) but is invisible to every live enumeration
+    pdir = Path(partition_dir(lake, 3))
+    assert pdir.is_dir()
+    assert 3 not in _manifested_pids(lake)
+    assert read_lake_arrow(lake).equals(expected)
+    # the retirement marker records the actual flip time, not dir mtime
+    marker = json.loads((pdir / "_retired.json").read_text())
+    assert marker["op"] == "split" and marker["pid0"] == 3
+    assert abs(marker["retired_at"] - time.time()) < 120
+    # retention window honors the marker time: young → kept, expired → swept
+    v1 = vacuum_lake(lake, retention_seconds=3600)
+    assert pdir.is_dir()
+    v2 = vacuum_lake(lake, retention_seconds=0)
+    assert not pdir.exists()
+    assert v2["files_removed"] >= 1
+    assert read_lake_arrow(lake).equals(expected)
+    assert r["parents_retired"] == [3]
+    assert v1["files_removed"] >= 0
+
+
+def test_split_hot_rescans_after_max_rounds(lake8):
+    lake, _ = lake8
+    # threshold low enough that round 1 splits every base; with
+    # max_rounds=1 the OLD code reported converged=False unconditionally —
+    # the final re-scan must report the actual post-split layout instead
+    loads = {r["partition"]: r["rows"] for r in partition_loads(lake)}
+    thresh = max(loads.values()) - 1
+    out = split_hot_partitions(lake, max_rows=thresh, max_rounds=1)
+    assert out["splits"]  # at least one split actually ran
+    post = {r["partition"]: r["rows"] for r in partition_loads(lake)}
+    actually_hot = sorted({p % 8 for p, n in post.items() if n > thresh})
+    assert out["hot_bases"] == actually_hot
+    assert out["converged"] == (not actually_hot)
+
+
+def test_compact_marker_recorded_under_lock(lake8):
+    lake, _ = lake8
+    out = compact(lake)
+    rewritten = [r for r in out if r["action"] == "rewritten"]
+    recs = [r for r in read_maintenance_log(lake) if r["op"] == "compact"]
+    if rewritten:
+        # marker derives from the manifests the locked compaction read
+        assert len(recs) == 1
+        assert recs[0]["rewritten"] == len(rewritten)
+        marks = [r["last_lsn"] for r in out if r["action"] != "missing"]
+        assert max(marks) >= 0
+    # idempotent: a retried compact at the same state adds no second record
+    compact(lake)
+    recs2 = [r for r in read_maintenance_log(lake) if r["op"] == "compact"]
+    assert len(recs2) == len(recs)
+
+
+def test_lake_meta_error_is_both_types(tmp_path):
+    with pytest.raises(ValueError):
+        load_lake_meta(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        load_lake_meta(tmp_path / "nope")
+    with pytest.raises(LakeMetaError):
+        load_lake_meta(tmp_path / "nope")
