@@ -166,15 +166,23 @@ def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int,
     flat = words.flatten()
     word_h = hash_string_array(flat)
     offsets = np.asarray(words.offsets, dtype=np.int64)
+    if len(offsets) and offsets[0]:
+        offsets = offsets - offsets[0]  # sliced list array: rebase to flat
     lens = offsets[1:] - offsets[:-1]
     n_sh = np.maximum(lens - (k - 1), np.where(lens > 0, 1, 0))  # short docs → 1 shingle
     # rolling combine of k word hashes: h_i ^ rot(h_{i+1}) ^ ... (order-aware mix)
+    ends = np.repeat(offsets[1:], lens)  # each flat word's own doc end
+    idx = np.arange(len(word_h), dtype=np.int64)
     comb = word_h.copy()
     with np.errstate(over="ignore"):
         for j in range(1, k):
             shifted = np.empty_like(word_h)
             shifted[:-j] = word_h[j:]
             shifted[-j:] = 0
+            # docs shorter than k words keep ONE shingle (n_sh clamps to 1);
+            # zero-pad past each doc's end so that shingle is a function of
+            # the doc alone — never of whichever doc follows in the batch
+            shifted[idx + j >= ends] = 0
             comb = comb * np.uint64(1099511628211) + shifted
     sh_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(n_sh, out=sh_offsets[1:])
@@ -391,19 +399,33 @@ def jaccard_rows(col_a, col_b, k: int = 3) -> np.ndarray:
     return inter / np.maximum(union, 1.0)
 
 
+# auto-select ceiling for the verify broadcast: above this many DISTINCT
+# candidate docs the pruned text table stops being a credibly-small
+# broadcast side (100k docs ≈ 50 MB at the corpus' ~500 B/doc; the
+# switchover is deliberately conservative — the bucketed path is only
+# ~2 extra small shuffles, while an oversized broadcast is a driver OOM).
+# Both paths are hash-checked (BASELINE.md "broadcast vs bucketed" A/B).
+JACCARD_BROADCAST_MAX_DOCS = 100_000
+
+
 def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
                                k: int = 3, threshold: float = 0.8,
-                               num_buckets: int = 32, broadcast: bool = True):
+                               num_buckets: int = 32,
+                               broadcast: bool | None = None):
     """Distributed candidate verification: candidates ⋈ texts → vectorized
     per-batch Jaccard. The corpus never funnels through the driver; only
     candidate-proportional state does (LSH's whole point is that candidates
     are tiny relative to the corpus).
 
-    ``broadcast=True`` (default): the candidate-pruned text table is pulled
-    once, ``ray.put``, and attached per batch with two ``pc.index_in``
-    probes — ZERO shuffles (right whenever candidate texts fit one object).
-    ``broadcast=False``: the scale fallback — two bucketed co-partition
-    joins, nothing leaves the cluster.
+    ``broadcast=None`` (default) AUTO-SELECTS from the measured build side:
+    the distinct-doc count of the candidate set, against
+    ``JACCARD_BROADCAST_MAX_DOCS`` — at 100 TB an LSH candidate set can
+    itself outgrow one object, and no default should quietly assume it
+    doesn't. ``True``: the candidate-pruned text table is pulled once,
+    ``ray.put``, and attached per batch with two ``pc.index_in`` probes —
+    ZERO shuffles (right whenever candidate texts fit one object).
+    ``False``: the scale path — two bucketed co-partition joins, nothing
+    leaves the cluster.
 
     ``cand_ds`` needs columns (a, b); extra columns pass through."""
     import pyarrow as _pa
@@ -421,9 +443,11 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
             "b": _pa.array([], _pa.int64()),
             "jaccard": _pa.array([], _pa.float64()),
         }))
-    keys_df = cand_ds.select_columns(["a", "b"]).to_pandas()
-    needed = pd.unique(pd.concat([keys_df["a"], keys_df["b"]], ignore_index=True))
-    texts = joins.semi_join(docs_ds.select_columns([key_col, text_col]), key_col, list(needed))
+    n_cand = cand_ds.count()
+    if broadcast is None:
+        # each pair names ≤2 docs, so this bounds the broadcast build side
+        # BEFORE anything is pulled to the driver
+        broadcast = 2 * n_cand <= JACCARD_BROADCAST_MAX_DOCS
 
     def verify(t: _pa.Table) -> _pa.Table:
         if t.num_rows == 0:
@@ -433,6 +457,12 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
         return out.filter(_pa.array(j >= threshold))
 
     if broadcast:
+        # driver pull is bounded by the auto-select ceiling above
+        keys_df = cand_ds.select_columns(["a", "b"]).to_pandas()
+        needed = pd.unique(pd.concat([keys_df["a"], keys_df["b"]],
+                                     ignore_index=True))
+        texts = joins.semi_join(
+            docs_ds.select_columns([key_col, text_col]), key_col, list(needed))
         tt = texts.to_pandas()  # ∝ candidates, NOT the corpus
         with_a = joins.broadcast_lookup(
             cand_ds, tt[key_col].to_numpy(), tt[text_col].to_numpy(), "a", "_text_a"
@@ -442,7 +472,24 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
         )
         return with_b.map_batches(verify, batch_format="pyarrow")
 
-    texts = texts.materialize()
+    # scale path: NOTHING candidate-shaped touches the driver. Prune the
+    # corpus to candidate docs with an exact Bloom semi join (distributed
+    # bitmap build + fixed-size broadcast), then two bucketed co-partition
+    # joins attach the texts.
+    from mex_extractors_ray.stages import bloom as _bloom
+
+    def _keys(side: str):
+        def _k(t: _pa.Table) -> _pa.Table:
+            return _pa.table({key_col: t[side]})
+
+        return _k
+
+    cand_keys = cand_ds.map_batches(_keys("a"), batch_format="pyarrow").union(
+        cand_ds.map_batches(_keys("b"), batch_format="pyarrow"))
+    texts = _bloom.bloom_semi_join(
+        docs_ds.select_columns([key_col, text_col]), cand_keys, on=key_col,
+        num_buckets=num_buckets,
+    ).materialize()
 
     def rename(side: str):
         def _r(t: _pa.Table) -> _pa.Table:
@@ -651,6 +698,78 @@ def simhash_near_duplicates(ds, text_col: str, key_col: str, k: int = 2,
     # same pair from several tables carries the same hamming — distributed
     # first-wins dedup on the pair id
     return exact_dedup(cand, "pair")
+
+
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 2) -> str:
+    """DuckDB mirror of :func:`simhash64`, bit-for-bit (the
+    ``string_hash_sql`` / ``fingerprint_sql`` discipline): regex word split
+    + lowercase, per-word polynomial byte hash, the k-word rolling FNV
+    combine with doc-boundary zero padding, splitmix finalizer, signed bit
+    votes (+1/−1 per shingle occurrence — duplicates COUNT, no dedup), and
+    the vote>0 bit assembly. Yields ``(doc_id, simhash UBIGINT)`` per row
+    of ``table`` (any table expression). ASCII-only contract, as
+    :func:`text.string_hash_sql`."""
+    from mex_extractors_ray.stages.text import (
+        _M64,
+        _mulmod_c_sql,
+        splitmix_sql,
+        string_hash_sql,
+    )
+
+    fnv = 1099511628211
+    word_h = string_hash_sql("(SELECT word AS kid, word AS k FROM sh_vocab)",
+                             "kid", "k")
+    # fold the k-word rolling combine: c_j = c_{j-1}*FNV + wordhash[i+j]
+    # (0 past the doc end — the kernel's boundary zero padding)
+    folds = []
+    prev = "c0"
+    for j in range(1, k):
+        folds.append(f"""
+sh_c{j} AS (
+  SELECT a.doc_id, a.i, a.nw,
+         CAST((CAST({_mulmod_c_sql(f'a.{prev}', fnv)} AS HUGEINT)
+               + coalesce(b.h, 0)) % {_M64} AS UBIGINT) AS c{j}
+  FROM sh_c{j - 1} a
+  LEFT JOIN sh_hw b ON b.doc_id = a.doc_id AND b.i = a.i + {j}
+)""")
+        prev = f"c{j}"
+    fold_sql = ("," + ",".join(folds)) if folds else ""
+    mixed = splitmix_sql("sh_sel", "doc_id", "raw", "s")
+    return f"""
+WITH sh_docs AS (
+  SELECT {id_col} AS doc_id,
+         regexp_split_to_array(lower(coalesce({text_col}, '')), '\\s+') AS w
+  FROM {table}
+),
+sh_pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS word, len(w) AS nw
+  FROM sh_docs, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+sh_vocab AS (SELECT DISTINCT word FROM sh_pos),
+sh_wh AS (SELECT * FROM ({word_h})),
+sh_hw AS (
+  SELECT p.doc_id, p.i, p.nw, v.h
+  FROM sh_pos p JOIN sh_wh v ON v.kid = p.word
+),
+sh_c0 AS (SELECT doc_id, i, nw, h AS c0 FROM sh_hw){fold_sql},
+sh_sel AS (
+  SELECT doc_id, {prev} AS raw FROM sh_c{k - 1}
+  WHERE i <= GREATEST(nw - {k - 1}, 1)
+),
+sh_mix AS ({mixed}),
+sh_bits AS (
+  SELECT doc_id, CAST(b AS INT) AS b,
+         SUM(CASE WHEN (s >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM sh_mix, UNNEST(generate_series(0, 63)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0
+                     THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                     ELSE 0 END) AS UBIGINT) AS simhash
+FROM sh_bits GROUP BY doc_id
+"""
 
 
 def hamming_candidates(sim: np.ndarray, keys: np.ndarray, max_dist: int = 3,

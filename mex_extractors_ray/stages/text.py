@@ -324,6 +324,22 @@ FROM (SELECT doc_id, MIN(mixed) AS mn FROM fp_mixed GROUP BY doc_id)
 """
 
 
+def splitmix_sql(table: str, keep_cols: str, raw_col: str = "raw",
+                 out_col: str = "h") -> str:
+    """Nested-SELECT splitmix64 finalizer chain (``hashing._mix`` mirror)
+    over ``raw_col`` (UBIGINT) of ``table``, carrying ``keep_cols`` through —
+    the shared tail of every bit-exact hash-kernel oracle
+    (``string_hash_sql`` / ``fingerprint_sql`` / ``dedup.simhash_sql``)."""
+    return f"""
+SELECT {keep_cols}, xor(m4, m4 >> 31) AS {out_col}
+FROM (SELECT {keep_cols}, {_mulmod_c_sql('m3', 0x94D049BB133111EB)} AS m4
+      FROM (SELECT {keep_cols}, xor(m2, m2 >> 27) AS m3
+            FROM (SELECT {keep_cols}, {_mulmod_c_sql('m1', 0xBF58476D1CE4E5B9)} AS m2
+                  FROM (SELECT {keep_cols}, xor({raw_col}, {raw_col} >> 30) AS m1
+                        FROM {table}))))
+"""
+
+
 def string_hash_sql(table: str, id_col: str, str_col: str,
                     out_col: str = "h") -> str:
     """DuckDB mirror of :func:`hashing.hash_string_array` (seed=0) — the
