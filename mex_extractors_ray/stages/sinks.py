@@ -202,3 +202,66 @@ def smtp_sink(rows, render, transport=None, host: str = "localhost",
         if close is not None:
             close()
     return sent
+
+
+def render_template(template: str, args: dict) -> str:
+    """Minimal ``{{ var }}`` substitution — the subset of jinja2 the
+    reference's consent template actually uses (plain variable
+    interpolation, ``consent_mailer/transform.py:64-82``); unknown
+    placeholders render empty, like jinja2's default undefined."""
+    import re
+
+    return re.sub(
+        r"\{\{\s*(\w+)\s*\}\}",
+        lambda m: str(args.get(m.group(1), "")),
+        template,
+    )
+
+
+def consent_email_renderer(config: dict, template: str,
+                           domain: str = "@rki.de",
+                           sender_display: str = "Metadata Exchange"):
+    """Row renderer mirroring the reference's consent-mail field selection
+    (``mex/extractors/consent_mailer/transform.py:15-61``):
+
+    - recipients = the person's email addresses ending in ``domain``,
+      joined with ``"; "``; a person with none yields recipient None and
+      the sink skips them (the reference returns None);
+    - ``full_name`` = first entry of the person's fullName list, default
+      ``"Mitarbeitende/r"``;
+    - subject from ``config["consent"]["subject"]``, body from the
+      template rendered with full_name + ``template_args``.
+
+    Returns a ``render(row) -> (recipient, subject, body)`` for
+    :func:`smtp_sink`. ``sender_display`` is accepted for parity with the
+    reference's From header; smtp_sink's ``sender`` carries the address.
+    """
+    subject = config["consent"]["subject"]
+    targs = dict(config["consent"].get("template_args", {}))
+
+    def render(row):
+        emails = row.get("email") or []
+        if isinstance(emails, str):
+            emails = [emails]
+        to = "; ".join(e for e in emails if e and e.endswith(domain))
+        if not to:
+            return None, None, None
+        names = row.get("fullName") or []
+        full_name = names[0] if len(names) else "Mitarbeitende/r"
+        body = render_template(template, {"full_name": full_name, **targs})
+        return to, subject, body
+
+    return render
+
+
+def persons_without_consent(persons_ds, consent_ds,
+                            person_id: str = "identifier",
+                            consent_subject: str = "hasDataSubject"):
+    """The consent-mailer's upstream filter
+    (``mex/extractors/consent_mailer/filter.py:7-25``): drop persons who
+    already consented — a broadcast anti join (the consent table is the
+    small side: ids only ship once via the closure)."""
+    from mex_extractors_ray.stages import joins
+
+    ids = [x for x in consent_ds.unique(consent_subject) if x is not None]
+    return joins.anti_join(persons_ds, person_id, ids)
