@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "urgent_lineitems",
     "dup_clusters",
     "quality_gate_docs",
+    "multi_entity_etl",
 ]
 
 

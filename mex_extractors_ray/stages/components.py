@@ -57,10 +57,21 @@ def _group_offsets(src: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndar
     return starts, gidx
 
 
+def _entry_dedup(t: pa.Table) -> pa.Table:
+    """Exact (u,v) distinct inside one u-keyed hash block. The shuffle
+    co-locates every copy of a pair (same u ⇒ same block), so an in-block
+    run-boundary mask removes ALL duplicates — this is what lets the star
+    kernels absorb the pair dedup that used to be its own shuffle
+    (2 exchanges per round instead of 4). ``t`` must be (u,v)-sorted."""
+    mask = np.logical_or(_run_starts(t["u"]), _run_starts(t["v"]))
+    return t.filter(pa.array(mask))
+
+
 def _large_star_block(g: pa.Table) -> pa.Table:
     """Large-star over one hash block of SYMMETRIZED edges keyed by src:
-    every strictly-larger neighbor of src links to min(Γ(src) ∪ {src})."""
-    t = g.sort_by([("u", "ascending"), ("v", "ascending")])
+    every strictly-larger neighbor of src links to min(Γ(src) ∪ {src}).
+    Upstream duplicates are removed at block entry (see _entry_dedup)."""
+    t = _entry_dedup(g.sort_by([("u", "ascending"), ("v", "ascending")]))
     src = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
     dst = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
     if len(src) == 0:
@@ -75,8 +86,8 @@ def _large_star_block(g: pa.Table) -> pa.Table:
 def _small_star_block(g: pa.Table) -> pa.Table:
     """Small-star over one hash block of max→min-directed edges keyed by
     src (= the larger endpoint): src and all its ≤-neighbors link to the
-    group minimum."""
-    t = g.sort_by([("u", "ascending"), ("v", "ascending")])
+    group minimum. Upstream duplicates are removed at block entry."""
+    t = _entry_dedup(g.sort_by([("u", "ascending"), ("v", "ascending")]))
     src = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
     dst = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
     if len(src) == 0:
@@ -107,19 +118,6 @@ def _self_label(col: str):
         return pa.table({"node": n, "component": n})
 
     return fn
-
-
-def _dedup_pairs(ds, num_partitions: int):
-    """Exact distinct over (u,v) pairs: hash-shuffle on u co-locates every
-    copy of a pair, then one in-block sort + run-boundary mask on BOTH
-    columns (collision-free — no hashed pair key)."""
-
-    def block(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("u", "ascending"), ("v", "ascending")])
-        mask = np.logical_or(_run_starts(t["u"]), _run_starts(t["v"]))
-        return t.filter(pa.array(mask))
-
-    return _keyed_blocks(ds, "u", block, num_partitions)
 
 
 def _edge_fingerprint(ds) -> tuple[int, int]:
@@ -171,21 +169,48 @@ def connected_components(edges, a: str = "a", b: str = "b",
     # expensive) upstream pair-mining lineage
     cur = edges.map_batches(lambda t: _canon(t, a, b),
                             batch_format="pyarrow").materialize()
-    if cur.count() == 0:
+    n_edges = cur.count()
+    if n_edges == 0:
         return ray.data.from_arrow(pa.table(
             {"node": pa.array([], pa.int64()),
              "component": pa.array([], pa.int64())}))
+    # size the exchange to the measured edge count: every round pays the
+    # shuffle's per-partition fixed cost ~4x (2 exchanges x sort/agg legs),
+    # so 64 partitions on a 100k-edge set is pure overhead. ~250k edges
+    # (a few MB) per partition; the caller's num_partitions stays the cap
+    # for genuinely large edge sets.
+    num_partitions = max(8, min(num_partitions, (n_edges // 250_000) + 8))
+    # coalesce the input: a pair-mining pipeline hands over hundreds of
+    # tiny blocks (one per upstream task), and the sort exchange's cost
+    # scales with INPUT BLOCK COUNT, not bytes — measured 28 s/round at
+    # 448 blocks vs 0.5 s/round at 16 on the same 250k edges. One cheap
+    # repartition amortizes over every round.
+    if cur.num_blocks() > 2 * num_partitions:
+        cur = cur.repartition(num_partitions).materialize()
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = bool(_os.environ.get("MEX_CC_DEBUG"))
     prev_fp = None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        _t0 = _time.time()
+        # pair dedup rides INSIDE each star block (_entry_dedup: the u-hash
+        # shuffle co-locates all copies of a pair) — 2 exchanges per round.
+        # Cross-block output duplicates survive a round boundary; the next
+        # round's entry dedup (or _min_label_block at finalize) removes
+        # them, and the fingerprint convergence test is over the multiset,
+        # which is just as much a fixpoint witness.
         large_in = cur.map_batches(sym, batch_format="pyarrow")
-        large_out = _dedup_pairs(
-            _keyed_blocks(large_in, "u", _large_star_block, num_partitions),
-            num_partitions)
+        large_out = _keyed_blocks(large_in, "u", _large_star_block,
+                                  num_partitions)
         small_in = large_out.map_batches(direct_max_min, batch_format="pyarrow")
-        cur = _dedup_pairs(
-            _keyed_blocks(small_in, "u", _small_star_block, num_partitions),
-            num_partitions).materialize()
+        cur = _keyed_blocks(small_in, "u", _small_star_block,
+                            num_partitions).materialize()
         fp = _edge_fingerprint(cur)
+        if _dbg:
+            print(f"cc round {_round}: edges={fp[0]} {_time.time() - _t0:.2f}s",
+                  file=_sys.stderr)
         if fp == prev_fp:
             break
         prev_fp = fp

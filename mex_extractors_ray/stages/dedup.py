@@ -418,10 +418,12 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
     are tiny relative to the corpus).
 
     ``broadcast=None`` (default) AUTO-SELECTS from the measured build side:
-    the distinct-doc count of the candidate set, against
-    ``JACCARD_BROADCAST_MAX_DOCS`` — at 100 TB an LSH candidate set can
+    an upper bound on the candidate-pruned text table's rows —
+    ``min(2 * pairs, corpus rows)`` — against
+    ``JACCARD_BROADCAST_MAX_DOCS``. At 100 TB an LSH candidate set can
     itself outgrow one object, and no default should quietly assume it
-    doesn't. ``True``: the candidate-pruned text table is pulled once,
+    doesn't; conversely a dense candidate set over a small corpus still
+    broadcasts only the corpus's texts. ``True``: the candidate-pruned text table is pulled once,
     ``ray.put``, and attached per batch with two ``pc.index_in`` probes —
     ZERO shuffles (right whenever candidate texts fit one object).
     ``False``: the scale path — two bucketed co-partition joins, nothing
@@ -445,9 +447,16 @@ def jaccard_verify_distributed(cand_ds, docs_ds, text_col: str, key_col: str,
         }))
     n_cand = cand_ds.count()
     if broadcast is None:
-        # each pair names ≤2 docs, so this bounds the broadcast build side
-        # BEFORE anything is pulled to the driver
-        broadcast = 2 * n_cand <= JACCARD_BROADCAST_MAX_DOCS
+        # the broadcast build side is the candidate-pruned TEXT table:
+        # bounded by 2 docs per pair AND by the corpus itself (a dense
+        # candidate set over a small corpus still broadcasts only the
+        # corpus's texts) — both bounds are known BEFORE anything is
+        # pulled to the driver (pair count + dataset count, which for a
+        # plain parquet read answers from footer metadata)
+        bound = 2 * n_cand
+        if bound > JACCARD_BROADCAST_MAX_DOCS:
+            bound = min(bound, docs_ds.count())
+        broadcast = bound <= JACCARD_BROADCAST_MAX_DOCS
 
     def verify(t: _pa.Table) -> _pa.Table:
         if t.num_rows == 0:

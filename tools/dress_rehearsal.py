@@ -23,6 +23,8 @@ import threading
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 _TUNABLES = {"MALLOC_MMAP_THRESHOLD_": "2147483648",
              "MALLOC_TRIM_THRESHOLD_": "2147483648"}
 if os.environ.get("MALLOC_MMAP_THRESHOLD_") != _TUNABLES["MALLOC_MMAP_THRESHOLD_"]:
@@ -148,6 +150,19 @@ def main() -> dict:
     sampler = RssSampler()
     sampler.start()
 
+    # ---- 0. warmup: 10% of the shards through a scratch lake, untimed —
+    # the bench.py discipline. This sandbox charges ~400 µs per FIRST-touch
+    # heap page (fresh allocations run ~10 MB/s); an unwarmed 20M-event run
+    # measures mostly page faults in worker heaps / plasma, not the engine.
+    # A real cluster's long-lived workers are permanently warm.
+    warm_lake = ROOT / "warm_lake"
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    t0 = time.time()
+    ingest_change_log(paths[: max(1, len(paths) // 10)], warm_lake,
+                      num_partitions=NUM_PARTITIONS)
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    print(f"warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
     # ---- 1. full ingest, 20M events
     lake = ROOT / "lake"
     shutil.rmtree(lake, ignore_errors=True)
@@ -218,8 +233,12 @@ def main() -> dict:
     docs = _read_pq(docs_path, columns=["doc_id", "text"])
     cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id", k=3,
                                          num_perm=64, bands=16)
+    # materialize the verified pairs ONCE: both the count and the
+    # clustering consume them, and an unmaterialized Dataset would
+    # re-execute the whole minhash+verify lineage inside CC's first round
     verified = dedup.jaccard_verify_distributed(
-        cand, docs, text_col="text", key_col="doc_id", k=3, threshold=0.8)
+        cand, docs, text_col="text", key_col="doc_id", k=3, threshold=0.8
+    ).materialize()
     n_pairs = verified.count()
     minhash_sec = time.time() - t0
     t0 = time.time()

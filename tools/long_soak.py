@@ -24,6 +24,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 _TUNABLES = {"MALLOC_MMAP_THRESHOLD_": "2147483648",
              "MALLOC_TRIM_THRESHOLD_": "2147483648"}
 if os.environ.get("MALLOC_MMAP_THRESHOLD_") != _TUNABLES["MALLOC_MMAP_THRESHOLD_"]:
@@ -86,7 +88,12 @@ def main() -> dict:
     watermarks = [lake_watermark(lake)]
     split_total = 0
     maint = {"compacts": 0, "vacuumed_files": 0}
-    live_rows_mean = max(1, EVENTS_PER_WINDOW // 2 // NUM_PARTITIONS)
+    # arm auto-split BELOW the saturated per-partition live size (~0.9 *
+    # N_DOCS / P once the doc space is fully touched) so the policy actually
+    # fires mid-lifecycle — each base partition crosses the threshold as the
+    # lake fills and splits once, and the end-of-horizon invariants then
+    # hold over a lake whose physical layout changed under the tail loop
+    split_rows_over = max(1, int(0.75 * N_DOCS / NUM_PARTITIONS))
 
     for w in range(1, WINDOWS + 1):
         seg_dir = ROOT / f"seg-{w}"
@@ -100,7 +107,7 @@ def main() -> dict:
 
         r = tail_once(log_dir, lake, num_partitions=NUM_PARTITIONS,
                       export_out=export, replica_out=replica,
-                      split_rows_over=int(3.0 * live_rows_mean))
+                      split_rows_over=split_rows_over)
         split_total += r.get("splits", 0)
         wm = lake_watermark(lake)
         assert wm >= watermarks[-1], f"watermark regressed at window {w}"
