@@ -228,9 +228,15 @@ def multi_entity_etl(sf_dir: str, out_dir: str | Path | None = None, *,
         pc.greater_equal(sup["s_acctbal"], SUPPLIER_MIN_ACCTBAL)
     )["s_suppkey"].to_pylist()
 
-    acts = extract_activities(sf_dir)
-    res = extract_resources(sf_dir, acts, allowed)
-    vgs = extract_variable_groups(res)
+    # each entity Dataset fans out to MULTIPLE consumers (the next entity's
+    # extract, its own checked load, the normalized union) — materialize
+    # once per entity or every consumer re-executes the whole upstream
+    # chain (measured 21.2 s -> ~8 s at sf0.1/32 CPUs). The pinned blocks
+    # spill under pressure; this is the standard fan-out pattern, and it is
+    # also what the reference's per-step load() boundary implies.
+    acts = extract_activities(sf_dir).materialize()
+    res = extract_resources(sf_dir, acts, allowed).materialize()
+    vgs = extract_variable_groups(res).materialize()
 
     if out_dir is not None:
         for name, ds in (("activities", acts), ("resources", res),
