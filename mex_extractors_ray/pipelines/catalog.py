@@ -893,6 +893,99 @@ def q_hopping_window(sf_dir: str):
     return hopping_window(ev, "ts", "value", WINDOW_W, WINDOW_HOP, panes=True).to_pandas()
 
 
+ATTRIB_WINDOW_S = 86_400  # 24 h click→purchase attribution window
+
+
+def q_attribution_join(sf_dir: str):
+    """Range (interval) join — custom operator (SURVEY.md §2.5: the
+    reference has no range joins): every click joined to same-user
+    purchases within the next 24 h, output = per-click conversion count.
+    One co-partition exchange, per-block lexicographic-rank match
+    (``stages/rangejoin.py``)."""
+    from mex_extractors_ray.stages.rangejoin import range_join_count
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    purchases = (ev.filter(expr="event_type == 'purchase'")
+                 .select_columns(["user_id", "ts"]))
+    out = range_join_count(clicks, purchases, "user_id", "ts", "ts",
+                           0.0, ATTRIB_WINDOW_S, out_col="n_conversions")
+    return out.select_columns(["event_id", "user_id", "n_conversions"]).to_pandas()
+
+
+def q_event_lag_gaps(sf_dir: str):
+    """lag() window function: per event, the gap to the same user's
+    previous event (µs; -1 at each user's first) — one coarse shuffle +
+    vectorized diff (``stages/sessions.keyed_lag_gaps``)."""
+    from mex_extractors_ray.stages.sessions import keyed_lag_gaps
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = keyed_lag_gaps(ev, "user_id", "ts", order_cols=("event_id",))
+    return out.select_columns(["event_id", "prev_gap_us"]).to_pandas()
+
+
+def q_order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets) over order year/month: finest level
+    from map-side partials, each coarser level re-aggregated from the next
+    finer one (``stages/aggregates.rollup_sum_count``)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            "m": pc.month(t["o_orderdate"]).cast(pa.int64()),
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()
+            ),
+        })
+
+    out = aggregates.rollup_sum_count(
+        o.map_batches(prep, batch_format="pyarrow"), ["y", "m"], "cents",
+        sum_alias="sum_c100", n_alias="n",
+    )
+    return out.to_pandas()
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_daily(sf_dir: str):
+    """Pivot (long→wide reshape): per day, one count column per event type
+    — per-batch (day, type) partials, one coarse shuffle on day, vectorized
+    scatter (``stages/aggregates.pivot_counts``)."""
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "event_type": t["event_type"],
+        })
+
+    out = aggregates.pivot_counts(
+        ev.map_batches(prep, batch_format="pyarrow"), "day", "event_type",
+        PIVOT_EVENT_TYPES,
+    )
+    return out.to_pandas()
+
+
+NEG_SAMPLES_K, NEG_SAMPLES_SEED = 4, 7
+
+
+def q_doc_negative_samples(sf_dir: str):
+    """Deterministic negative sampling (contrastive-training extension):
+    k=4 fmix64-minted negatives per document, pure function of
+    (doc_id, j, seed) — no RNG state, no shuffle, hash-checked against the
+    DuckDB HUGEINT fmix64 mirror (``stages/sampling.negative_samples``)."""
+    from mex_extractors_ray.stages.sampling import negative_samples
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return negative_samples(
+        docs, "doc_id", n_items=n, k=NEG_SAMPLES_K, seed=NEG_SAMPLES_SEED
+    ).to_pandas()
+
+
 def q_doi_urls(sf_dir: str):
     """DOI/URL builder (``mex/extractors/endnote/transform.py:109-141``):
     derive a raw identifier per doc, then the vectorized build: bare 10.*
@@ -2643,6 +2736,11 @@ _QUERY_FNS = {
         "year_rule_filter": q_year_rule_filter,
         "doi_urls": q_doi_urls,
         "asof_join": q_asof_join,
+        "attribution_join": q_attribution_join,
+        "event_lag_gaps": q_event_lag_gaps,
+        "order_rollup": q_order_rollup,
+        "events_pivot_daily": q_events_pivot_daily,
+        "doc_negative_samples": q_doc_negative_samples,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "enriched_users": q_enriched_users,
@@ -2724,6 +2822,13 @@ WHERE len(list_intersect(x.s, y.s)) >= 5
 """
     nodes_sql = "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 200"
     return components.components_sql(edges_sql, nodes_sql)
+
+
+def _negative_samples_oracle() -> str:
+    from mex_extractors_ray.stages.sampling import negative_samples_sql
+
+    return negative_samples_sql("documents", "doc_id",
+                                k=NEG_SAMPLES_K, seed=NEG_SAMPLES_SEED)
 
 
 def oracle_sql():
@@ -2892,6 +2997,37 @@ SELECT p.event_id, p.user_id,
                    AND s.ts <= p.ts), -1) AS signup_us
 FROM events p WHERE p.event_type = 'purchase'
 """,
+        "attribution_join": f"""
+SELECT c.event_id, c.user_id, CAST(COUNT(p.ts) AS BIGINT) AS n_conversions
+FROM events c LEFT JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_S} SECOND
+WHERE c.event_type = 'click'
+GROUP BY 1, 2
+""",
+        "event_lag_gaps": """
+SELECT event_id,
+       CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     -1) AS BIGINT) AS prev_gap_us
+FROM events
+""",
+        "order_rollup": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c100,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+""",
+        "events_pivot_daily": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            + ", ".join(
+                f"CAST(COUNT(*) FILTER (event_type = '{v}') AS BIGINT) AS n_{v}"
+                for v in PIVOT_EVENT_TYPES
+            )
+            + " FROM events GROUP BY 1"
+        ),
+        "doc_negative_samples": _negative_samples_oracle(),
         "tumbling_window": f"""
 SELECT CAST(floor(epoch(ts) / {WINDOW_W}) * {WINDOW_W} AS BIGINT) AS window_start,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100,

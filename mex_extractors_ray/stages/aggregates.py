@@ -95,6 +95,152 @@ def grouped_count(ds, keys: list[str] | str, alias: str = "n"):
     )
 
 
+def rollup_sum_count(ds, keys: list[str], value_col: str,
+                     sum_alias: str = "sum", n_alias: str = "n"):
+    """GROUP BY ROLLUP re-expressed Ray-Data-first: one row per prefix
+    grouping set of ``keys`` — ``(k1, …, kd)``, ``(k1, …, k(d-1), NULL)``,
+    … ``(NULL, …, NULL)`` — each carrying the sum of ``value_col`` and the
+    row count, NULLs marking rolled-up columns exactly as SQL does.
+
+    Scale shape: sum and count are re-aggregable, so only the FINEST level
+    ever touches raw rows — per-batch partials (combiner) → one groupby on
+    the full key — and every coarser level is a groupby over the NEXT
+    FINER aggregate, whose size is the distinct-combination count, not the
+    input. d extra shuffles, each over already-aggregated data; no level
+    is ever materialized on the driver."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_sum_count: need at least one key")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(keys + [value_col])
+            .group_by(keys)
+            .aggregate([(value_col, "sum"), ([], "count_all")])
+            .rename_columns(keys + ["_ps", "_pn"])
+        )
+
+    in_schema = ds.schema()
+    _sch_types = dict(zip(in_schema.names, in_schema.types))
+    key_types = {}
+    for c in keys:
+        t = _sch_types[c]
+        key_types[c] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(np.dtype(t))
+
+    def _level_table(t: pa.Table, present: list[str]) -> pa.Table:
+        """Normalize a level's aggregate to the full output schema, typed
+        nulls for the rolled-up key columns."""
+        n = t.num_rows
+        cols = {}
+        for c in keys:
+            cols[c] = t[c].cast(key_types[c]) if c in present else pa.nulls(n, key_types[c])
+        cols[sum_alias] = t["_ps"]
+        cols[n_alias] = t["_pn"]
+        return pa.table(cols)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys[0] if len(keys) == 1 else keys)
+        .aggregate(Sum("_ps", alias_name="_s"), Sum("_pn", alias_name="_n"))
+        .map_batches(
+            lambda t: t.rename_columns(keys + ["_ps", "_pn"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    levels = [finest.map_batches(lambda t: _level_table(t, keys),
+                                 batch_format="pyarrow")]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            nxt = (
+                cur.groupby(sub[0] if len(sub) == 1 else sub)
+                .aggregate(Sum("_ps", alias_name="_s"), Sum("_pn", alias_name="_n"))
+                .map_batches(
+                    lambda t, _sub=tuple(sub): t.rename_columns(list(_sub) + ["_ps", "_pn"]),
+                    batch_format="pyarrow",
+                )
+            )
+        else:
+            # grand total: constant-key groupby keeps it a Dataset (no
+            # driver materialization), one row out
+            nxt = (
+                cur.map_batches(
+                    lambda t: t.append_column("_g", pa.array([0] * t.num_rows, pa.int8())),
+                    batch_format="pyarrow",
+                )
+                .groupby("_g")
+                .aggregate(Sum("_ps", alias_name="_s"), Sum("_pn", alias_name="_n"))
+                .map_batches(
+                    lambda t: t.drop_columns(["_g"]).rename_columns(["_ps", "_pn"]),
+                    batch_format="pyarrow",
+                )
+            )
+        cur = nxt
+        levels.append(nxt.map_batches(
+            lambda t, _sub=tuple(sub): _level_table(t, list(_sub)),
+            batch_format="pyarrow",
+        ))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
+                 alias_fmt: str = "n_{}", num_partitions: int = 64):
+    """Pivot (long → wide reshape): one row per ``row_key``, one int64
+    count column per value of ``col_key`` (the bounded, caller-declared
+    ``col_values`` — a pivot's output schema must be static; values outside
+    the list are dropped, the SQL conditional-aggregation convention).
+
+    Scale shape: per-batch ``group_by(row, col)`` count partials (the
+    shuffle ships one row per (row, col) pair per batch, never raw rows),
+    ONE coarse hash shuffle on ``row_key``, then a vectorized scatter per
+    block (one ``np.add.at`` per declared column). No per-key dispatch; at
+    100 TB the width is bounded by ``col_values``, the row count by the
+    ``row_key`` cardinality — both aggregate-scale, not input-scale."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select([row_key, col_key])
+            .group_by([row_key, col_key])
+            .aggregate([([], "count_all")])
+            .rename_columns([row_key, col_key, "_pn"])
+        )
+
+    def block(g: pa.Table) -> pa.Table:
+        kt = g[row_key].type
+        if g.num_rows == 0:
+            cols = {row_key: pa.array([], kt)}
+            for v in col_values:
+                cols[alias_fmt.format(v)] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t = g.sort_by([(row_key, "ascending")])
+        starts = _run_starts(t[row_key])
+        gidx = np.cumsum(starts) - 1  # group ordinal per row
+        start_idx = np.flatnonzero(starts)
+        n_groups = len(start_idx)
+        cvals = t[col_key].combine_chunks()
+        pn = np.asarray(t["_pn"].combine_chunks(), dtype=np.int64)
+        cols = {row_key: t[row_key].take(pa.array(start_idx))}
+        for v in col_values:
+            acc = np.zeros(n_groups, dtype=np.int64)
+            mask = pc.equal(cvals, v).fill_null(False).to_numpy(zero_copy_only=False)
+            np.add.at(acc, gidx[mask], pn[mask])
+            cols[alias_fmt.format(v)] = pa.array(acc)
+        return pa.table(cols)
+
+    return _keyed_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"), row_key, block, num_partitions
+    )
+
+
 def keyed_topk(ds, key: str, order_by: list[tuple[str, str]], k: int,
                rank_col: str = "rank", num_partitions: int = 64):
     """Top-k rows per key under an explicit deterministic ordering — the

@@ -48,3 +48,65 @@ def stratified_sample(ds, stratum_col: str, key_col: str,
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def negative_samples(ds, id_col: str, n_items: int, k: int, seed: int = 0,
+                     j_col: str = "j", out_col: str = "neg_id"):
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random negative item ids per anchor row, a pure function of
+    ``(anchor id, j, seed)`` — re-runs, resumed shards and the SQL oracle
+    all mint the identical negatives (the ``epoch_shuffle`` fmix64
+    discipline; no RNG state anywhere).
+
+    ``neg = fmix64((id·k + j) XOR salt) mod n_items``, bumped by one
+    (mod n) on self-collision. ``n_items`` is the corpus size — at scale a
+    manifest/footer constant, never a driver scan. One streaming
+    ``map_batches`` pass, no shuffle; output is k rows per anchor
+    (``id_col``, ``j_col``, ``out_col``). Items must be densely ided
+    0..n_items-1 (the standard embedding-table layout); for sparse ids,
+    sample a dense ordinal and translate through the id map."""
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+    if k <= 0 or n_items <= 1:
+        raise ValueError(f"negative_samples: need k>0, n_items>1 (got {k}, {n_items})")
+
+    def mint(t: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+            dtype=np.int64,
+        )
+        n = len(ids)
+        anchors = np.repeat(ids, k)
+        j = np.tile(np.arange(k, dtype=np.int64), n)
+        base = anchors.astype(np.uint64) * np.uint64(k) + j.astype(np.uint64)
+        neg = (shuffle_keys(base, seed, 0) % np.uint64(n_items)).astype(np.int64)
+        hit = neg == anchors
+        neg[hit] = (neg[hit] + 1) % n_items
+        return pa.table({
+            id_col: pa.array(anchors), j_col: pa.array(j), out_col: pa.array(neg),
+        })
+
+    return ds.map_batches(mint, batch_format="pyarrow")
+
+
+def negative_samples_sql(table: str, id_col: str, k: int, seed: int = 0,
+                         j_col: str = "j", out_col: str = "neg_id") -> str:
+    """DuckDB mirror of ``negative_samples`` (fmix64 via the split-multiply
+    HUGEINT arithmetic of ``epoch_shuffle_sql``); ``n_items`` = COUNT(*) of
+    the same table, matching the footer-count the Ray side uses."""
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    base = (f"(SELECT {id_col}, CAST(t.j AS BIGINT) AS {j_col}, "
+            f"CAST({id_col} AS UBIGINT) * {k} + CAST(t.j AS UBIGINT) AS _nsbase "
+            f"FROM {table} CROSS JOIN range({k}) t(j))")
+    keyed = epoch_shuffle_sql(base, "_nsbase", seed, 0, out_col="_nskey")
+    return f"""
+SELECT {id_col}, {j_col},
+       CAST(CASE WHEN m = CAST({id_col} AS UBIGINT)
+                 THEN (m + 1) % CAST(n AS UBIGINT) ELSE m END AS BIGINT) AS {out_col}
+FROM (SELECT {id_col}, {j_col},
+             _nskey % CAST((SELECT COUNT(*) FROM {table}) AS UBIGINT) AS m,
+             (SELECT COUNT(*) FROM {table}) AS n
+      FROM {keyed})
+"""

@@ -90,3 +90,34 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float,
         })
 
     return _keyed_blocks(ds, key, block, num_partitions)
+
+
+def keyed_lag_gaps(ds, key: str, ts_col: str, order_cols: tuple[str, ...] = (),
+                   out_col: str = "prev_gap_us", num_partitions: int = 64):
+    """``lag()``-family window function re-expressed Ray-Data-first: per
+    row, the gap (microseconds) to the SAME key's previous event in time
+    order, ``-1`` for a key's first event.
+
+    SQL equivalent: ``ts - lag(ts) OVER (PARTITION BY key ORDER BY ts,
+    order_cols)``. Scale shape is identical to ``sessionize``: ONE coarse
+    hash shuffle on the key, then per block one Arrow sort + one numpy
+    diff masked at key run starts — no per-key dispatch, no row loop.
+    Output = every input column (block-sorted) plus ``out_col``."""
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        sort_keys = [(key, "ascending"), (ts_col, "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        t = g.sort_by(sort_keys)
+        us = _epoch_us(t[ts_col])
+        new_key = _run_starts(t[key])
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = -1
+        gaps[1:] = us[1:] - us[:-1]
+        gaps[new_key] = -1
+        return t.append_column(out_col, pa.array(gaps))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
