@@ -969,6 +969,19 @@ def q_events_pivot_daily(sf_dir: str):
     return out.to_pandas()
 
 
+def q_doc_rank_quartiles(sf_dir: str):
+    """rank() + NTILE(4) window functions per source over doc length
+    (quality-tiering for training mixes) — tie-aware rank, exact SQL NTILE
+    fill rule (``stages/aggregates.keyed_rank_ntile``)."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"])
+    out = aggregates.keyed_rank_ntile(
+        docs, "source", "n_chars", tie_col="doc_id",
+        descending=True, tiles=4, tile_alias="quartile",
+    )
+    return out.select_columns(["doc_id", "source", "rnk", "quartile"]).to_pandas()
+
+
 NEG_SAMPLES_K, NEG_SAMPLES_SEED = 4, 7
 
 
@@ -1257,6 +1270,59 @@ def q_dup_cluster_sizes(sf_dir: str):
 
     out = dedup._keyed_blocks(labels, "component", sizes, num_partitions=16).to_pandas()
     return out.sort_values("component").reset_index(drop=True)
+
+
+PAGERANK_ITERS = 5
+
+
+def q_doc_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the near-dup n-gram graph —
+    iterative distributed message passing (2 exchanges/round,
+    ``stages/pagerank.py``), bit-identical to the unrolled SQL recurrence:
+    graph importance as a doc-quality signal for training mixes."""
+    from mex_extractors_ray.stages import pagerank
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 200"
+    )
+    edges = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=5)
+    out = pagerank.pagerank_int(
+        edges, docs.select_columns(["doc_id"]), a="a", b="b",
+        node_col="doc_id", iters=PAGERANK_ITERS, num_partitions=16,
+    ).to_pandas()
+    return out.astype({"node": "int64", "rank": "int64"}) \
+              .sort_values("node").reset_index(drop=True)
+
+
+def q_canonical_docs(sf_dir: str):
+    """Canonical-representative selection per duplicate cluster — the step
+    that turns dup CLUSTERS into a deduped corpus: keep the longest doc
+    (tie: min doc_id) of every component. Composition: hash-checked n-gram
+    edges → distributed CC labels → bucketed join to doc lengths →
+    distributed per-key top-1 (``aggregates.keyed_topk``). Every stage is
+    edge/label-scale, never corpus-materializing."""
+    from mex_extractors_ray.stages import components
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "n_chars"]).filter(expr="doc_id < 200")
+    edges = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=5)
+    labels = components.component_labels(
+        edges, docs.select_columns(["doc_id"]), a="a", b="b",
+        node_col="doc_id", num_partitions=16,
+    ).map_batches(
+        lambda t: t.select(["node", "component"]).rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow",
+    )
+    lengths = docs.select_columns(["doc_id", "n_chars"])
+    joined = joins.bucketed_join(labels, lengths, on="doc_id", num_buckets=16)
+    keep = aggregates.keyed_topk(
+        joined, "component",
+        order_by=[("n_chars", "descending"), ("doc_id", "ascending")], k=1,
+        num_partitions=16,
+    )
+    out = keep.select_columns(["component", "doc_id", "n_chars"]).to_pandas()
+    return out.astype({"component": "int64", "doc_id": "int64", "n_chars": "int64"}) \
+              .sort_values("component").reset_index(drop=True)
 
 
 def q_simhash_near_dups(sf_dir: str):
@@ -2663,6 +2729,8 @@ _SORT_STRATEGY_ONLY = {
     "ngram_overlap_pairs",
     "dup_clusters",
     "dup_cluster_sizes",
+    "canonical_docs",
+    "doc_pagerank",
     "simhash_near_dups",
     "embedding_near_dups",
     "embedding_near_dups_exact",
@@ -2741,6 +2809,7 @@ _QUERY_FNS = {
         "order_rollup": q_order_rollup,
         "events_pivot_daily": q_events_pivot_daily,
         "doc_negative_samples": q_doc_negative_samples,
+        "doc_rank_quartiles": q_doc_rank_quartiles,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "enriched_users": q_enriched_users,
@@ -2753,6 +2822,8 @@ _QUERY_FNS = {
         "ngram_overlap_pairs": q_ngram_overlap_pairs,
         "dup_clusters": q_dup_clusters,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "canonical_docs": q_canonical_docs,
+        "doc_pagerank": q_doc_pagerank,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2822,6 +2893,30 @@ WHERE len(list_intersect(x.s, y.s)) >= 5
 """
     nodes_sql = "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 200"
     return components.components_sql(edges_sql, nodes_sql)
+
+
+_NGRAM_EDGES_SQL = """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM d
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.s, y.s)) >= 5
+"""
+
+
+def _pagerank_oracle() -> str:
+    from mex_extractors_ray.stages.pagerank import pagerank_sql
+
+    return pagerank_sql(
+        _NGRAM_EDGES_SQL,
+        "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 200",
+        iters=PAGERANK_ITERS,
+    )
 
 
 def _negative_samples_oracle() -> str:
@@ -3028,6 +3123,12 @@ FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
             + " FROM events GROUP BY 1"
         ),
         "doc_negative_samples": _negative_samples_oracle(),
+        "doc_rank_quartiles": """
+SELECT doc_id, source,
+       CAST(rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS BIGINT) AS rnk,
+       CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS quartile
+FROM documents
+""",
         "tumbling_window": f"""
 SELECT CAST(floor(epoch(ts) / {WINDOW_W}) * {WINDOW_W} AS BIGINT) AS window_start,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c100,
@@ -3125,6 +3226,16 @@ FROM scored QUALIFY rank <= 10
 SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM ({_components_oracle()}) lab
 GROUP BY component HAVING COUNT(*) > 1
+""",
+        "doc_pagerank": _pagerank_oracle(),
+        "canonical_docs": f"""
+SELECT component, CAST(node AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT lab.component, lab.node, d.n_chars,
+         row_number() OVER (PARTITION BY lab.component
+                            ORDER BY d.n_chars DESC, lab.node) AS rn
+  FROM ({_components_oracle()}) lab JOIN documents d ON d.doc_id = lab.node
+) WHERE rn = 1
 """,
         "lang_id": text.langid_sql(),
         "doc_fingerprints": text.fingerprint_sql(),

@@ -191,6 +191,56 @@ def rollup_sum_count(ds, keys: list[str], value_col: str,
     return out
 
 
+def keyed_rank_ntile(ds, key: str, value_col: str, tie_col: str,
+                     descending: bool = True, tiles: int = 4,
+                     rank_alias: str = "rnk", tile_alias: str = "tile",
+                     num_partitions: int = 64):
+    """rank() and NTILE(n) window functions per key, re-expressed
+    Ray-Data-first: ONE coarse hash shuffle on the key, then per block one
+    Arrow sort + run-boundary masks — no per-key dispatch.
+
+    ``rank`` is tie-aware over ``value_col`` alone (equal values share a
+    rank, the next rank skips — SQL rank() semantics); ``tile`` follows
+    SQL NTILE's exact fill rule (first ``cnt % n`` tiles get one extra
+    row) under the total order ``(value_col, tie_col)``, so both outputs
+    are deterministic. Output = input columns + the two int64 columns."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    order = "descending" if descending else "ascending"
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(rank_alias, pa.array([], pa.int64())) \
+                    .append_column(tile_alias, pa.array([], pa.int64()))
+        t = g.sort_by([(key, "ascending"), (value_col, order), (tie_col, "ascending")])
+        new_key = _run_starts(t[key])
+        key_starts = np.flatnonzero(new_key)
+        key_counts = np.diff(np.append(key_starts, n))
+        # 0-based ordinal within the key
+        ordinal = np.arange(n, dtype=np.int64) - np.repeat(key_starts, key_counts)
+        # tie-aware rank: ordinal of the first row of this (key, value) run
+        new_val = new_key | _run_starts(t[value_col])
+        val_starts = np.flatnonzero(new_val)
+        val_counts = np.diff(np.append(val_starts, n))
+        rnk = np.repeat(ordinal[val_starts], val_counts) + 1
+        # NTILE fill rule over the per-key ordinal
+        cnt = np.repeat(key_counts, key_counts)
+        size, rem = cnt // tiles, cnt % tiles
+        big_span = rem * (size + 1)
+        in_big = ordinal < big_span
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big,
+                ordinal // np.maximum(size + 1, 1),
+                rem + np.where(size > 0, (ordinal - big_span) // np.maximum(size, 1), 0),
+            ) + 1
+        return t.append_column(rank_alias, pa.array(rnk.astype(np.int64))) \
+                .append_column(tile_alias, pa.array(tile.astype(np.int64)))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
                  alias_fmt: str = "n_{}", num_partitions: int = 64):
     """Pivot (long → wide reshape): one row per ``row_key``, one int64

@@ -1,0 +1,179 @@
+"""Integer fixed-point PageRank — iterative weighted message passing over
+an edge list, the graph-analytics companion to ``stages/components.py``
+(which settles membership; this settles IMPORTANCE — canonical-doc
+selection, crawl prioritization, citation weighting over near-dup graphs).
+
+The reference has no graph operators at all; this is a training-data /
+web-corpus extension.
+
+Exactness discipline: all arithmetic is int64 fixed-point —
+``r_{t+1}(v) = base + Σ_{u→v} (r_t(u)·damping_pct) // (100·deg(u))`` with
+``base = scale·(100−damping_pct)//100`` and floor division — so a
+distributed run, a re-run, and the DuckDB oracle (``pagerank_sql``,
+iterations unrolled) agree BIT-FOR-BIT: integer sums are order-independent,
+unlike float PageRank where the reduction order perturbs low bits.
+(The deliberate trade: per-edge floor drops ≤1 unit of mass per edge per
+round — this computes a defined integer recurrence, not IEEE PageRank;
+pick ``scale`` ≫ max degree so the truncation is negligible.)
+
+Scale shape (the CC lessons applied): edges are symmetrized, degree-
+annotated ONCE (two exchanges before the loop), coalesced to
+edge-count-sized partitions; each round is exactly 2 exchanges — one
+co-partition of (ranks ∪ edges) on the source node (in-block vectorized
+``index_in`` probe → per-edge contribution), one groupby-sum on the
+destination — with a ``materialize()`` per round to cut lineage. Driver
+state is O(1); ranks/edges never leave the object store. Overflow bound:
+``n_nodes·scale·damping_pct`` must fit int64 — the default ``scale=10**9``
+holds to ~10^8 nodes; shrink scale as the graph grows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mex_extractors_ray.stages.dedup import _keyed_blocks
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.int64())])
+
+
+def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
+                 node_col: str = "node", iters: int = 5,
+                 damping_pct: int = 85, scale: int = 10**9,
+                 num_partitions: int = 64):
+    """PageRank over the UNDIRECTED (a, b) edge list (each pair walks both
+    ways), every row of ``nodes`` ranked (isolated nodes settle at the
+    teleport base). Returns int64 columns ``(node, rank)`` after exactly
+    ``iters`` synchronous rounds from ``r_0 = scale``."""
+    import ray.data
+
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"pagerank_int: damping_pct must be in (0,100), got {damping_pct}")
+    base = scale * (100 - damping_pct) // 100
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t[a].combine_chunks().cast(pa.int64())
+        v = t[b].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.chunked_array([u, v]).combine_chunks(),
+                         "dst": pa.chunked_array([v, u]).combine_chunks()})
+
+    def count_deg(g: pa.Table) -> pa.Table:
+        from mex_extractors_ray.stages.dedup import _run_starts
+
+        t = g.sort_by([("src", "ascending"), ("dst", "ascending")])
+        starts = _run_starts(t["src"])
+        idx = np.flatnonzero(starts)
+        deg = np.diff(np.append(idx, t.num_rows))
+        return t.append_column("deg", pa.array(
+            np.repeat(deg, deg).astype(np.int64)))
+
+    # one-time prep: symmetrize + per-source degree (the src co-partition
+    # doubles as the degree computation — deg is a run length); coalesce to
+    # edge-count-sized partitions so per-round exchange cost tracks data,
+    # not block count (the CC input-block-count lesson, BASELINE.md r4)
+    edges_deg = _keyed_blocks(
+        edges.map_batches(sym, batch_format="pyarrow"), "src", count_deg,
+        num_partitions,
+    ).materialize()
+    n_edges = edges_deg.count()
+    parts = max(2, min(num_partitions, (n_edges // 250_000) + 2))
+    if n_edges:
+        edges_deg = edges_deg.repartition(parts).materialize()
+
+    node_ids = nodes.map_batches(
+        lambda t: pa.table({"node": t[node_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = node_ids.map_batches(
+        lambda t: t.append_column("rank", pa.array(
+            np.full(t.num_rows, scale, dtype=np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    rank_sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                          ("deg", pa.int64()), ("rank", pa.int64()),
+                          ("_side", pa.string())])
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src": t["node"], "dst": pa.nulls(n, pa.int64()),
+            "deg": pa.nulls(n, pa.int64()), "rank": t["rank"],
+            "_side": pa.array(["r"] * n),
+        }, schema=rank_sch)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src": t["src"], "dst": t["dst"], "deg": t["deg"],
+            "rank": pa.nulls(n, pa.int64()),
+            "_side": pa.array(["e"] * n),
+        }, schema=rank_sch)
+
+    def contribs(g: pa.Table) -> pa.Table:
+        side = g["_side"]
+        r = g.filter(pc.equal(side, "r"))
+        e = g.filter(pc.equal(side, "e"))
+        if e.num_rows == 0 or r.num_rows == 0:
+            return pa.table({"dst": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        pos = pc.index_in(e["src"], r["src"].combine_chunks())
+        rv = np.asarray(r["rank"].combine_chunks(), dtype=np.int64)
+        ridx = np.asarray(pos.combine_chunks(), dtype=np.int64)
+        deg = np.asarray(e["deg"].combine_chunks(), dtype=np.int64)
+        c = (rv[ridx] * damping_pct) // (100 * deg)
+        return pa.table({"dst": e["dst"], "c": pa.array(c)})
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iters):
+        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow").union(
+            edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
+        msg = _keyed_blocks(tagged, "src", contribs, parts)
+        # keep every node present through the sum: a zero-contribution row
+        # per node (isolated / no in-edge nodes settle at the base)
+        zero = node_ids.map_batches(
+            lambda t: pa.table({"dst": t["node"],
+                                "c": pa.array(np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow",
+        )
+        summed = msg.union(zero).groupby("dst").aggregate(Sum("c", alias_name="s"))
+        ranks = summed.map_batches(
+            lambda t: pa.table({
+                "node": t["dst"],
+                "rank": pc.add(t["s"].combine_chunks().cast(pa.int64()), base),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, nodes_sql: str, a: str = "a", b: str = "b",
+                 node_col: str = "node", iters: int = 5,
+                 damping_pct: int = 85, scale: int = 10**9) -> str:
+    """DuckDB mirror of ``pagerank_int`` — the ``iters`` synchronous rounds
+    unrolled as chained CTEs (aggregation in a recursive term is not
+    portable SQL), identical integer recurrence, bit-identical output."""
+    base = scale * (100 - damping_pct) // 100
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+sym AS (SELECT CAST({a} AS BIGINT) AS src, CAST({b} AS BIGINT) AS dst FROM e0
+        UNION ALL
+        SELECT CAST({b} AS BIGINT), CAST({a} AS BIGINT) FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+nd AS (SELECT CAST({node_col} AS BIGINT) AS node FROM ({nodes_sql})),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nd)"""]
+    for i in range(iters):
+        parts.append(f""",
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank
+  FROM nd n LEFT JOIN (
+    SELECT s.dst AS node,
+           SUM((r.rank * {damping_pct}) // (100 * d.deg)) AS s
+    FROM sym s JOIN deg d USING (src) JOIN r{i} r ON r.node = s.src
+    GROUP BY s.dst) c USING (node))""")
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)
