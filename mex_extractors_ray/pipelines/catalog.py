@@ -914,6 +914,36 @@ def q_attribution_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "n_conversions"]).to_pandas()
 
 
+ROLLING_WINDOW_S = 7 * 86_400  # trailing 7-day per-user spend window
+
+
+def q_rolling_spend_7d(sf_dir: str):
+    """Per-key rolling windowed aggregate (SQL RANGE frame): per purchase,
+    the same user's trailing-7-day purchase spend (cents) and count,
+    current row included — one co-partition exchange + per-block prefix
+    sums at the window boundary ranks (``stages/rangejoin.range_join_sum``)."""
+    from mex_extractors_ray.stages.rangejoin import range_join_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+            ),
+        })
+
+    p = purchases.map_batches(prep, batch_format="pyarrow")
+    left = p.select_columns(["event_id", "user_id", "ts"])
+    right = p.select_columns(["user_id", "ts", "cents"])
+    out = range_join_sum(left, right, "user_id", "ts", "ts",
+                         -float(ROLLING_WINDOW_S), 0.0, value_col="cents")
+    return out.select_columns(["event_id", "user_id", "win_sum", "win_n"]).to_pandas()
+
+
 def q_event_lag_gaps(sf_dir: str):
     """lag() window function: per event, the gap to the same user's
     previous event (µs; -1 at each user's first) — one coarse shuffle +
@@ -2805,6 +2835,7 @@ _QUERY_FNS = {
         "doi_urls": q_doi_urls,
         "asof_join": q_asof_join,
         "attribution_join": q_attribution_join,
+        "rolling_spend_7d": q_rolling_spend_7d,
         "event_lag_gaps": q_event_lag_gaps,
         "order_rollup": q_order_rollup,
         "events_pivot_daily": q_events_pivot_daily,
@@ -3099,6 +3130,17 @@ FROM events c LEFT JOIN events p
  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_S} SECOND
 WHERE c.event_type = 'click'
 GROUP BY 1, 2
+""",
+        "rolling_spend_7d": f"""
+SELECT event_id, user_id,
+       CAST(SUM(cents) OVER w AS BIGINT) AS win_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {ROLLING_WINDOW_S * 1_000_000 - 1} PRECEDING
+                       AND CURRENT ROW)
 """,
         "event_lag_gaps": """
 SELECT event_id,

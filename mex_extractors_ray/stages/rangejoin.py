@@ -149,6 +149,56 @@ def range_join_count(left, right, key: str, left_ts: str, right_ts: str,
     return grouped.map_groups(run, batch_format="pyarrow")
 
 
+def range_join_sum(left, right, key: str, left_ts: str, right_ts: str,
+                   lo_s: float, hi_s: float, value_col: str,
+                   sum_col: str = "win_sum", count_col: str = "win_n",
+                   num_partitions: int = 64):
+    """Per left row: sum + count of the right side's int64 ``value_col``
+    over the same-key window ``(left_ts + lo_s, left_ts + hi_s]`` — the
+    distributed form of SQL's ``SUM(v) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN … PRECEDING AND CURRENT ROW)`` when left == right and
+    ``lo_s < 0 ≤ hi_s`` (a RANGE frame takes ALL ties of the current
+    timestamp, exactly this window's inclusive-hi behavior).
+
+    Same single-exchange shape as ``range_join_count``; the per-block sum
+    is an O(R) prefix-sum over the (key, ts)-sorted right side indexed at
+    the two boundary ranks — integer math, so distributed and SQL runs
+    agree bit-for-bit."""
+    if hi_s < lo_s:
+        raise ValueError(f"range_join_sum: hi_s={hi_s} < lo_s={lo_s}")
+    lo_us, hi_us = int(round(lo_s * 1e6)), int(round(hi_s * 1e6))
+    both, left_cols, _ = _prepare_union(left, right, key, num_partitions)
+
+    def block(g: pa.Table) -> pa.Table:
+        side = g["_side"]
+        l = g.filter(pc.equal(side, "l")).select(left_cols)
+        r = g.filter(pc.equal(side, "r"))
+        sums = np.zeros(l.num_rows, dtype=np.int64)
+        counts = np.zeros(l.num_rows, dtype=np.int64)
+        if l.num_rows and r.num_rows:
+            lu, ru = _key_codes(l[key], r[key])
+            lt = _epoch_us(l[left_ts])
+            rt = _epoch_us(r[right_ts])
+            r_order = np.lexsort((rt, ru))
+            rv = np.asarray(r[value_col].combine_chunks(), dtype=np.int64)[r_order]
+            pref = np.concatenate([[0], np.cumsum(rv)])
+            lo_rank, hi_rank = _window_ranks(lu, lt, ru[r_order], rt[r_order],
+                                             lo_us, hi_us)
+            sums = pref[hi_rank] - pref[lo_rank]
+            counts = hi_rank - lo_rank
+        return l.append_column(sum_col, pa.array(sums)) \
+                .append_column(count_col, pa.array(counts))
+
+    def run(g: pa.Table) -> pa.Table:
+        return block(g.drop_columns(["_bucket"]))
+
+    try:
+        grouped = both.groupby("_bucket", num_partitions=num_partitions)
+    except TypeError:
+        grouped = both.groupby("_bucket")
+    return grouped.map_groups(run, batch_format="pyarrow")
+
+
 def range_join(left, right, key: str, left_ts: str, right_ts: str,
                lo_s: float, hi_s: float, right_suffix: str = "_r",
                num_partitions: int = 64):

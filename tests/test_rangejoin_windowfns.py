@@ -94,6 +94,31 @@ def test_range_join_pairs_vs_brute_force_string_keys(ray_session):
     assert {"lid", "k", "ts", "ts_r", "rid"} <= set(pairs.columns)
 
 
+def test_range_join_sum_rolling_self_window(ray_session):
+    # left == right, window (ts-100s, ts]: the SQL RANGE frame semantics
+    rng = np.random.default_rng(2)
+    rows = [
+        {"eid": i, "k": int(rng.integers(0, 5)),
+         "ts": _t(int(rng.integers(0, 500))), "v": int(rng.integers(1, 50))}
+        for i in range(150)
+    ]
+    from mex_extractors_ray.stages.rangejoin import range_join_sum
+
+    left = _ds([{"eid": r["eid"], "k": r["k"], "ts": r["ts"]} for r in rows])
+    right = _ds([{"k": r["k"], "ts": r["ts"], "v": r["v"]} for r in rows])
+    out = (
+        range_join_sum(left, right, "k", "ts", "ts", -100.0, 0.0, value_col="v",
+                       num_partitions=4)
+        .to_pandas().set_index("eid")
+    )
+    for row in rows:
+        want = [r["v"] for r in rows
+                if r["k"] == row["k"]
+                and row["ts"] - pd.Timedelta(seconds=100) < r["ts"] <= row["ts"]]
+        assert out.loc[row["eid"], "win_sum"] == sum(want)
+        assert out.loc[row["eid"], "win_n"] == len(want)
+
+
 def test_range_join_empty_right(ray_session):
     left = [{"lid": 1, "k": 1, "ts": _t(0)}]
     right = [{"k": 2, "ts": _t(0), "rid": 9}]  # no key overlap
