@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "dup_clusters",
     "quality_gate_docs",
     "multi_entity_etl",
+    "attribution_join",
+    "rolling_spend_7d",
+    "order_rollup",
+    "doc_pagerank",
 ]
 
 

@@ -78,13 +78,22 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
     ).materialize()
     n_edges = edges_deg.count()
     parts = max(2, min(num_partitions, (n_edges // 250_000) + 2))
-    if n_edges:
-        edges_deg = edges_deg.repartition(parts).materialize()
 
     node_ids = nodes.map_batches(
         lambda t: pa.table({"node": t[node_col].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(parts).materialize()
+
+    if n_edges == 0:
+        # closed form: with no edges every node holds exactly the teleport
+        # base from round 1 on (r0 = scale) — skip the exchange loop
+        fixpoint = base if iters >= 1 else scale
+        return node_ids.map_batches(
+            lambda t: t.append_column("rank", pa.array(
+                np.full(t.num_rows, fixpoint, dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+    edges_deg = edges_deg.repartition(parts).materialize()
 
     ranks = node_ids.map_batches(
         lambda t: t.append_column("rank", pa.array(
@@ -116,15 +125,21 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
         side = g["_side"]
         r = g.filter(pc.equal(side, "r"))
         e = g.filter(pc.equal(side, "e"))
+        # one zero message per rank row keeps every node present through
+        # the dst-sum (fused here instead of a separate per-round union —
+        # the rank rows already sit in this block)
+        zeros = pa.table({
+            "dst": r["src"],
+            "c": pa.array(np.zeros(r.num_rows, dtype=np.int64)),
+        })
         if e.num_rows == 0 or r.num_rows == 0:
-            return pa.table({"dst": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64())})
+            return zeros
         pos = pc.index_in(e["src"], r["src"].combine_chunks())
         rv = np.asarray(r["rank"].combine_chunks(), dtype=np.int64)
         ridx = np.asarray(pos.combine_chunks(), dtype=np.int64)
         deg = np.asarray(e["deg"].combine_chunks(), dtype=np.int64)
         c = (rv[ridx] * damping_pct) // (100 * deg)
-        return pa.table({"dst": e["dst"], "c": pa.array(c)})
+        return pa.concat_tables([pa.table({"dst": e["dst"], "c": pa.array(c)}), zeros])
 
     from ray.data.aggregate import Sum
 
@@ -132,21 +147,27 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow").union(
             edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
         msg = _keyed_blocks(tagged, "src", contribs, parts)
-        # keep every node present through the sum: a zero-contribution row
-        # per node (isolated / no in-edge nodes settle at the base)
-        zero = node_ids.map_batches(
-            lambda t: pa.table({"dst": t["node"],
-                                "c": pa.array(np.zeros(t.num_rows, np.int64))}),
-            batch_format="pyarrow",
-        )
-        summed = msg.union(zero).groupby("dst").aggregate(Sum("c", alias_name="s"))
+        # bound the aggregate's output blocks to the edge-sized partition
+        # count: left unbounded it emits hundreds of tiny blocks and the
+        # next round's sort exchange pays per-block cost (the CC
+        # input-block-count lesson, BASELINE.md round 4)
+        try:
+            grouped = msg.groupby("dst", num_partitions=parts)
+            coalesce = False
+        except TypeError:
+            grouped = msg.groupby("dst")
+            coalesce = True
+        summed = grouped.aggregate(Sum("c", alias_name="s"))
         ranks = summed.map_batches(
             lambda t: pa.table({
                 "node": t["dst"],
                 "rank": pc.add(t["s"].combine_chunks().cast(pa.int64()), base),
             }),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        if coalesce:
+            ranks = ranks.repartition(parts)
+        ranks = ranks.materialize()
     return ranks
 
 
