@@ -84,22 +84,54 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
         batch_format="pyarrow",
     ).repartition(parts).materialize()
 
-    if n_edges == 0:
-        # closed form: with no edges every node holds exactly the teleport
-        # base from round 1 on (r0 = scale) — skip the exchange loop
-        fixpoint = base if iters >= 1 else scale
-        return node_ids.map_batches(
-            lambda t: t.append_column("rank", pa.array(
-                np.full(t.num_rows, fixpoint, dtype=np.int64))),
-            batch_format="pyarrow",
-        )
+    def _const_rank(value: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column("rank", pa.array(
+                np.full(t.num_rows, value, dtype=np.int64)))
+
+        return _f
+
+    if n_edges == 0 or iters == 0:
+        # closed forms: with no edges every node holds exactly the teleport
+        # base from round 1 on (r0 = scale); with no rounds everyone is r0
+        fixpoint = base if (iters >= 1 and n_edges == 0) else scale
+        return node_ids.map_batches(_const_rank(fixpoint), batch_format="pyarrow")
     edges_deg = edges_deg.repartition(parts).materialize()
 
-    ranks = node_ids.map_batches(
-        lambda t: t.append_column("rank", pa.array(
-            np.full(t.num_rows, scale, dtype=np.int64))),
-        batch_format="pyarrow",
+    # only non-isolated nodes live in the loop: the graph is symmetrized,
+    # so every node with any edge has in-degree ≥ 1 and receives a message
+    # every round — no zero-message padding needed. Isolated nodes sit at
+    # the closed-form base and rejoin at the end.
+    def _distinct_nodes(g: pa.Table) -> pa.Table:
+        col = g["node"] if "node" in g.column_names else g["src"]
+        return pa.table({"node": col.combine_chunks().unique()})
+
+    live = _keyed_blocks(
+        edges_deg.map_batches(_distinct_nodes, batch_format="pyarrow"),
+        "node", _distinct_nodes, parts,
     ).materialize()
+
+    def _anti_block(g: pa.Table) -> pa.Table:
+        side = g["_aside"]
+        n = g.filter(pc.equal(side, "n"))
+        l = g.filter(pc.equal(side, "l"))
+        pos = pc.index_in(n["node"], l["node"].combine_chunks())
+        return pa.table({"node": n["node"].filter(pc.is_null(pos))})
+
+    def _tag_aside(label: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "_aside": pa.array([label] * t.num_rows)})
+
+        return _f
+
+    isolated = _keyed_blocks(
+        node_ids.map_batches(_tag_aside("n"), batch_format="pyarrow").union(
+            live.map_batches(_tag_aside("l"), batch_format="pyarrow")),
+        "node", _anti_block, parts,
+    ).map_batches(_const_rank(base), batch_format="pyarrow").materialize()
+
+    ranks = live.map_batches(_const_rank(scale), batch_format="pyarrow").materialize()
 
     rank_sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
                           ("deg", pa.int64()), ("rank", pa.int64()),
@@ -122,53 +154,54 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
         }, schema=rank_sch)
 
     def contribs(g: pa.Table) -> pa.Table:
+        """Per-edge messages with a map-side combiner: partial-sum by dst
+        INSIDE the block (one Arrow hash-agg) so the dst exchange ships at
+        most one row per (block, dst), never one per edge."""
         side = g["_side"]
         r = g.filter(pc.equal(side, "r"))
         e = g.filter(pc.equal(side, "e"))
-        # one zero message per rank row keeps every node present through
-        # the dst-sum (fused here instead of a separate per-round union —
-        # the rank rows already sit in this block)
-        zeros = pa.table({
-            "dst": r["src"],
-            "c": pa.array(np.zeros(r.num_rows, dtype=np.int64)),
-        })
         if e.num_rows == 0 or r.num_rows == 0:
-            return zeros
+            return pa.table({"dst": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
         pos = pc.index_in(e["src"], r["src"].combine_chunks())
         rv = np.asarray(r["rank"].combine_chunks(), dtype=np.int64)
         ridx = np.asarray(pos.combine_chunks(), dtype=np.int64)
         deg = np.asarray(e["deg"].combine_chunks(), dtype=np.int64)
         c = (rv[ridx] * damping_pct) // (100 * deg)
-        return pa.concat_tables([pa.table({"dst": e["dst"], "c": pa.array(c)}), zeros])
+        return (
+            pa.table({"dst": e["dst"], "c": pa.array(c)})
+            .group_by("dst").aggregate([("c", "sum")])
+            .rename_columns(["dst", "c"])
+        )
 
-    from ray.data.aggregate import Sum
+    def reduce_ranks(g: pa.Table) -> pa.Table:
+        """dst-side finalize: sort + run-boundary reduceat — the engine's
+        fast keyed-sum kernel. (Ray's groupby().aggregate(Sum) exchange
+        measured 59 s on the same 10M rows this path does in ~4 s —
+        A/B in BASELINE.md round 4.)"""
+        from mex_extractors_ray.stages.dedup import _run_starts
+
+        if g.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        t = g.sort_by([("dst", "ascending")])
+        idx = np.flatnonzero(_run_starts(t["dst"]))
+        sums = np.add.reduceat(
+            np.asarray(t["c"].combine_chunks(), dtype=np.int64), idx)
+        return pa.table({
+            "node": t["dst"].take(pa.array(idx)),
+            "rank": pa.array(sums + base),
+        })
 
     for _ in range(iters):
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow").union(
             edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
         msg = _keyed_blocks(tagged, "src", contribs, parts)
-        # bound the aggregate's output blocks to the edge-sized partition
-        # count: left unbounded it emits hundreds of tiny blocks and the
-        # next round's sort exchange pays per-block cost (the CC
-        # input-block-count lesson, BASELINE.md round 4)
-        try:
-            grouped = msg.groupby("dst", num_partitions=parts)
-            coalesce = False
-        except TypeError:
-            grouped = msg.groupby("dst")
-            coalesce = True
-        summed = grouped.aggregate(Sum("c", alias_name="s"))
-        ranks = summed.map_batches(
-            lambda t: pa.table({
-                "node": t["dst"],
-                "rank": pc.add(t["s"].combine_chunks().cast(pa.int64()), base),
-            }),
-            batch_format="pyarrow",
-        )
-        if coalesce:
-            ranks = ranks.repartition(parts)
-        ranks = ranks.materialize()
-    return ranks
+        # second exchange: co-partition the per-block partials on dst and
+        # reduce with the vectorized run-boundary kernel; output blocks
+        # stay bounded at `parts` (the CC input-block-count lesson)
+        ranks = _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+    return ranks.union(isolated)
 
 
 def pagerank_sql(edges_sql: str, nodes_sql: str, a: str = "a", b: str = "b",
