@@ -96,99 +96,114 @@ def grouped_count(ds, keys: list[str] | str, alias: str = "n"):
 
 
 def rollup_sum_count(ds, keys: list[str], value_col: str,
-                     sum_alias: str = "sum", n_alias: str = "n"):
+                     sum_alias: str = "sum", n_alias: str = "n",
+                     num_partitions: int = 64):
     """GROUP BY ROLLUP re-expressed Ray-Data-first: one row per prefix
     grouping set of ``keys`` — ``(k1, …, kd)``, ``(k1, …, k(d-1), NULL)``,
     … ``(NULL, …, NULL)`` — each carrying the sum of ``value_col`` and the
     row count, NULLs marking rolled-up columns exactly as SQL does.
 
-    Scale shape: sum and count are re-aggregable, so only the FINEST level
-    ever touches raw rows — per-batch partials (combiner) → one groupby on
-    the full key — and every coarser level is a groupby over the NEXT
-    FINER aggregate, whose size is the distinct-combination count, not the
-    input. d extra shuffles, each over already-aggregated data; no level
-    is ever materialized on the driver."""
-    from ray.data.aggregate import Sum
+    Scale shape: ALL d+1 grouping sets are expanded in the MAP-SIDE
+    combiner — per batch, one Arrow hash-agg per level over the (already
+    tiny) finest partial, rolled-up keys filled with a typed sentinel and
+    disambiguated by a grouping-id column — so the whole rollup costs ONE
+    exchange over partial rows (≤ Σ level cardinalities per batch), merged
+    by a coarse shuffle + run-boundary sum kernel. Integer/float sums are
+    re-aggregable, so the grouping of the partial sums is irrelevant to
+    the result. (The original d+1 chained ``groupby().aggregate`` version
+    measured 6.7 s at sf0.1 on pure exchange fixed cost — see BASELINE.md
+    round 4 on why big keyed reductions avoid Dataset.aggregate.)"""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
 
     keys = list(keys)
     if not keys:
         raise ValueError("rollup_sum_count: need at least one key")
+    d = len(keys)
+
+    in_schema = ds.schema()
+    _sch_types = dict(zip(in_schema.names, in_schema.types))
+    key_types, sentinels = {}, {}
+    for c in keys:
+        t = _sch_types[c]
+        t = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(np.dtype(t))
+        key_types[c] = t
+        # sentinel only fills SHUFFLE-KEY slots for rolled-up columns (the
+        # _gid column disambiguates levels); restored to null on output
+        sentinels[c] = "" if (pa.types.is_string(t) or pa.types.is_large_string(t)) else 0
 
     def partial(b: pa.Table) -> pa.Table:
-        return (
+        finest = (
             b.select(keys + [value_col])
             .group_by(keys)
             .aggregate([(value_col, "sum"), ([], "count_all")])
             .rename_columns(keys + ["_ps", "_pn"])
         )
+        tables = []
+        for gid in range(d, -1, -1):
+            sub = keys[:gid]
+            if gid == d:
+                lvl = finest
+            elif sub:
+                lvl = (
+                    finest.group_by(sub)
+                    .aggregate([("_ps", "sum"), ("_pn", "sum")])
+                    .rename_columns(sub + ["_ps", "_pn"])
+                )
+            else:
+                lvl = pa.table({
+                    "_ps": pa.array([pc.sum(finest["_ps"]).as_py() or 0], pa.int64()),
+                    "_pn": pa.array([pc.sum(finest["_pn"]).as_py() or 0], pa.int64()),
+                })
+            n = lvl.num_rows
+            cols = {"_gid": pa.array(np.full(n, gid, dtype=np.int64))}
+            for c in keys:
+                cols[c] = (lvl[c].cast(key_types[c]) if c in (lvl.column_names)
+                           else pa.array([sentinels[c]] * n, key_types[c]))
+            cols["_ps"] = lvl["_ps"].cast(pa.int64()) if n else lvl["_ps"]
+            cols["_pn"] = lvl["_pn"].cast(pa.int64())
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
 
-    in_schema = ds.schema()
-    _sch_types = dict(zip(in_schema.names, in_schema.types))
-    key_types = {}
-    for c in keys:
-        t = _sch_types[c]
-        key_types[c] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(np.dtype(t))
-
-    def _level_table(t: pa.Table, present: list[str]) -> pa.Table:
-        """Normalize a level's aggregate to the full output schema, typed
-        nulls for the rolled-up key columns."""
-        n = t.num_rows
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            cols = {c: pa.array([], key_types[c]) for c in keys}
+            cols[sum_alias] = pa.array([], pa.int64())
+            cols[n_alias] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t = g.sort_by([("_gkey", "ascending")])
+        idx = np.flatnonzero(_run_starts(t["_gkey"]))
+        ps = np.add.reduceat(np.asarray(t["_ps"].combine_chunks(), np.int64), idx)
+        pn = np.add.reduceat(np.asarray(t["_pn"].combine_chunks(), np.int64), idx)
+        heads = pa.array(idx)
+        gid = np.asarray(t["_gid"].combine_chunks(), np.int64)[idx]
         cols = {}
-        for c in keys:
-            cols[c] = t[c].cast(key_types[c]) if c in present else pa.nulls(n, key_types[c])
-        cols[sum_alias] = t["_ps"]
-        cols[n_alias] = t["_pn"]
+        for j, c in enumerate(keys):
+            col = t[c].take(heads)
+            # restore NULL for rolled-up key slots (gid ≤ j ⇒ column j rolled)
+            mask = pa.array(gid <= j)
+            cols[c] = pc.if_else(mask, pa.nulls(len(idx), key_types[c]), col)
+        cols[sum_alias] = pa.array(ps)
+        cols[n_alias] = pa.array(pn)
         return pa.table(cols)
 
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys[0] if len(keys) == 1 else keys)
-        .aggregate(Sum("_ps", alias_name="_s"), Sum("_pn", alias_name="_n"))
-        .map_batches(
-            lambda t: t.rename_columns(keys + ["_ps", "_pn"]),
-            batch_format="pyarrow",
-        )
-    )
+    def add_gkey(t: pa.Table) -> pa.Table:
+        # one composite string shuffle key over (gid, keys...) — a single
+        # coarse exchange routes every grouping set at once
+        parts_ = [pc.cast(t["_gid"], pa.string())]
+        for c in keys:
+            # input-null key values are a group of their own (SQL ROLLUP
+            # semantics); an unfilled null would null the whole join and
+            # collapse every null-key row across levels into one run
+            parts_.append(pc.fill_null(pc.cast(t[c], pa.string()), "\x00N"))
+        sep = pa.scalar("\x1f")
+        gkey = parts_[0]
+        for p in parts_[1:]:
+            gkey = pc.binary_join_element_wise(gkey, p, sep)
+        return t.append_column("_gkey", gkey)
 
-    levels = [finest.map_batches(lambda t: _level_table(t, keys),
-                                 batch_format="pyarrow")]
-    cur = finest
-    for i in range(len(keys) - 1, -1, -1):
-        sub = keys[:i]
-        if sub:
-            nxt = (
-                cur.groupby(sub[0] if len(sub) == 1 else sub)
-                .aggregate(Sum("_ps", alias_name="_s"), Sum("_pn", alias_name="_n"))
-                .map_batches(
-                    lambda t, _sub=tuple(sub): t.rename_columns(list(_sub) + ["_ps", "_pn"]),
-                    batch_format="pyarrow",
-                )
-            )
-        else:
-            # grand total: constant-key groupby keeps it a Dataset (no
-            # driver materialization), one row out
-            nxt = (
-                cur.map_batches(
-                    lambda t: t.append_column("_g", pa.array([0] * t.num_rows, pa.int8())),
-                    batch_format="pyarrow",
-                )
-                .groupby("_g")
-                .aggregate(Sum("_ps", alias_name="_s"), Sum("_pn", alias_name="_n"))
-                .map_batches(
-                    lambda t: t.drop_columns(["_g"]).rename_columns(["_ps", "_pn"]),
-                    batch_format="pyarrow",
-                )
-            )
-        cur = nxt
-        levels.append(nxt.map_batches(
-            lambda t, _sub=tuple(sub): _level_table(t, list(_sub)),
-            batch_format="pyarrow",
-        ))
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_gkey, batch_format="pyarrow")
+    return _keyed_blocks(partials, "_gkey", merge, num_partitions)
 
 
 def keyed_rank_ntile(ds, key: str, value_col: str, tie_col: str,
