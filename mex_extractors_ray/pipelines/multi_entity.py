@@ -168,13 +168,15 @@ def extract_variable_groups(resources):
             )
         )
 
-    from ray.data.aggregate import Sum
+    from mex_extractors_ray.stages.aggregates import keyed_sums
 
-    rolled = (
-        resources.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "activity_id", "return_class"])
-        .aggregate(Sum("n_items", alias_name="n_items"),
-                   Sum("sum_qty", alias_name="sum_qty"))
+    # coarse shuffle + reduceat merge instead of Dataset.aggregate — the
+    # composite key's cardinality tracks the order count, the regime where
+    # Ray's Aggregate exchange measured 16x slower (BASELINE.md round 4)
+    rolled = keyed_sums(
+        resources.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey", "activity_id", "return_class"],
+        ["n_items", "sum_qty"],
     )
 
     def with_key(b: pa.Table) -> pa.Table:

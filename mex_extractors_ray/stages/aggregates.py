@@ -206,6 +206,54 @@ def rollup_sum_count(ds, keys: list[str], value_col: str,
     return _keyed_blocks(partials, "_gkey", merge, num_partitions)
 
 
+def keyed_sums(ds, keys: list[str], value_cols: list[str],
+               num_partitions: int = 64):
+    """Grouped int64 sums over (possibly composite) keys via the coarse
+    shuffle + run-boundary ``np.add.reduceat`` kernel — the measured
+    replacement for ``Dataset.groupby().aggregate(Sum)`` whenever the
+    distinct-key count is large (BASELINE.md round 4: Ray's Aggregate
+    exchange took 59 s on 10M rows / 1M keys; this path 3.75 s).
+
+    Callers still owe the combiner discipline: pre-aggregate per batch
+    BEFORE calling this so the exchange ships partials, not raw rows.
+    Output: ``keys`` + ``value_cols`` (summed), one row per distinct key;
+    input-null key values form their own group (SQL semantics)."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    keys, value_cols = list(keys), list(value_cols)
+    in_schema = ds.schema()
+    _types = dict(zip(in_schema.names, in_schema.types))
+    key_types = {}
+    for c in keys:
+        t = _types[c]
+        key_types[c] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(np.dtype(t))
+
+    def add_gkey(t: pa.Table) -> pa.Table:
+        parts_ = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00N") for c in keys]
+        gkey = parts_[0]
+        for p in parts_[1:]:
+            gkey = pc.binary_join_element_wise(gkey, p, pa.scalar("\x1f"))
+        return t.append_column("_gkey", gkey)
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            cols = {c: pa.array([], key_types[c]) for c in keys}
+            for v in value_cols:
+                cols[v] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t = g.sort_by([("_gkey", "ascending")])
+        idx = np.flatnonzero(_run_starts(t["_gkey"]))
+        heads = pa.array(idx)
+        cols = {c: t[c].take(heads) for c in keys}
+        for v in value_cols:
+            cols[v] = pa.array(np.add.reduceat(
+                np.asarray(t[v].combine_chunks(), np.int64), idx))
+        return pa.table(cols)
+
+    return _keyed_blocks(ds.map_batches(add_gkey, batch_format="pyarrow"),
+                         "_gkey", merge, num_partitions)
+
+
 def keyed_rank_ntile(ds, key: str, value_col: str, tie_col: str,
                      descending: bool = True, tiles: int = 4,
                      rank_alias: str = "rnk", tile_alias: str = "tile",
