@@ -1012,6 +1012,28 @@ def q_doc_rank_quartiles(sf_dir: str):
     return out.select_columns(["doc_id", "source", "rnk", "quartile"]).to_pandas()
 
 
+def q_order_cube(sf_dir: str):
+    """GROUP BY CUBE (all-subset grouping sets) over order year/month —
+    every set expanded in the map-side combiner, merged in ONE exchange
+    (``stages/aggregates.cube_sum_count``)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            "m": pc.month(t["o_orderdate"]).cast(pa.int64()),
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()
+            ),
+        })
+
+    out = aggregates.cube_sum_count(
+        o.map_batches(prep, batch_format="pyarrow"), ["y", "m"], "cents",
+        sum_alias="sum_c100", n_alias="n",
+    )
+    return out.to_pandas()
+
+
 NEG_SAMPLES_K, NEG_SAMPLES_SEED = 4, 7
 
 
@@ -2838,6 +2860,7 @@ _QUERY_FNS = {
         "rolling_spend_7d": q_rolling_spend_7d,
         "event_lag_gaps": q_event_lag_gaps,
         "order_rollup": q_order_rollup,
+        "order_cube": q_order_cube,
         "events_pivot_daily": q_events_pivot_daily,
         "doc_negative_samples": q_doc_negative_samples,
         "doc_rank_quartiles": q_doc_rank_quartiles,
@@ -3155,6 +3178,13 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c100,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+""",
+        "order_cube": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c100,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (year(o_orderdate), month(o_orderdate))
 """,
         "events_pivot_daily": (
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "

@@ -98,27 +98,65 @@ def grouped_count(ds, keys: list[str] | str, alias: str = "n"):
 def rollup_sum_count(ds, keys: list[str], value_col: str,
                      sum_alias: str = "sum", n_alias: str = "n",
                      num_partitions: int = 64):
-    """GROUP BY ROLLUP re-expressed Ray-Data-first: one row per prefix
-    grouping set of ``keys`` — ``(k1, …, kd)``, ``(k1, …, k(d-1), NULL)``,
-    … ``(NULL, …, NULL)`` — each carrying the sum of ``value_col`` and the
-    row count, NULLs marking rolled-up columns exactly as SQL does.
+    """GROUP BY ROLLUP: one row per PREFIX grouping set of ``keys`` —
+    ``(k1, …, kd)``, ``(k1, …, k(d-1), NULL)``, … ``(NULL, …, NULL)`` —
+    NULLs marking rolled-up columns exactly as SQL does. See
+    ``grouping_sets_sum_count`` for the single-exchange design."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_sum_count: need at least one key")
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_sum_count(ds, keys, sets, value_col,
+                                   sum_alias, n_alias, num_partitions)
 
-    Scale shape: ALL d+1 grouping sets are expanded in the MAP-SIDE
-    combiner — per batch, one Arrow hash-agg per level over the (already
-    tiny) finest partial, rolled-up keys filled with a typed sentinel and
-    disambiguated by a grouping-id column — so the whole rollup costs ONE
-    exchange over partial rows (≤ Σ level cardinalities per batch), merged
-    by a coarse shuffle + run-boundary sum kernel. Integer/float sums are
-    re-aggregable, so the grouping of the partial sums is irrelevant to
-    the result. (The original d+1 chained ``groupby().aggregate`` version
-    measured 6.7 s at sf0.1 on pure exchange fixed cost — see BASELINE.md
+
+def cube_sum_count(ds, keys: list[str], value_col: str,
+                   sum_alias: str = "sum", n_alias: str = "n",
+                   num_partitions: int = 64):
+    """GROUP BY CUBE: one row per SUBSET of ``keys`` (2^d grouping sets).
+    Same single-exchange machinery as ``rollup_sum_count``."""
+    import itertools
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube_sum_count: need at least one key")
+    sets = []
+    for r in range(len(keys), -1, -1):
+        sets.extend(tuple(c) for c in itertools.combinations(keys, r))
+    return grouping_sets_sum_count(ds, keys, sets, value_col,
+                                   sum_alias, n_alias, num_partitions)
+
+
+def grouping_sets_sum_count(ds, keys: list[str], sets: list[tuple[str, ...]],
+                            value_col: str, sum_alias: str = "sum",
+                            n_alias: str = "n", num_partitions: int = 64):
+    """GROUPING SETS re-expressed Ray-Data-first: one output row per group
+    of each requested set, the not-grouped key columns NULL (SQL
+    semantics), each row carrying the int64 sum of ``value_col`` and the
+    row count.
+
+    Scale shape: ALL grouping sets are expanded in the MAP-SIDE combiner —
+    per batch, one Arrow hash-agg per set over the (already tiny) finest
+    partial, absent keys filled with a typed sentinel and disambiguated by
+    a grouping-id column — so the whole query costs ONE exchange over
+    partial rows (≤ Σ set cardinalities per batch), merged by a coarse
+    shuffle + run-boundary reduceat kernel. Integer sums are re-aggregable
+    and order-independent, so the partials' grouping is irrelevant to the
+    result. (The chained per-level ``groupby().aggregate`` alternative
+    measured 6.7 s at sf0.1 on pure exchange fixed cost; see BASELINE.md
     round 4 on why big keyed reductions avoid Dataset.aggregate.)"""
     from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
 
     keys = list(keys)
-    if not keys:
-        raise ValueError("rollup_sum_count: need at least one key")
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of keys {keys!r}")
     d = len(keys)
+    # membership[gid][j]: is keys[j] grouped in set gid?
+    membership = np.array(
+        [[c in s for c in keys] for s in sets], dtype=bool
+    ).reshape(len(sets), d)
 
     in_schema = ds.schema()
     _sch_types = dict(zip(in_schema.names, in_schema.types))
@@ -139,9 +177,9 @@ def rollup_sum_count(ds, keys: list[str], value_col: str,
             .rename_columns(keys + ["_ps", "_pn"])
         )
         tables = []
-        for gid in range(d, -1, -1):
-            sub = keys[:gid]
-            if gid == d:
+        for gid, sub_t in enumerate(sets):
+            sub = list(sub_t)
+            if sub == keys:
                 lvl = finest
             elif sub:
                 lvl = (
@@ -179,8 +217,8 @@ def rollup_sum_count(ds, keys: list[str], value_col: str,
         cols = {}
         for j, c in enumerate(keys):
             col = t[c].take(heads)
-            # restore NULL for rolled-up key slots (gid ≤ j ⇒ column j rolled)
-            mask = pa.array(gid <= j)
+            # restore NULL for key slots absent from the row's grouping set
+            mask = pa.array(~membership[gid, j])
             cols[c] = pc.if_else(mask, pa.nulls(len(idx), key_types[c]), col)
         cols[sum_alias] = pa.array(ps)
         cols[n_alias] = pa.array(pn)
