@@ -590,8 +590,6 @@ def term_doc_frequency(ds, id_col: str = "doc_id", text_col: str = "text",
     (word, partial_df) row per distinct word per batch, never the exploded
     corpus. One small groupby-sum finalizes. Output is vocabulary-sized
     (the bounded-vocab contract, same as ``aggregates.bounded_quantiles``)."""
-    from ray.data.aggregate import Sum
-
     def partial(b: pa.Table) -> pa.Table:
         pairs = _exploded_words(b, id_col, text_col, pattern)
         distinct = pairs.group_by([id_col, "word"]).aggregate([])
@@ -599,8 +597,13 @@ def term_doc_frequency(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({"word": vc.field("values"),
                          "df": vc.field("counts").cast(pa.int64())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("word").aggregate(Sum("df", alias_name="df")))
+    # word cardinality is vocabulary-sized — exactly the many-distinct-keys
+    # regime where Dataset.groupby().aggregate measured 16x slower than the
+    # coarse-shuffle reduceat path (BASELINE.md round 4)
+    from mex_extractors_ray.stages.aggregates import keyed_sums
+
+    return keyed_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["word"], ["df"])
 
 
 def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text", m: int = 5,
