@@ -20,11 +20,20 @@ Scale shape (the CC lessons applied): edges are symmetrized, degree-
 annotated ONCE (two exchanges before the loop), coalesced to
 edge-count-sized partitions; each round is exactly 2 exchanges — one
 co-partition of (ranks ∪ edges) on the source node (in-block vectorized
-``index_in`` probe → per-edge contribution), one groupby-sum on the
-destination — with a ``materialize()`` per round to cut lineage. Driver
-state is O(1); ranks/edges never leave the object store. Overflow bound:
-``n_nodes·scale·damping_pct`` must fit int64 — the default ``scale=10**9``
-holds to ~10^8 nodes; shrink scale as the graph grows.
+``index_in`` probe → per-edge contribution, partial-summed by dst inside
+the block), one coarse shuffle + run-boundary ``reduceat`` on the
+destination — with a ``materialize()`` per round to cut lineage. Only
+non-isolated nodes live in the loop. Driver state is O(1); ranks/edges
+never leave the object store. Overflow bound: ``n_nodes·scale·
+damping_pct`` must fit int64 — the default ``scale=10**9`` holds to
+~10^8 nodes; shrink scale as the graph grows.
+
+Known next constant-factor win (not built; messages are ∝E regardless,
+so asymptotics don't change): a Pregel-style variant that pins the edge
+buckets as static per-partition state (actor pool or object-store refs)
+so exchange 1 ships only the rank rows instead of re-co-partitioning the
+edge list every round — worth it once per-round edge bytes dominate,
+i.e. E ≫ N and many iterations.
 """
 
 from __future__ import annotations
