@@ -159,6 +159,9 @@ def grouping_sets_sum_count(ds, keys: list[str], sets: list[tuple[str, ...]],
     ).reshape(len(sets), d)
 
     in_schema = ds.schema()
+    _require_integer_col(
+        dict(zip(in_schema.names, in_schema.types)).get(value_col),
+        value_col, "grouping_sets_sum_count")
     _sch_types = dict(zip(in_schema.names, in_schema.types))
     key_types, sentinels = {}, {}
     for c in keys:
@@ -244,6 +247,24 @@ def grouping_sets_sum_count(ds, keys: list[str], sets: list[tuple[str, ...]],
     return _keyed_blocks(partials, "_gkey", merge, num_partitions)
 
 
+def _require_integer_col(t, name: str, op: str):
+    """The reduceat sum kernels are int64-exact BY DESIGN (order-independent,
+    oracle-bit-identical); a float column would be silently truncated —
+    refuse instead (cents-scale floats upstream, the engine-wide discipline)."""
+    if t is None:
+        return  # schema unavailable for this column — trust the caller
+    if not isinstance(t, pa.DataType):
+        try:
+            t = pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, ValueError):
+            return
+    if not pa.types.is_integer(t):
+        raise TypeError(
+            f"{op}: value column {name!r} is {t} — integer required "
+            "(scale floats to int units, e.g. cents, before aggregating)"
+        )
+
+
 def keyed_sums(ds, keys: list[str], value_cols: list[str],
                num_partitions: int = 64):
     """Grouped int64 sums over (possibly composite) keys via the coarse
@@ -265,6 +286,8 @@ def keyed_sums(ds, keys: list[str], value_cols: list[str],
     for c in keys:
         t = _types[c]
         key_types[c] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(np.dtype(t))
+    for v in value_cols:
+        _require_integer_col(_types.get(v), v, "keyed_sums")
 
     def add_gkey(t: pa.Table) -> pa.Table:
         parts_ = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00N") for c in keys]

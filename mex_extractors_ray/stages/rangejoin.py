@@ -166,6 +166,12 @@ def range_join_sum(left, right, key: str, left_ts: str, right_ts: str,
     agree bit-for-bit."""
     if hi_s < lo_s:
         raise ValueError(f"range_join_sum: hi_s={hi_s} < lo_s={lo_s}")
+    from mex_extractors_ray.stages.aggregates import _require_integer_col
+
+    r_schema = right.schema()
+    _require_integer_col(
+        dict(zip(r_schema.names, r_schema.types)).get(value_col),
+        value_col, "range_join_sum")
     lo_us, hi_us = int(round(lo_s * 1e6)), int(round(hi_s * 1e6))
     both, left_cols, _ = _prepare_union(left, right, key, num_partitions)
 
