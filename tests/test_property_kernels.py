@@ -1,0 +1,112 @@
+"""Property tests for the round-4 pure kernels — Ray-free (the kernels are
+plain numpy/Arrow/SQL), so hypothesis can afford real example counts."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mex_extractors_ray.stages.pagerank import pagerank_sql
+from mex_extractors_ray.stages.rangejoin import _key_codes, _window_ranks
+from mex_extractors_ray.stages.sampling import negative_samples_sql
+from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+
+@st.composite
+def _two_sides(draw):
+    n_keys = draw(st.integers(1, 6))
+    n_l = draw(st.integers(0, 40))
+    n_r = draw(st.integers(0, 40))
+    key = lambda: st.integers(0, n_keys - 1)
+    ts = lambda: st.integers(0, 1000)
+    l = [(draw(key()), draw(ts())) for _ in range(n_l)]
+    r = [(draw(key()), draw(ts())) for _ in range(n_r)]
+    lo = draw(st.integers(-200, 200))
+    hi = lo + draw(st.integers(0, 300))
+    return l, r, lo, hi
+
+
+@settings(max_examples=60, deadline=None)
+@given(_two_sides())
+def test_window_ranks_match_brute_force(case):
+    l, r, lo, hi = case
+    lu = np.array([k for k, _ in l], dtype=np.int64)
+    lt = np.array([t for _, t in l], dtype=np.int64)
+    ru = np.array([k for k, _ in r], dtype=np.int64)
+    rt = np.array([t for _, t in r], dtype=np.int64)
+    if len(l) == 0 or len(r) == 0:
+        return
+    lo_rank, hi_rank = _window_ranks(lu, lt, ru, rt, lo, hi)
+    counts = hi_rank - lo_rank
+    for i, (k, t) in enumerate(l):
+        want = sum(1 for (rk, rt_) in r if rk == k and t + lo < rt_ <= t + hi)
+        assert counts[i] == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "d", "é"]), min_size=1, max_size=30),
+       st.lists(st.sampled_from(["a", "bb", "ccc", "d", "é"]), min_size=1, max_size=30))
+def test_key_codes_joint_encoding(lvals, rvals):
+    lc, rc = _key_codes(pa.array(lvals), pa.array(rvals))
+    joint = lvals + rvals
+    codes = np.concatenate([lc, rc])
+    # equal values ⇔ equal codes, across sides
+    for i in range(len(joint)):
+        for j in range(len(joint)):
+            assert (codes[i] == codes[j]) == (joint[i] == joint[j])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 500), st.integers(1, 6))
+def test_negative_samples_sql_mirrors_kernel(seed, n_items, k):
+    ids = np.arange(n_items, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = negative_samples_sql("documents", "doc_id", k=k, seed=seed)
+    got = con.execute(sql + " ORDER BY doc_id, j").df()
+    anchors = np.repeat(ids, k)
+    j = np.tile(np.arange(k, dtype=np.int64), n_items)
+    base = anchors.astype(np.uint64) * np.uint64(k) + j.astype(np.uint64)
+    want = (shuffle_keys(base, seed, 0) % np.uint64(n_items)).astype(np.int64)
+    hit = want == anchors
+    want[hit] = (want[hit] + 1) % n_items
+    assert (got["neg_id"].to_numpy() == want).all()
+    assert (got["neg_id"].to_numpy() != anchors).all()
+
+
+def _brute_pagerank(edges, nodes, iters, damping_pct=85, scale=10**9):
+    sym = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    base = scale * (100 - damping_pct) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d in sym:
+            nxt[d] += (r[s] * damping_pct) // (100 * deg[s])
+        r = nxt
+    return r
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(2, 25), st.integers(0, 60), st.integers(1, 4),
+       st.integers(0, 2**31 - 1))
+def test_pagerank_sql_matches_reference_loop(n_nodes, n_edges, iters, seed):
+    rng = np.random.default_rng(seed)
+    edges = sorted({(int(min(x, y)), int(max(x, y)))
+                    for x, y in rng.integers(0, n_nodes, size=(n_edges, 2))
+                    if x != y})
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(edges, columns=["a", "b"])
+                 if edges else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                             "b": pd.Series(dtype="int64")}))
+    con.register("nodes_t", pd.DataFrame({"node": range(n_nodes)}))
+    sql = pagerank_sql("SELECT a, b FROM edges_t", "SELECT node FROM nodes_t",
+                       iters=iters)
+    got = con.execute(sql + " ORDER BY node").df()
+    want = _brute_pagerank(edges, list(range(n_nodes)), iters)
+    assert got["rank"].tolist() == [want[n] for n in range(n_nodes)]
