@@ -84,6 +84,42 @@ def _prepare_union(left, right, key: str, num_partitions: int):
     return both, left_cols, right_cols
 
 
+def _salted_sides(left, right, key: str, left_ts: str, right_ts: str,
+                  salt: int):
+    """Hot-key remedy for the COUNT/SUM variants (they decompose over
+    right-side subsets): right rows are split across ``salt`` sub-buckets
+    (deterministic fmix64 of the timestamp), each left row is replicated
+    into every sub-bucket, and the per-copy partial results are summed
+    back by the caller. A single key's rows then only need to fit
+    ``1/salt`` of a block; the price is left-side replication ×salt and
+    one extra (aggregate-scale) exchange."""
+    from mex_extractors_ray.stages.sessions import _epoch_us
+    from mex_extractors_ray.stages.shuffle import fmix64
+
+    sep = pa.scalar("\x1f")
+
+    def r_salt(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t[right_ts])
+        s = (fmix64(us.astype(np.uint64)) % np.uint64(salt)).astype(np.int64)
+        sk = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t[key], pa.string()), "\x00N"),
+            pc.cast(pa.array(s), pa.string()), sep)
+        return t.append_column("_skey", sk)
+
+    def l_fan(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+        out = t.take(idx)
+        s = np.tile(np.arange(salt, dtype=np.int64), n)
+        sk = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(out[key], pa.string()), "\x00N"),
+            pc.cast(pa.array(s), pa.string()), sep)
+        return out.append_column("_skey", sk)
+
+    return (left.map_batches(l_fan, batch_format="pyarrow"),
+            right.map_batches(r_salt, batch_format="pyarrow"))
+
+
 def _key_codes(l_col, r_col):
     """Joint dictionary-encode both sides' key columns → comparable int32
     codes (any key type, no assumption of integer keys)."""
@@ -116,13 +152,32 @@ def _window_ranks(lu, lt, ru, rt, lo_us: int, hi_us: int):
 
 def range_join_count(left, right, key: str, left_ts: str, right_ts: str,
                      lo_s: float, hi_s: float, out_col: str = "n_matches",
-                     num_partitions: int = 64):
+                     num_partitions: int = 64, salt: int = 1,
+                     id_cols: list[str] | None = None):
     """One row per left row: the left columns plus ``out_col`` = number of
     right rows with the same ``key`` and ``right_ts`` in
     ``(left_ts + lo_s, left_ts + hi_s]`` (seconds; ``lo_s`` exclusive,
-    ``hi_s`` inclusive — the standard attribution-window convention)."""
+    ``hi_s`` inclusive — the standard attribution-window convention).
+
+    ``salt > 1`` is the hot-key path (``_salted_sides``): right rows split
+    across salt sub-buckets, left rows replicated, partial counts summed
+    on ``id_cols`` (required; they must identify a left row — output is
+    then ``id_cols + out_col`` only)."""
     if hi_s < lo_s:
         raise ValueError(f"range_join_count: hi_s={hi_s} < lo_s={lo_s}")
+    if salt > 1:
+        if not id_cols:
+            raise ValueError("range_join_count: salt>1 requires id_cols")
+        from mex_extractors_ray.stages.aggregates import keyed_sums
+
+        l_s, r_s = _salted_sides(left, right, key, left_ts, right_ts, salt)
+        partial = range_join_count(l_s, r_s, "_skey", left_ts, right_ts,
+                                   lo_s, hi_s, out_col, num_partitions)
+        return keyed_sums(
+            partial.map_batches(
+                lambda t, _c=tuple(id_cols): t.select(list(_c) + [out_col]),
+                batch_format="pyarrow"),
+            list(id_cols), [out_col], num_partitions)
     lo_us, hi_us = int(round(lo_s * 1e6)), int(round(hi_s * 1e6))
     both, left_cols, _ = _prepare_union(left, right, key, num_partitions)
 
@@ -152,7 +207,8 @@ def range_join_count(left, right, key: str, left_ts: str, right_ts: str,
 def range_join_sum(left, right, key: str, left_ts: str, right_ts: str,
                    lo_s: float, hi_s: float, value_col: str,
                    sum_col: str = "win_sum", count_col: str = "win_n",
-                   num_partitions: int = 64):
+                   num_partitions: int = 64, salt: int = 1,
+                   id_cols: list[str] | None = None):
     """Per left row: sum + count of the right side's int64 ``value_col``
     over the same-key window ``(left_ts + lo_s, left_ts + hi_s]`` — the
     distributed form of SQL's ``SUM(v) OVER (PARTITION BY key ORDER BY ts
@@ -163,9 +219,25 @@ def range_join_sum(left, right, key: str, left_ts: str, right_ts: str,
     Same single-exchange shape as ``range_join_count``; the per-block sum
     is an O(R) prefix-sum over the (key, ts)-sorted right side indexed at
     the two boundary ranks — integer math, so distributed and SQL runs
-    agree bit-for-bit."""
+    agree bit-for-bit. ``salt > 1`` is the hot-key path (see
+    ``range_join_count``): output restricted to ``id_cols + [sum_col,
+    count_col]``."""
     if hi_s < lo_s:
         raise ValueError(f"range_join_sum: hi_s={hi_s} < lo_s={lo_s}")
+    if salt > 1:
+        if not id_cols:
+            raise ValueError("range_join_sum: salt>1 requires id_cols")
+        from mex_extractors_ray.stages.aggregates import keyed_sums
+
+        l_s, r_s = _salted_sides(left, right, key, left_ts, right_ts, salt)
+        partial = range_join_sum(l_s, r_s, "_skey", left_ts, right_ts,
+                                 lo_s, hi_s, value_col, sum_col, count_col,
+                                 num_partitions)
+        return keyed_sums(
+            partial.map_batches(
+                lambda t, _c=tuple(id_cols): t.select(list(_c) + [sum_col, count_col]),
+                batch_format="pyarrow"),
+            list(id_cols), [sum_col, count_col], num_partitions)
     from mex_extractors_ray.stages.aggregates import _require_integer_col
 
     r_schema = right.schema()

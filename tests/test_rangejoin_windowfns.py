@@ -119,6 +119,36 @@ def test_range_join_sum_rolling_self_window(ray_session):
         assert out.loc[row["eid"], "win_n"] == len(want)
 
 
+def test_range_join_salted_hot_key_matches_unsalted(ray_session):
+    # one pathological key holding most rows — the salt path must agree
+    rng = np.random.default_rng(4)
+    left = [{"lid": i, "k": 7 if i % 5 else int(rng.integers(0, 3)),
+             "ts": _t(int(rng.integers(0, 2000)))} for i in range(120)]
+    right = [{"k": 7 if i % 4 else int(rng.integers(0, 3)),
+              "ts": _t(int(rng.integers(0, 2000))),
+              "v": int(rng.integers(1, 9))} for i in range(200)]
+    from mex_extractors_ray.stages.rangejoin import range_join_sum
+
+    plain = (
+        range_join_sum(_ds(left), _ds(right), "k", "ts", "ts", -300.0, 300.0,
+                       value_col="v", num_partitions=4)
+        .to_pandas().set_index("lid")[["win_sum", "win_n"]]
+    )
+    salted = (
+        range_join_sum(_ds(left), _ds(right), "k", "ts", "ts", -300.0, 300.0,
+                       value_col="v", num_partitions=4, salt=4,
+                       id_cols=["lid"])
+        .to_pandas().set_index("lid")[["win_sum", "win_n"]]
+    )
+    assert salted.sort_index().equals(plain.sort_index())
+    counted = (
+        range_join_count(_ds(left), _ds(right), "k", "ts", "ts", -300.0, 300.0,
+                         out_col="n", num_partitions=4, salt=3, id_cols=["lid"])
+        .to_pandas().set_index("lid")["n"]
+    )
+    assert counted.sort_index().equals(plain["win_n"].rename("n").sort_index())
+
+
 def test_range_join_empty_right(ray_session):
     left = [{"lid": 1, "k": 1, "ts": _t(0)}]
     right = [{"k": 2, "ts": _t(0), "rid": 9}]  # no key overlap
