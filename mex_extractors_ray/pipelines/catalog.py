@@ -999,6 +999,27 @@ def q_events_pivot_daily(sf_dir: str):
     return out.to_pandas()
 
 
+def q_vocab_edit1_pairs(sf_dir: str):
+    """String-similarity join: vocabulary pairs at Levenshtein distance
+    EXACTLY 1 via deletion-neighborhood buckets (SymSpell discipline —
+    bucket membership PROVES the distance, no verify pass;
+    ``stages/strsim.py``). Vocabulary derived deterministically from doc
+    ids (the corpus's own 31-word vocab has no distance-1 pairs — the
+    ``doi_urls`` derived-identifier precedent)."""
+    from mex_extractors_ray.stages.strsim import edit1_pairs
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mk_vocab(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"word": pc.binary_join_element_wise(
+            pa.array(["w"] * n), pc.cast(t["doc_id"], pa.string()), "")})
+
+    vocab = docs.map_batches(mk_vocab, batch_format="pyarrow")
+    out = edit1_pairs(vocab, "word", num_partitions=16).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_doc_rank_quartiles(sf_dir: str):
     """rank() + NTILE(4) window functions per source over doc length
     (quality-tiering for training mixes) — tie-aware rank, exact SQL NTILE
@@ -2864,6 +2885,7 @@ _QUERY_FNS = {
         "events_pivot_daily": q_events_pivot_daily,
         "doc_negative_samples": q_doc_negative_samples,
         "doc_rank_quartiles": q_doc_rank_quartiles,
+        "vocab_edit1_pairs": q_vocab_edit1_pairs,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "enriched_users": q_enriched_users,
@@ -3195,6 +3217,11 @@ FROM orders GROUP BY CUBE (year(o_orderdate), month(o_orderdate))
             + " FROM events GROUP BY 1"
         ),
         "doc_negative_samples": _negative_samples_oracle(),
+        "vocab_edit1_pairs": """
+WITH v AS (SELECT DISTINCT 'w' || CAST(doc_id AS VARCHAR) AS w FROM documents)
+SELECT a.w AS a, b.w AS b FROM v a JOIN v b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) = 1
+""",
         "doc_rank_quartiles": """
 SELECT doc_id, source,
        CAST(rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS BIGINT) AS rnk,
