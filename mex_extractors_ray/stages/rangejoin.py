@@ -92,7 +92,11 @@ def _salted_sides(left, right, key: str, left_ts: str, right_ts: str,
     into every sub-bucket, and the per-copy partial results are summed
     back by the caller. A single key's rows then only need to fit
     ``1/salt`` of a block; the price is left-side replication ×salt and
-    one extra (aggregate-scale) exchange."""
+    one extra (aggregate-scale) exchange. The salt is fmix64 of the
+    timestamp (deterministic ⇒ reproducible/oracle-checkable), so a hot
+    key whose rows share ONE hot timestamp stays hot — for that
+    pathology, pre-aggregate the right side by (key, ts) first (counts
+    and sums are re-aggregable)."""
     from mex_extractors_ray.stages.sessions import _epoch_us
     from mex_extractors_ray.stages.shuffle import fmix64
 
