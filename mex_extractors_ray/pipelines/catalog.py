@@ -1020,6 +1020,23 @@ def q_vocab_edit1_pairs(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+WEIGHTED_SAMPLE_DEN, WEIGHTED_SAMPLE_SEED = 400, 11
+
+
+def q_weighted_doc_sample(sf_dir: str):
+    """Importance sampling: keep docs with probability ∝ length
+    (min(n_chars, den)/den) — fmix64 coin, deterministic, no shuffle
+    (``stages/sampling.weighted_bernoulli_sample``)."""
+    from mex_extractors_ray.stages.sampling import weighted_bernoulli_sample
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"])
+    out = weighted_bernoulli_sample(docs, "doc_id", "n_chars",
+                                    den=WEIGHTED_SAMPLE_DEN,
+                                    seed=WEIGHTED_SAMPLE_SEED)
+    return out.to_pandas()
+
+
 def q_doc_rank_quartiles(sf_dir: str):
     """rank() + NTILE(4) window functions per source over doc length
     (quality-tiering for training mixes) — tie-aware rank, exact SQL NTILE
@@ -2885,6 +2902,7 @@ _QUERY_FNS = {
         "events_pivot_daily": q_events_pivot_daily,
         "doc_negative_samples": q_doc_negative_samples,
         "doc_rank_quartiles": q_doc_rank_quartiles,
+        "weighted_doc_sample": q_weighted_doc_sample,
         "vocab_edit1_pairs": q_vocab_edit1_pairs,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
@@ -2993,6 +3011,14 @@ def _pagerank_oracle() -> str:
         "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 200",
         iters=PAGERANK_ITERS,
     )
+
+
+def _weighted_sample_oracle() -> str:
+    from mex_extractors_ray.stages.sampling import weighted_bernoulli_sample_sql
+
+    return weighted_bernoulli_sample_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)", "doc_id",
+        "n_chars", den=WEIGHTED_SAMPLE_DEN, seed=WEIGHTED_SAMPLE_SEED)
 
 
 def _negative_samples_oracle() -> str:
@@ -3217,6 +3243,7 @@ FROM orders GROUP BY CUBE (year(o_orderdate), month(o_orderdate))
             + " FROM events GROUP BY 1"
         ),
         "doc_negative_samples": _negative_samples_oracle(),
+        "weighted_doc_sample": _weighted_sample_oracle(),
         "vocab_edit1_pairs": """
 WITH v AS (SELECT DISTINCT 'w' || CAST(doc_id AS VARCHAR) AS w FROM documents)
 SELECT a.w AS a, b.w AS b FROM v a JOIN v b ON a.w < b.w

@@ -110,3 +110,52 @@ FROM (SELECT {id_col}, {j_col},
              (SELECT COUNT(*) FROM {table}) AS n
       FROM {keyed})
 """
+
+
+def weighted_bernoulli_sample(ds, id_col: str, weight_col: str, den: int,
+                              seed: int = 0):
+    """Importance sampling: keep each row independently with probability
+    ``min(weight, den) / den`` — weight-proportional training-mix
+    downsampling (sample ∝ quality score / length / domain priority),
+    deterministic like every sampler here: the coin is
+    ``fmix64(id XOR salt) % den < weight``, a pure function of
+    ``(id, seed)``, so re-runs, resumed shards and the SQL oracle keep
+    exactly the same rows. One streaming ``map_batches``, no shuffle.
+
+    Expected sample size is Σ min(w,den)/den (Bernoulli, not exact-k);
+    for exact-k weighted reservoirs an order statistic over float keys
+    would be needed, which breaks the bit-exact-oracle discipline."""
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+    if den <= 0:
+        raise ValueError(f"weighted_bernoulli_sample: den must be > 0, got {den}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+            dtype=np.int64,
+        )
+        w = np.asarray(
+            t[weight_col].combine_chunks()
+            if isinstance(t[weight_col], pa.ChunkedArray) else t[weight_col],
+            dtype=np.int64,
+        )
+        coin = (shuffle_keys(ids, seed, 0) % np.uint64(den)).astype(np.int64)
+        return t.filter(pa.array(coin < np.minimum(w, den)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_bernoulli_sample_sql(table: str, id_col: str, weight_expr: str,
+                                  den: int, seed: int = 0) -> str:
+    """DuckDB mirror: identical fmix64 coin, identical keep rule."""
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    keyed = epoch_shuffle_sql(table, id_col, seed, 0, out_col="_wbkey")
+    return f"""
+SELECT * EXCLUDE (_wbkey) FROM {keyed}
+WHERE CAST(_wbkey % {den} AS BIGINT) < LEAST(CAST(({weight_expr}) AS BIGINT), {den})
+"""

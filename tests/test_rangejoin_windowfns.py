@@ -227,3 +227,20 @@ def test_negative_samples_deterministic_and_self_free(ray_session):
     hit = want == out["id"].to_numpy()
     want[hit] = (want[hit] + 1) % 50
     assert (out["neg_id"].to_numpy() == want).all()
+
+
+def test_weighted_bernoulli_sample(ray_session):
+    from mex_extractors_ray.stages.sampling import weighted_bernoulli_sample
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+    rows = [{"id": i, "w": (i * 7) % 120} for i in range(500)]
+    out = (
+        weighted_bernoulli_sample(_ds(rows), "id", "w", den=100, seed=3)
+        .to_pandas()
+    )
+    kept = set(out["id"]) if len(out) else set()
+    coins = shuffle_keys(np.arange(500, dtype=np.int64), 3, 0) % np.uint64(100)
+    want = {i for i in range(500) if coins[i] < min((i * 7) % 120, 100)}
+    assert kept == want
+    # weight >= den rows are always kept
+    assert all(i in kept for i in range(500) if (i * 7) % 120 >= 100)
