@@ -191,13 +191,16 @@ class ResolveAndPartition:
     and applied per batch in ``__call__`` — zero-copy Arrow in/out.
     """
 
-    def __init__(self, registry_json: str, num_partitions: int, splits=None):
+    def __init__(self, registry_json: str, num_partitions: int, splits=None,
+                 mode: str = "last_wins"):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.num_partitions = num_partitions
         self.splits = _norm_splits(splits)
+        self.fill_null_defaults = mode != "patch"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = self.registry.resolve_table(batch)
+        batch = self.registry.resolve_table(
+            batch, fill_null_defaults=self.fill_null_defaults)
         pid = route_keys(batch["doc_id"], self.num_partitions, self.splits)
         return batch.append_column("pid", pa.array(pid))
 
@@ -219,7 +222,9 @@ def resolve_and_partition(
     shuffle — the reference's skip-list config (``mex/extractors/
     settings.py:74-77``: which extractors/sources not to process)."""
     registry = SchemaRegistry.from_json(registry_json)
-    batch = registry.resolve_table(batch)
+    # patch mode: null = "unchanged", not "written pre-evolution" — sparse
+    # columns must survive resolution un-defaulted
+    batch = registry.resolve_table(batch, fill_null_defaults=(mode != "patch"))
     if skip_sources:
         batch = batch.filter(
             pc.invert(pc.is_in(batch["source"], value_set=pa.array(list(skip_sources))))
@@ -228,6 +233,13 @@ def resolve_and_partition(
         # deletes are no-ops in first-seen-immutable mode; a delete must
         # never shadow a later insert inside the reduce
         batch = batch.filter(pc.not_equal(batch["op"], "delete"))
+    if mode == "patch":
+        # NO combiner for sparse updates: per-doc last-wins would drop
+        # patches that still contribute columns, and a column-merged
+        # partial row can't carry per-column LSNs, so two partials from
+        # interleaved batches would merge in the wrong order. Shuffle
+        # bytes ∝ events is inherent to column-merge CDC.
+        prereduce = False
     # ONE doc_id hash serves both the combiner sort key and the partition
     # assignment. Sorting by (_h, doc_id, lsn) keeps equal doc_ids adjacent
     # (exactness does NOT depend on hash collisions — the boundary mask
@@ -286,6 +298,102 @@ def _reduce_per_doc(group: pa.Table, mode: str = "last_wins") -> pa.Table:
 
 def _last_wins(group: pa.Table) -> pa.Table:
     return _reduce_per_doc(group, "last_wins")
+
+
+def _fold_patches(t: pa.Table, data_cols: list[str]) -> pa.Table:
+    """Column-level merge fold (the ``patch`` apply mode's kernel).
+
+    Input: one partition's rows sorted here by (doc_id, lsn) — old live rows
+    injected as ``op='live'`` plus this window's events. Semantics per doc,
+    in LSN order:
+
+    - ``patch`` rows overlay their NON-NULL columns onto the running row
+      (null = "unchanged" — the sparse-update convention of CDC formats
+      like Debezium's partial updates);
+    - any non-patch row is a BARRIER: full rows (``live``/``insert``/
+      ``update``) replace the whole row, ``delete`` clears it (its payload
+      is all null, so a patch after it resurrects from nulls);
+    - the winner is the fold of the doc's FINAL barrier segment; its lsn is
+      the doc's max lsn; op = ``delete`` iff the last event is a delete.
+
+    Fully vectorized: one sort, boundary masks, a per-column
+    ``np.maximum.accumulate`` last-non-null index, one ``take`` per column
+    (zero-copy for fixed-width, offset-sliced for the tokens list). No SQL
+    analog does this in one pass, but the whole fold IS expressible as a
+    window/arg_max query — see ``_CDC_PATCH_SQL`` in pipelines/catalog.py,
+    which hash-checks this kernel end to end.
+    """
+    t = t.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
+    n = t.num_rows
+    if n == 0:
+        return t
+    d = t["doc_id"].combine_chunks()
+    doc_start = np.ones(n, dtype=bool)
+    if n > 1:
+        doc_start[1:] = (
+            pc.not_equal(d.slice(1), d.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+    ops = t["op"].combine_chunks().to_numpy(zero_copy_only=False)
+    seg_start = doc_start | (ops != "patch")
+    idx = np.arange(n, dtype=np.int64)
+    seg_start_idx = np.where(seg_start, idx, 0)
+    np.maximum.accumulate(seg_start_idx, out=seg_start_idx)
+    doc_end = np.append(doc_start[1:], True)
+    ends = idx[doc_end]
+    final_seg_start = seg_start_idx[ends]
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for c in data_cols:
+        col = t[c].combine_chunks()
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
+        lastv = np.where(valid, idx, np.int64(-1))
+        np.maximum.accumulate(lastv, out=lastv)
+        pick = lastv[ends]
+        ok = pick >= final_seg_start  # a -1 (never set) also fails this
+        cols[c] = col.take(pa.array(np.where(ok, pick, 0), mask=~ok))
+    return pa.table(
+        {
+            "lsn": pa.array(np.asarray(t["lsn"], dtype=np.int64)[ends]),
+            "op": pa.array(np.where(ops[ends] == "delete", "delete", "upsert")),
+            "doc_id": d.take(pa.array(ends)),
+            **cols,
+        }
+    )
+
+
+def _patch_winners(fresh: pa.Table, pdir: Path, old_files: list[str],
+                   registry: SchemaRegistry, old_tomb_ids: pa.Table,
+                   lake_cols: list[str]) -> pa.Table:
+    """Winners for the ``patch`` apply mode: read the CURRENT live rows of
+    the touched docs (column-complete, tombstones honored), inject them as
+    ``op='live'`` barriers, and fold this window's events on top.
+
+    The read is ∝ the partition's files restricted to touched docs — the
+    inherent read-modify-write of column-merge CDC (any MERGE engine pays
+    it); winners come out as FULL rows, so the delta write/read path
+    downstream is unchanged (last-wins merge at scan stays correct)."""
+    touched = pc.unique(fresh["doc_id"].combine_chunks())
+    parts = []
+    for f in old_files:
+        t = _read_file_columns(pdir, f, lake_cols, registry)
+        t = t.filter(pc.is_in(t["doc_id"], value_set=touched))
+        if t.num_rows:
+            parts.append(t)
+    data_cols = [c for c in lake_cols if c not in ("doc_id", "lsn")]
+    pieces = [fresh.select(["lsn", "op", "doc_id"] + data_cols)]
+    if parts:
+        tomb_arr = (
+            old_tomb_ids["doc_id"].combine_chunks()
+            if old_tomb_ids.num_rows
+            else None
+        )
+        base = merge_live(parts, tomb_arr)
+        if base.num_rows:
+            base = base.append_column("op", pa.array(["live"] * base.num_rows))
+            pieces.append(base.select(["lsn", "op", "doc_id"] + data_cols))
+    combined = pa.concat_tables(pieces, promote_options="permissive")
+    return _fold_patches(combined, data_cols)
 
 
 _TOMB_SCHEMA = pa.schema([("doc_id", pa.string()), ("lsn", pa.int64())])
@@ -539,7 +647,7 @@ def _read_partition_live(pdir: Path, manifest: PartitionManifest,
     for f in manifest.files:
         fcols = [c for c in cols if c in pq.read_schema(pdir / f).names]
         t = pq.read_table(pdir / f, columns=fcols)
-        tables.append(registry.resolve_table(t, columns=cols).select(cols))
+        tables.append(registry.resolve_table(t, columns=cols, fill_null_defaults=False).select(cols))
     if not tables:
         return pa.schema(
             [*registry.latest.to_arrow(), pa.field("lsn", pa.int64())]
@@ -725,17 +833,25 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
                 row_count=old_rows, tombstone_count=old_tomb, last_lsn=watermark,
                 schema_version=manifest.schema_version if manifest else 0,
             )
-    winners = _reduce_per_doc(fresh, mode)
+    lake_cols = [n for n, _ in latest.fields] + ["lsn"]
+    old_files = list(manifest.files) if manifest else []
+    old_checksums = list(manifest.file_checksums) if manifest else []
+    old_tomb_ids = _read_tombstones(pdir, manifest)
+
+    if mode == "patch":
+        # column-level merge: fold sparse updates onto the live rows; the
+        # winners that come out are FULL rows, so everything downstream
+        # (delta write, tombstones, read merge) is the stock path
+        winners = _patch_winners(fresh, pdir, old_files, registry,
+                                 old_tomb_ids, lake_cols)
+    else:
+        winners = _reduce_per_doc(fresh, mode)
     is_delete = pc.equal(winners["op"], "delete")
     deletes = winners.filter(is_delete)
     upserts = winners.filter(pc.invert(is_delete))
     last_lsn = int(pc.max(fresh["lsn"]).as_py())
 
-    lake_cols = [n for n, _ in latest.fields] + ["lsn"]
     upsert_data = upserts.select(lake_cols)
-    old_files = list(manifest.files) if manifest else []
-    old_checksums = list(manifest.file_checksums) if manifest else []
-    old_tomb_ids = _read_tombstones(pdir, manifest)
 
     write_delta = delta and old_files and len(old_files) + 1 < compact_threshold
     key_ids = None
@@ -819,7 +935,7 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
     else:
         # ---- fold path: merge base + deltas + this window into one base
         tables = [
-            registry.resolve_table(pq.read_table(pdir / f)).select(lake_cols)
+            registry.resolve_table(pq.read_table(pdir / f), fill_null_defaults=False).select(lake_cols)
             for f in old_files
         ] + [upsert_data]
         tomb_arr = tomb_table["doc_id"].combine_chunks() if tomb_table.num_rows else None
@@ -1257,7 +1373,7 @@ def _read_partition_asof(pdir: Path, manifest: PartitionManifest,
     cutoff = pa.scalar(lsn, pa.int64())
     tables = []
     for f in manifest.files:
-        t = registry.resolve_table(pq.read_table(pdir / f)).select(cols)
+        t = registry.resolve_table(pq.read_table(pdir / f), fill_null_defaults=False).select(cols)
         tables.append(t.filter(pc.less_equal(t["lsn"], cutoff)))
     if not tables:
         return pa.schema(
@@ -1388,7 +1504,7 @@ def _read_partition_changes(pdir: Path, manifest: PartitionManifest,
     for f, end in zip(manifest.files, ends):
         if end <= since:
             continue  # pruned from the manifest alone — file never opened
-        t = registry.resolve_table(pq.read_table(pdir / f)).select(cols)
+        t = registry.resolve_table(pq.read_table(pdir / f), fill_null_defaults=False).select(cols)
         t = t.filter(pc.greater(t["lsn"], cutoff))
         if t.num_rows:
             ups.append(t)
@@ -1531,7 +1647,7 @@ def lookup_docs(lake_dir: str | Path, doc_ids,
         for f in m.files:
             t = pq.read_table(pdir / f, filters=[("doc_id", "in", want_py)])
             if t.num_rows:
-                tabs.append(registry.resolve_table(t).select(cols))
+                tabs.append(registry.resolve_table(t, fill_null_defaults=False).select(cols))
         if not tabs:
             continue
         tomb_ids = None

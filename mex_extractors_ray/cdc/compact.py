@@ -191,7 +191,7 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         elif i == 0 and sha256_file(path) != m.sha256_checksum:
             # pre-file_checksums manifests carry only the primary hash
             errors.append(f"checksum mismatch {f}")
-        t = registry.resolve_table(pq.read_table(path))
+        t = registry.resolve_table(pq.read_table(path), fill_null_defaults=False)
         tables.append(t)
         # sortedness/uniqueness via Arrow kernels — no to_pylist (Python
         # objects cost ~10× the Arrow memory inside the audit task)

@@ -266,7 +266,7 @@ def _read_partition_filtered(pdir: Path, manifest: PartitionManifest,
                     if not (c == "lsn" or c in fnames)]
         fcols = [c for c in need if c == "lsn" or c in fnames]
         mt = pq.read_table(path, columns=fcols, filters=push or None)
-        mt = registry.resolve_table(mt, columns=need)
+        mt = registry.resolve_table(mt, columns=need, fill_null_defaults=False)
         for c, o, v in residual:
             mt = _apply_mask(mt, c, o, v)
         match_tabs.append(mt.select(cols))

@@ -69,6 +69,25 @@ def replay_reference(
         if row["op"] == "delete":
             state.pop(doc_id, None)
             tombstones[doc_id] = row["lsn"]
+        elif mode == "patch":
+            # column-level merge: patch overlays its NON-NULL columns onto
+            # the live row; full rows (insert/update) replace it wholesale.
+            # No default filling — "never set" stays null (defaults belong
+            # to schema evolution, not to sparse updates).
+            if row["op"] == "patch":
+                rec = state.get(doc_id) or {n: None for n in field_names}
+                rec = dict(rec)
+                rec["doc_id"] = doc_id
+                rec["lsn"] = row["lsn"]
+                for name in field_names:
+                    v = row.get(name)
+                    if v is not None:
+                        rec[name] = v
+            else:
+                rec = {name: row.get(name) for name in field_names}
+                rec["lsn"] = row["lsn"]
+            state[doc_id] = rec
+            tombstones.pop(doc_id, None)
         else:
             rec = {"lsn": row["lsn"]}
             for name, _ in latest.fields:

@@ -99,6 +99,100 @@ def change_log_from_events(events: pa.Table) -> pa.Table:
     return t
 
 
+def patch_log_from_events(events: pa.Table) -> pa.Table:
+    """Closed-form PARTIAL-UPDATE change log from the driver's ``events``
+    table — the column-level-merge (Debezium-style sparse update) fixture.
+
+    Per doc (= user), events ordered by lsn (= event_id):
+
+    - the FIRST event (any type except error) is a full ``insert`` setting
+      every column;
+    - ``error`` events are ``delete``s (payload all null);
+    - every later non-error event is a ``patch`` carrying ONLY the columns
+      selected by ``lsn % 3`` (0 → tokens+n_tok, 1 → lang, 2 → source),
+      all other data columns null = "unchanged".
+
+    Every set value is lsn-dependent so a wrong merge order is observable:
+
+        n_tok   = 8 + (lsn % 120)
+        tokens[i] = (user*2654435761 + i*40503 + lsn*7919) % 50000
+        lang    = ('de','en','fr','es')[(user + lsn) % 4]
+        source  = 'src' || ((user + lsn) % 6)
+
+    The exact same derivation is expressible in DuckDB SQL (see
+    ``_CDC_PATCH_SQL`` in pipelines/catalog.py), so the engine's ``patch``
+    apply mode is hash-checkable end to end. All rows are schema v3.
+    """
+    import pyarrow.compute as pc
+
+    t = events.select(["event_id", "user_id", "event_type"]).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")]
+    )
+    lsn = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+    user = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+    etype = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    is_del = etype == "error"
+    # first NON-DELETE event per user (sorted by user, lsn): a delete may
+    # precede the first insert — it must stay a delete, not become the insert
+    first_any = np.ones(len(user), dtype=bool)
+    first_any[1:] = user[1:] != user[:-1]
+    # rank of non-delete events within each user run
+    nd = (~is_del).astype(np.int64)
+    cum = np.cumsum(nd)
+    run_base = np.maximum.accumulate(np.where(first_any, cum - nd, 0))
+    nd_rank = cum - run_base  # 1 for the first non-delete of each user
+    is_insert = (~is_del) & (nd_rank == 1)
+    is_patch = (~is_del) & ~is_insert
+    op = np.where(is_del, "delete", np.where(is_insert, "insert", "patch"))
+
+    m = lsn % 3
+    set_tok = is_insert | (is_patch & (m == 0))
+    set_lang = is_insert | (is_patch & (m == 1))
+    set_source = is_insert | (is_patch & (m == 2))
+
+    n_tok = (8 + (lsn % 120)).astype(np.int64)
+    tokens = _patch_tokens_list_array(user, lsn, np.where(set_tok, n_tok, 0))
+    lang = _LANGS[(user + lsn) % 4]
+    source = np.char.add("src", ((user + lsn) % 6).astype(np.str_))
+    doc_id = np.char.add("doc-", user.astype(np.str_))
+    out = pa.table(
+        {
+            "lsn": pa.array(lsn),
+            "op": pa.array(op),
+            "doc_id": pa.array(doc_id),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, pa.int64()),
+            "source": pa.array(source),
+            "schema_version": pa.array(np.full(len(lsn), 3, np.int32)),
+            "lang": pa.array(lang),
+        }
+    )
+    unset = lambda col, mask, typ: pc.if_else(  # noqa: E731
+        pa.array(~mask), pa.nulls(len(out), typ), col
+    )
+    out = out.set_column(3, "tokens", unset(out["tokens"], set_tok, out["tokens"].type))
+    out = out.set_column(4, "n_tok", unset(out["n_tok"], set_tok, pa.int64()))
+    out = out.set_column(5, "source", unset(out["source"], set_source, pa.string()))
+    out = out.set_column(7, "lang", unset(out["lang"], set_lang, pa.string()))
+    return out.sort_by([("lsn", "ascending")])
+
+
+def _patch_tokens_list_array(user_id: np.ndarray, lsn: np.ndarray,
+                             n_tok: np.ndarray) -> pa.ListArray:
+    """Patch-fixture token lists: lsn enters the value formula so the merged
+    row proves WHICH event's tokens won."""
+    n = n_tok.astype(np.int64)
+    offsets = np.zeros(len(n) + 1, dtype=np.int32)
+    np.cumsum(n, out=offsets[1:])
+    total = int(offsets[-1])
+    starts = offsets[:-1].astype(np.int64)
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+    uid = np.repeat(user_id.astype(np.int64), n)
+    ls = np.repeat(lsn.astype(np.int64), n)
+    values = ((uid * 2654435761 + local * 40503 + ls * 7919) % TOKEN_VOCAB).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+
+
 def synth_change_log(
     out_dir: str | Path,
     n_events: int,

@@ -207,6 +207,61 @@ def q_cdc_live_bounds(sf_dir: str) -> pa.Table:
                      "hi": pa.array([int(hi)], pa.int64())})
 
 
+def build_patch_lake(sf_dir: str) -> Path:
+    """Ingest the closed-form PARTIAL-UPDATE log (``gen.patch_log_from_events``)
+    in ``patch`` apply mode, two windows — so window 2's sparse updates fold
+    onto window 1's committed state through the read-modify-write path."""
+    key = (sf_dir, "patch", 2)
+    if key in _LAKE_CACHE:
+        return _LAKE_CACHE[key]
+    tag = hashlib.sha1(f"{sf_dir}|patch|2".encode()).hexdigest()[:10]
+    base = WORK_ROOT / f"cdc-{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir, lake_dir = base / "log", base / "lake"
+    log_dir.mkdir(parents=True)
+    from mex_extractors_ray.gen import patch_log_from_events
+
+    log = patch_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+    cut = int(pc.max(log["lsn"]).as_py()) // 2
+    for w, chunk in enumerate(
+        (log.filter(pc.less_equal(log["lsn"], cut)),
+         log.filter(pc.greater(log["lsn"], cut)))
+    ):
+        paths = []
+        for i, start in enumerate(range(0, chunk.num_rows, 100_000)):
+            p = log_dir / f"plog-w{w}-{i:05d}.parquet"
+            pq.write_table(chunk.slice(start, 100_000), p, compression="snappy")
+            paths.append(str(p))
+        ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS,
+                          mode="patch")
+    _LAKE_CACHE[key] = lake_dir
+    return lake_dir
+
+
+def _tok_sums_masked(tokens: pa.ChunkedArray) -> pa.Array:
+    """tok_sum with null-in → null-out (patch lakes keep "never set" as
+    null; 0 would alias an empty-but-set token list)."""
+    mask = pc.is_null(tokens.combine_chunks()).to_numpy(zero_copy_only=False).astype(bool)
+    return pa.array(np.asarray(_tok_sums(tokens)), mask=mask)
+
+
+def q_cdc_patch_state(sf_dir: str) -> pa.Table:
+    """Column-level merge CDC (sparse Debezium-style updates): full-engine
+    replay in ``patch`` apply mode, hash-checked against a DuckDB
+    window/arg_max fold of the same closed-form patch log."""
+    lake = read_lake_arrow(build_patch_lake(sf_dir))
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums_masked(lake["tokens"]),
+        }
+    )
+
+
 def q_cdc_tombstones(sf_dir: str) -> pa.Table:
     # Arrow end to end — tombstone ids never become Python objects (the
     # same discipline as the repartition/audit fixes: under a delete-heavy
@@ -410,6 +465,56 @@ SELECT doc_id,
 FROM ranked WHERE rn = 1
 """
 )
+
+
+# column-level merge (patch) fold: per doc, the final barrier segment
+# (last non-patch event onward) folded by last-non-null-per-column —
+# the SQL mirror of cdc/apply._fold_patches over gen.patch_log_from_events
+_CDC_PATCH_SQL = """
+WITH plog AS (
+  SELECT event_id AS lsn, user_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN row_number() OVER (
+                     PARTITION BY user_id, (event_type = 'error')
+                     ORDER BY event_id) = 1 THEN 'insert'
+              ELSE 'patch' END AS op
+  FROM events
+),
+flags AS (
+  SELECT lsn, user_id, op,
+         (op = 'insert' OR (op = 'patch' AND lsn % 3 = 0)) AS set_tok,
+         (op = 'insert' OR (op = 'patch' AND lsn % 3 = 1)) AS set_lang,
+         (op = 'insert' OR (op = 'patch' AND lsn % 3 = 2)) AS set_source
+  FROM plog
+),
+barr AS (
+  SELECT user_id, MAX(lsn) AS last_lsn, arg_max(op, lsn) AS last_op,
+         COALESCE(MAX(CASE WHEN op <> 'patch' THEN lsn END), -1) AS blsn
+  FROM flags GROUP BY user_id
+),
+folded AS (
+  SELECT f.user_id,
+         arg_max('src' || CAST((f.user_id + f.lsn) % 6 AS VARCHAR),
+                 CASE WHEN f.set_source THEN f.lsn END) AS source,
+         arg_max((['de','en','fr','es'])[CAST((f.user_id + f.lsn) % 4 AS INT) + 1],
+                 CASE WHEN f.set_lang THEN f.lsn END) AS lang,
+         arg_max(8 + (f.lsn % 120), CASE WHEN f.set_tok THEN f.lsn END) AS n_tok,
+         arg_max(f.lsn, CASE WHEN f.set_tok THEN f.lsn END) AS tlsn
+  FROM flags f JOIN barr b ON f.user_id = b.user_id
+  WHERE f.lsn >= b.blsn
+  GROUP BY f.user_id
+)
+SELECT 'doc-' || CAST(b.user_id AS VARCHAR) AS doc_id,
+       fo.source,
+       fo.lang,
+       CAST(fo.n_tok AS BIGINT) AS n_tok,
+       b.last_lsn AS last_lsn,
+       CAST(list_sum(list_transform(range(0, CAST(8 + (fo.tlsn % 120) AS INT)),
+            i -> (b.user_id * 2654435761 + i * 40503 + fo.tlsn * 7919) % 50000))
+            AS BIGINT) AS tok_sum
+FROM barr b JOIN folded fo ON b.user_id = fo.user_id
+WHERE b.last_op <> 'delete'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2865,6 +2970,7 @@ _QUERY_FNS = {
         "cdc_live_counts": q_cdc_live_counts,
         "cdc_live_bounds": q_cdc_live_bounds,
         "cdc_tombstones": q_cdc_tombstones,
+        "cdc_patch_state": q_cdc_patch_state,
         "cdc_split_state": q_cdc_split_state,
         "cdc_partition_metrics": q_cdc_partition_metrics,
         "cdc_partition_routing": q_cdc_partition_routing,
@@ -3053,6 +3159,7 @@ LEFT JOIN (
 ) c USING (partition)
 ORDER BY 1
 """.format(hashed=_text_string_hash_over_final()),
+        "cdc_patch_state": _CDC_PATCH_SQL,
         "cdc_tombstones": _CDC_RANKED_SQL
         + """
 SELECT doc_id, lsn AS last_lsn FROM ranked WHERE rn = 1 AND op = 'delete'

@@ -101,7 +101,7 @@ class SchemaRegistry:
         return self._by_version[self.latest_version]
 
     def resolve_table(self, table: pa.Table, to_version: int | None = None,
-                      columns=None) -> pa.Table:
+                      columns=None, fill_null_defaults: bool = True) -> pa.Table:
         """Upgrade ``table`` (written under any registered version) to
         ``to_version`` (default latest): add missing columns with their
         declared default, up-cast widened types, order columns canonically.
@@ -113,6 +113,14 @@ class SchemaRegistry:
         pushdown support: a column-pruned parquet read hands over only the
         requested columns, and unrequested target fields must NOT be
         re-materialized from their defaults).
+
+        ``fill_null_defaults=False`` preserves nulls in columns that carry a
+        declared default. Two callers need it: the ``patch`` apply mode
+        (null = "unchanged"/"never set", NOT "written pre-evolution") and
+        lake-file READ paths — ingest always writes post-resolve, so a null
+        in a default-bearing lake column can only be patch-mode "never set"
+        and must survive the read. Missing-column fill is unaffected (a file
+        written before the column existed still gets the default).
         """
         target = self[to_version if to_version is not None else self.latest_version]
         n = table.num_rows
@@ -128,7 +136,7 @@ class SchemaRegistry:
                 if col.type != typ:
                     col = col.cast(typ)
                 default = target.defaults.get(name)
-                if default is not None and col.null_count:
+                if fill_null_defaults and default is not None and col.null_count:
                     # rows written under a version that lacked the column
                     # carry nulls; the declared default applies to them too
                     import pyarrow.compute as pc
