@@ -1402,6 +1402,26 @@ def q_minhash_near_dups(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_substring_dup_pairs(sf_dir: str):
+    """Exact substring-duplicate pairs (docs sharing ≥1 exact 30-byte run —
+    the suffix-array dedup signal of Lee et al., re-expressed as an L-gram
+    explode + ONE bucket shuffle; stages/substr.py). ``winnow=0`` here is
+    the exact mode the oracle can check; the winnowed scale path is
+    pinned by tests (guaranteed detection at ≥ L+W-1, subset of exact)."""
+    from mex_extractors_ray.stages.substr import substring_dup_pairs
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = substring_dup_pairs(docs, "text", "doc_id", L=30,
+                              num_partitions=32).to_pandas()
+    return (
+        out[["a", "b"]]
+        .rename(columns={"a": "doc_a", "b": "doc_b"})
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_ngram_overlap_pairs(sf_dir: str):
     """n-gram (word-trigram) overlap near-dup pairs, ORACLE-CHECKED: the
     trigram-set intersection size is exact integer arithmetic, so DuckDB
@@ -3020,6 +3040,7 @@ _QUERY_FNS = {
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_overlap_pairs": q_ngram_overlap_pairs,
+        "substring_dup_pairs": q_substring_dup_pairs,
         "dup_clusters": q_dup_clusters,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "canonical_docs": q_canonical_docs,
@@ -3442,6 +3463,13 @@ SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common
 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.s, y.s)) >= 5
+""",
+        "substring_dup_pairs": """
+WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 10001) t(i)),
+g AS (SELECT doc_id, substr(text, i, 30) AS gr
+      FROM documents JOIN pos ON i <= length(text) - 29)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
 """,
         "ann_topk_ivf_full": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
