@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "rolling_spend_7d",
     "order_rollup",
     "doc_pagerank",
+    "cdc_patch_state",
+    "substring_dup_pairs",
 ]
 
 

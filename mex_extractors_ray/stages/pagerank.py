@@ -28,12 +28,15 @@ never leave the object store. Overflow bound: ``n_nodes·scale·
 damping_pct`` must fit int64 — the default ``scale=10**9`` holds to
 ~10^8 nodes; shrink scale as the graph grows.
 
-Known next constant-factor win (not built; messages are ∝E regardless,
-so asymptotics don't change): a Pregel-style variant that pins the edge
-buckets as static per-partition state (actor pool or object-store refs)
-so exchange 1 ships only the rank rows instead of re-co-partitioning the
-edge list every round — worth it once per-round edge bytes dominate,
-i.e. E ≫ N and many iterations.
+``static_edges=True`` (the Pregel refinement, default): edge buckets are
+pinned ONCE as object-store refs — a per-bucket ``ray.put`` inside the
+grouping task, so the driver never holds edges, only the (bucket → ref)
+map — and each round's first exchange ships ONLY the rank rows (∝N); the
+contribution task fetches its bucket's edges from the object store, which
+Ray caches node-locally after the first round (edges cross the network at
+most once per node, not once per round). Worth it exactly when per-round
+edge bytes dominate, i.e. E ≫ N and several iterations; bit-identical to
+the stock loop (integer arithmetic, pinned by test).
 """
 
 from __future__ import annotations
@@ -50,11 +53,16 @@ _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.i
 def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
                  node_col: str = "node", iters: int = 5,
                  damping_pct: int = 85, scale: int = 10**9,
-                 num_partitions: int = 64):
+                 num_partitions: int = 64, static_edges: bool = True):
     """PageRank over the UNDIRECTED (a, b) edge list (each pair walks both
     ways), every row of ``nodes`` ranked (isolated nodes settle at the
     teleport base). Returns int64 columns ``(node, rank)`` after exactly
-    ``iters`` synchronous rounds from ``r_0 = scale``."""
+    ``iters`` synchronous rounds from ``r_0 = scale``.
+
+    ``static_edges=True`` runs the Pregel-style loop (pinned edge buckets,
+    rank-only first exchange — see module docstring); ``False`` keeps the
+    stock loop that re-co-partitions edges every round. Both compute the
+    same integer recurrence bit-for-bit."""
     import ray.data
 
     if not (0 < damping_pct < 100):
@@ -202,15 +210,100 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
             "rank": pa.array(sums + base),
         })
 
-    for _ in range(iters):
-        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow").union(
-            edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
-        msg = _keyed_blocks(tagged, "src", contribs, parts)
-        # second exchange: co-partition the per-block partials on dst and
-        # reduce with the vectorized run-boundary kernel; output blocks
-        # stay bounded at `parts` (the CC input-block-count lesson)
-        ranks = _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+    if static_edges:
+        ranks = _static_edge_loop(
+            edges_deg, ranks, parts, iters, damping_pct, reduce_ranks)
+    else:
+        for _ in range(iters):
+            tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow").union(
+                edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
+            msg = _keyed_blocks(tagged, "src", contribs, parts)
+            # second exchange: co-partition the per-block partials on dst
+            # and reduce with the vectorized run-boundary kernel; output
+            # blocks stay bounded at `parts` (the CC input-block-count
+            # lesson)
+            ranks = _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
     return ranks.union(isolated)
+
+
+def _static_edge_loop(edges_deg, ranks, parts: int, iters: int,
+                      damping_pct: int, reduce_ranks):
+    """Pregel-style rounds: pin each src-hash edge bucket in the object
+    store ONCE (``ray.put`` inside the grouping task — the driver only ever
+    holds the bucket→ref map, O(parts)); per round, shuffle ONLY the rank
+    rows to their bucket and fetch the pinned edges inside the task. Ray's
+    object store serves repeat fetches from the node-local cache, so edge
+    bytes cross the network at most once per node for the whole run."""
+    import ray
+    import ray.data
+
+    from mex_extractors_ray.hashing import assign_partitions, shard_tags
+
+    def tag_bucket(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_eb", shard_tags(assign_partitions(t[col], parts), parts))
+
+        return _f
+
+    # pin: group edges to (at most) one block per bucket, MATERIALIZE, and
+    # take the block refs through Ray Data's own channel (to_arrow_refs —
+    # ownership stays with the dataset; a hand-rolled ray.put inside the
+    # grouping task would hand out refs whose owner Ray can't resolve once
+    # pickled through an Arrow column). Each block's bucket identity is
+    # probed by a tiny remote task (worker-local, zero-copy fetch).
+    tagged = edges_deg.map_batches(tag_bucket("src"), batch_format="pyarrow")
+    try:
+        grouped = tagged.groupby("_eb", num_partitions=parts)
+    except TypeError:
+        grouped = tagged.groupby("_eb")
+    binned = grouped.map_groups(
+        lambda g: g, batch_format="pyarrow").materialize()
+    refs = binned.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _block_buckets(t: pa.Table) -> list:
+        # empty blocks out of the sort exchange can carry a stripped schema
+        if t.num_rows == 0 or "_eb" not in t.column_names:
+            return []
+        return pc.unique(t["_eb"]).to_pylist()
+
+    pinned: dict = {}
+    for ref, labels in zip(refs, ray.get([_block_buckets.remote(r) for r in refs])):
+        for lbl in labels:
+            pinned.setdefault(lbl, []).append(ref)
+
+    def contrib(g: pa.Table) -> pa.Table:
+        eb = g["_eb"][0].as_py()
+        refs = pinned.get(eb, [])
+        if not refs or g.num_rows == 0:
+            return pa.table({"dst": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        tabs = [ray.get(r) for r in refs]
+        e = pa.concat_tables(
+            [t.filter(pc.equal(t["_eb"], eb)) for t in tabs]
+        ).drop_columns(["_eb"])
+        pos = pc.index_in(e["src"], g["node"].combine_chunks())
+        rv = np.asarray(g["rank"].combine_chunks(), dtype=np.int64)
+        ridx = np.asarray(pos.combine_chunks(), dtype=np.int64)
+        deg = np.asarray(e["deg"].combine_chunks(), dtype=np.int64)
+        c = (rv[ridx] * damping_pct) // (100 * deg)
+        return (
+            pa.table({"dst": e["dst"], "c": pa.array(c)})
+            .group_by("dst").aggregate([("c", "sum")])
+            .rename_columns(["dst", "c"])
+        )
+
+    for _ in range(iters):
+        rt = ranks.map_batches(tag_bucket("node"), batch_format="pyarrow")
+        try:
+            rg = rt.groupby("_eb", num_partitions=parts)
+        except TypeError:
+            rg = rt.groupby("_eb")
+        msg = rg.map_groups(
+            lambda g: contrib(g), batch_format="pyarrow")
+        ranks = _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+    return ranks
 
 
 def pagerank_sql(edges_sql: str, nodes_sql: str, a: str = "a", b: str = "b",

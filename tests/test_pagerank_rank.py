@@ -110,3 +110,19 @@ def test_keyed_rank_ntile_matches_pandas(ray_session):
             else:
                 tiles[rid] = rem + (o - rem * (size + 1)) // size + 1
     assert out["tile"].tolist() == [tiles[i] for i in out["id"]]
+
+
+def test_static_edges_loop_bit_identical(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    edges = [{"a": int(a), "b": int(b)}
+             for a, b in rng.integers(0, 40, size=(300, 2)) if a != b]
+    nodes = [{"node": n} for n in range(45)]
+
+    def run(static):
+        out = pagerank_int(_ds(edges), _ds(nodes), iters=4,
+                           num_partitions=8, static_edges=static).to_pandas()
+        return dict(zip(out["node"].astype(int), out["rank"].astype(int)))
+
+    assert run(True) == run(False)

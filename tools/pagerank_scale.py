@@ -40,7 +40,7 @@ def build_edges(n_edges: int, n_nodes: int):
     ).materialize()
 
 
-def run(n_edges: int, n_nodes: int, iters: int) -> dict:
+def run(n_edges: int, n_nodes: int, iters: int, static: bool = True) -> dict:
     import ray.data
 
     from mex_extractors_ray.stages.pagerank import pagerank_int
@@ -50,7 +50,8 @@ def run(n_edges: int, n_nodes: int, iters: int) -> dict:
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     ).materialize()
     t0 = time.time()
-    ranks = pagerank_int(edges, nodes, iters=iters, num_partitions=64)
+    ranks = pagerank_int(edges, nodes, iters=iters, num_partitions=64,
+                         static_edges=static)
     total_rank_rows = ranks.count()
     wall = time.time() - t0
     assert total_rank_rows == n_nodes
@@ -77,9 +78,12 @@ def main():
 
     small = run(e_small, e_small // 5, iters)
     large = run(e_large, e_large // 5, iters)
+    small_stock = run(e_small, e_small // 5, iters, static=False)
+    large_stock = run(e_large, e_large // 5, iters, static=False)
     out = {
         "metric": "pagerank_scale", "num_cpus": cpus,
         "small": small, "large": large,
+        "small_stock_loop": small_stock, "large_stock_loop": large_stock,
         "cost_ratio": round(large["wall_sec"] / small["wall_sec"], 2),
         "edge_ratio": round(e_large / e_small, 2),
         "peak_rss_gb": round(
