@@ -262,6 +262,20 @@ def q_cdc_patch_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_token_bigram_topk(sf_dir: str) -> pa.Table:
+    """Corpus-level token-bigram top-k over the LIVE lake payload — LM-data
+    n-gram statistics composed on top of the CDC engine's own output
+    (projection-pushdown lake read: only the tokens column leaves parquet;
+    stages/tokens.py). Hash-checked against the closed-form token
+    recurrence replayed in SQL."""
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.stages.tokens import token_bigram_topk
+
+    ds = read_lake(build_cdc_lake(sf_dir), columns=["tokens"])
+    return token_bigram_topk(ds, "tokens", vocab_size=50_000, k=20,
+                             num_partitions=16)
+
+
 def q_cdc_tombstones(sf_dir: str) -> pa.Table:
     # Arrow end to end — tombstone ids never become Python objects (the
     # same discipline as the repartition/audit fixes: under a delete-heavy
@@ -2991,6 +3005,7 @@ _QUERY_FNS = {
         "cdc_live_bounds": q_cdc_live_bounds,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_patch_state": q_cdc_patch_state,
+        "token_bigram_topk": q_token_bigram_topk,
         "cdc_split_state": q_cdc_split_state,
         "cdc_partition_metrics": q_cdc_partition_metrics,
         "cdc_partition_routing": q_cdc_partition_routing,
@@ -3181,6 +3196,17 @@ LEFT JOIN (
 ORDER BY 1
 """.format(hashed=_text_string_hash_over_final()),
         "cdc_patch_state": _CDC_PATCH_SQL,
+        "token_bigram_topk": _CDC_RANKED_SQL + """
+, live AS (SELECT user_id, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'),
+pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 126) t(i)),
+pairs AS (
+  SELECT ((user_id * 2654435761 + i * 40503) % 50000) * 50000
+       + ((user_id * 2654435761 + (i + 1) * 40503) % 50000) AS bg
+  FROM live JOIN pos ON i <= 8 + (lsn % 120) - 2
+)
+SELECT bg, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+""",
         "cdc_tombstones": _CDC_RANKED_SQL
         + """
 SELECT doc_id, lsn AS last_lsn FROM ranked WHERE rn = 1 AND op = 'delete'
