@@ -1000,6 +1000,9 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
             agg_counts=agg_counts,
             agg_sums=agg_sums,
             agg_bounds=agg_bounds,
+            # a delta window leaves the clustered base untouched — the flag
+            # rides along; a fold rewrites the base doc_id-sorted — reset
+            cluster_by=(manifest.cluster_by if write_delta and manifest else None),
         ),
     )
     return _metrics_row(

@@ -61,15 +61,26 @@ def _partition_ids(lake_dir: str | Path) -> list[int]:
     return [p for p in globbed if p in live]
 
 
-def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
+def compact_partition(lake_dir: str, pid: int, registry_json: str,
+                      cluster_by: str | None = None,
+                      row_group_rows: int | None = None) -> dict:
     """Rewrite one partition's files at the latest schema version (no-op if
     already current and single-file). Commit is the same two-phase protocol
-    as apply: deterministic name, atomic manifest replace."""
+    as apply: deterministic name, atomic manifest replace.
+
+    ``cluster_by`` sorts the folded base by that column (doc_id as the
+    tie-break), and ``row_group_rows`` bounds the parquet row-group size —
+    together they make row-group statistics selective for range predicates
+    on the cluster column (a partition-sized default row group has ONE
+    stats entry: nothing to prune). The trade is explicit: doc_id point
+    lookups lose their row-group locality on the clustered base until the
+    next plain fold resets it."""
     registry = SchemaRegistry.from_json(registry_json)
     m = read_manifest(lake_dir, pid)
     if m is None:
         return {"partition": pid, "action": "missing", "last_lsn": -1}
-    if m.schema_version == registry.latest_version and len(m.files) <= 1:
+    if (m.schema_version == registry.latest_version and len(m.files) <= 1
+            and (cluster_by is None or m.cluster_by == cluster_by)):
         return {"partition": pid, "action": "noop", "last_lsn": m.last_lsn}
     pdir = partition_dir(lake_dir, pid)
     cols = [n for n, _ in registry.latest.fields] + ["lsn"]
@@ -82,9 +93,15 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
     )
 
     merged = _read_partition_live(pdir, m, registry, cols)
+    if cluster_by is not None:
+        if cluster_by not in merged.column_names:
+            raise ValueError(f"cluster_by column {cluster_by!r} not in lake schema")
+        merged = merged.sort_by(
+            [(cluster_by, "ascending"), ("doc_id", "ascending")])
     name = f"part-{pid:05d}-{m.last_lsn:020d}.parquet"
     tmp = pdir / f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(merged, tmp, compression="snappy")
+    pq.write_table(merged, tmp, compression="snappy",
+                   row_group_size=row_group_rows)
     os.replace(tmp, pdir / name)
     digest = sha256_file(pdir / name)
     commit_manifest(
@@ -115,13 +132,16 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
             # zone maps recomputed EXACTLY from the folded live state —
             # this is where delta-widened conservative bounds tighten
             agg_bounds={c: _bounds_of(merged[c]) for c in (m.agg_bounds or {})},
+            cluster_by=cluster_by,
         ),
     )
     return {"partition": pid, "action": "rewritten", "rows": merged.num_rows,
             "last_lsn": m.last_lsn}
 
 
-def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> list[dict]:
+def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None,
+            cluster_by: str | None = None,
+            row_group_rows: int | None = None) -> list[dict]:
     """Compact every partition (distributed: one task per partition).
 
     Takes the lake's writer lease: a compaction racing an ingest could
@@ -140,7 +160,7 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
         return []
     lake = str(lake_dir)
     with writer_lock(lake_dir, "compact"):
-        out = _locked_compact(lake, pids, rj)
+        out = _locked_compact(lake, pids, rj, cluster_by, row_group_rows)
         rewritten = sum(1 for r in out if r["action"] == "rewritten")
         if rewritten:
             from mex_extractors_ray.state.checks import record_maintenance
@@ -155,11 +175,13 @@ def compact(lake_dir: str | Path, registry: SchemaRegistry | None = None) -> lis
     return out
 
 
-def _locked_compact(lake: str, pids, rj: str) -> list[dict]:
+def _locked_compact(lake: str, pids, rj: str, cluster_by: str | None = None,
+                    row_group_rows: int | None = None) -> list[dict]:
     import ray.data
 
     def run(batch: dict) -> pa.Table:
-        rows = [compact_partition(lake, int(p), rj) for p in batch["item"]]
+        rows = [compact_partition(lake, int(p), rj, cluster_by, row_group_rows)
+                for p in batch["item"]]
         return pa.Table.from_pylist(
             [{"partition": r["partition"], "action": r["action"],
               "last_lsn": r["last_lsn"]} for r in rows]
@@ -194,13 +216,20 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         t = registry.resolve_table(pq.read_table(path), fill_null_defaults=False)
         tables.append(t)
         # sortedness/uniqueness via Arrow kernels — no to_pylist (Python
-        # objects cost ~10× the Arrow memory inside the audit task)
+        # objects cost ~10× the Arrow memory inside the audit task).
+        # A clustered base (files[0] under manifest cluster_by) is sorted
+        # by the cluster column instead of doc_id — audit what was written.
+        sort_col = (m.cluster_by if i == 0 and m.cluster_by
+                    and m.cluster_by in t.column_names else "doc_id")
         ids = t["doc_id"].combine_chunks()
         n = len(ids)
         if n > 1:
-            nxt, prv = ids.slice(1), ids.slice(0, n - 1)
-            if not pc.all(pc.greater_equal(nxt, prv)).as_py():
-                errors.append(f"{f}: doc_id not sorted")
+            sc = t[sort_col].combine_chunks()
+            nxt, prv = sc.slice(1), sc.slice(0, n - 1)
+            # null comparisons are skipped (nullable cluster columns sort
+            # nulls last; `is False` keeps an all-null file passing)
+            if pc.all(pc.greater_equal(nxt, prv)).as_py() is False:
+                errors.append(f"{f}: {sort_col} not sorted")
         if n and len(pc.unique(ids)) != n:
             errors.append(f"{f}: duplicate doc_id")
         bad = pc.sum(

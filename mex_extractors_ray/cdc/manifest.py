@@ -78,6 +78,13 @@ class PartitionManifest:
     # every range/equality predicate on the column prunes the partition.
     # Sound for pruning by construction: live values ⊆ [lo, hi] always.
     agg_bounds: dict = field(default_factory=dict)
+    # secondary-column clustering: when set, files[0] (the base from the
+    # last clustered compaction) is sorted by THIS column — parquet
+    # row-group statistics then prune range predicates on it at the
+    # reader. Delta files are always doc_id-sorted; delta windows carry
+    # the flag forward (the base is untouched), folds reset it to None
+    # (the folded base is doc_id-sorted again).
+    cluster_by: str | None = None
     write_completed_at: str = ""  # informational only; excluded from equality checks
 
     def to_json(self) -> str:

@@ -179,7 +179,8 @@ def cmd_compact(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.compact import compact
 
-    out = compact(args.lake)
+    out = compact(args.lake, cluster_by=args.cluster_by,
+                  row_group_rows=args.row_group_rows)
     actions = {}
     for r in out:
         actions[r["action"]] = actions.get(r["action"], 0) + 1
@@ -398,6 +399,11 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact")
     c.add_argument("--lake", required=True)
+    c.add_argument("--cluster-by", default=None,
+                   help="sort the folded base by this column (row-group "
+                        "pruning for range predicates on it)")
+    c.add_argument("--row-group-rows", type=int, default=None,
+                   help="parquet row-group size for the folded base")
     c.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser(

@@ -1,0 +1,86 @@
+"""Clustered compaction (compact(cluster_by=...)): base sorted by a
+secondary column with bounded row groups so parquet row-group statistics
+prune range predicates — state equality, audit, delta carry-forward, and
+actual stats selectivity."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from mex_extractors_ray.cdc import ingest_change_log
+from mex_extractors_ray.cdc.apply import read_lake_arrow
+from mex_extractors_ray.cdc.compact import compact, verify_lake
+from mex_extractors_ray.cdc.filtered import read_lake_filtered_arrow
+from mex_extractors_ray.cdc.manifest import read_manifest
+from mex_extractors_ray.gen import synth_change_log
+
+
+def _build(tmp_path, tmp_lake, n=6000, windows=2):
+    paths = synth_change_log(tmp_path / "log", n_events=n, n_docs=n // 8,
+                             seed=13, shard_rows=n // windows)
+    for p in paths:
+        ingest_change_log([p], tmp_lake, num_partitions=4)
+    return tmp_lake
+
+
+def test_clustered_compact_preserves_state_and_audit(ray_session, tmp_path,
+                                                     tmp_lake):
+    _build(tmp_path, tmp_lake)
+    before = read_lake_arrow(tmp_lake)
+    out = compact(tmp_lake, cluster_by="n_tok", row_group_rows=48)
+    assert all(r["action"] in ("rewritten", "noop") for r in out)
+    assert read_lake_arrow(tmp_lake).equals(before)
+    assert all(r["ok"] for r in verify_lake(tmp_lake))
+    m = read_manifest(tmp_lake, 0)
+    assert m.cluster_by == "n_tok" and len(m.files) == 1
+    # the base really is n_tok-sorted with bounded row groups
+    pf = pq.ParquetFile(f"{tmp_lake}/partition=00000/{m.files[0]}")
+    assert pf.metadata.num_row_groups > 1
+    mins = [pf.metadata.row_group(i).column(2).statistics.min
+            for i in range(pf.metadata.num_row_groups)]
+    assert mins == sorted(mins)
+
+
+def test_row_group_stats_are_selective(ray_session, tmp_path, tmp_lake):
+    _build(tmp_path, tmp_lake)
+    compact(tmp_lake, cluster_by="n_tok", row_group_rows=16)
+    m = read_manifest(tmp_lake, 0)
+    pf = pq.ParquetFile(f"{tmp_lake}/partition=00000/{m.files[0]}")
+    ncol = next(i for i, f in enumerate(pf.schema_arrow) if f.name == "n_tok")
+    lo, hi = 100, 110
+    overlapping = sum(
+        1 for i in range(pf.metadata.num_row_groups)
+        if not (pf.metadata.row_group(i).column(ncol).statistics.max < lo
+                or pf.metadata.row_group(i).column(ncol).statistics.min > hi)
+    )
+    # a narrow range must touch a strict minority of row groups
+    assert overlapping < pf.metadata.num_row_groups / 2
+
+
+def test_filtered_read_equal_before_and_after_cluster(ray_session, tmp_path,
+                                                      tmp_lake):
+    _build(tmp_path, tmp_lake)
+    pred = [("n_tok", ">=", 60), ("n_tok", "<", 90)]
+    before = read_lake_filtered_arrow(tmp_lake, pred)
+    compact(tmp_lake, cluster_by="n_tok", row_group_rows=48)
+    after = read_lake_filtered_arrow(tmp_lake, pred)
+    assert after.equals(before)
+
+
+def test_delta_window_carries_cluster_flag_and_fold_resets(ray_session,
+                                                           tmp_path, tmp_lake):
+    _build(tmp_path, tmp_lake)
+    compact(tmp_lake, cluster_by="n_tok", row_group_rows=48)
+    last = int(pc.max(read_lake_arrow(tmp_lake)["lsn"]).as_py())
+    # follow-on delta window: flag rides along, audit stays green
+    more = synth_change_log(tmp_path / "log2", n_events=2000, n_docs=750,
+                            seed=14, lsn_start=last + 1)
+    ingest_change_log(more, tmp_lake, num_partitions=4)
+    m = read_manifest(tmp_lake, 0)
+    assert m.cluster_by == "n_tok" and len(m.files) > 1
+    assert all(r["ok"] for r in verify_lake(tmp_lake))
+    # a plain fold rewrites the base doc_id-sorted and resets the flag
+    compact(tmp_lake)
+    m = read_manifest(tmp_lake, 0)
+    assert m.cluster_by is None
+    assert all(r["ok"] for r in verify_lake(tmp_lake))
