@@ -363,3 +363,59 @@ def read_lake_filtered(lake_dir: str | Path, column, op: str | None = None,
 
     return ray.data.from_items(pids).map_batches(
         load, batch_size=1, batch_format="numpy")
+
+
+def delete_where(lake_dir: str | Path, where, registry: SchemaRegistry | None = None) -> dict:
+    """Bulk predicate delete THROUGH the normal CDC path — the GDPR /
+    right-to-be-forgotten maintenance op a training-data lake needs.
+
+    Matching live docs (found by the PRUNED filtered read — zone maps /
+    value counts skip partitions that provably hold no match) are turned
+    into ordinary ``delete`` events at ``watermark + 1`` and streamed
+    through :func:`ingest_change_log`: tombstones, the change feed,
+    incremental exports, replicas and as-of history all see them as stock
+    deletes — no side-channel state. Cost ∝ matching docs + surviving
+    partitions, never lake size.
+
+    Exactly-once across retries: a re-run after partial failure re-mints
+    an LSN above the new max watermark; partitions that already committed
+    have no matching LIVE docs left (the filtered read sees post-delete
+    state), so only the unfinished partitions receive events — the op
+    converges with no duplicate work. Returns
+    ``{"matched": n, "lsn": lsn, "partitions": touched}``.
+    """
+    from mex_extractors_ray.cdc.apply import ingest_change_log, lake_num_partitions
+
+    registry = registry or sequence_registry()
+    lake = str(lake_dir)
+    num_partitions = lake_num_partitions(lake)
+    wm = -1
+    for pid in _manifested_pids(lake):
+        m = read_manifest(lake, pid)
+        if m:
+            wm = max(wm, m.last_lsn)
+    lsn = wm + 1
+    latest = registry.latest
+
+    def to_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict = {
+            "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
+            "op": pa.array(["delete"] * n),
+            "doc_id": t["doc_id"],
+        }
+        for name, typ in latest.fields:
+            if name != "doc_id":
+                cols[name] = pa.nulls(n, typ)
+        cols["schema_version"] = pa.array(
+            np.full(n, registry.latest_version, dtype=np.int32))
+        return pa.table(cols)
+
+    ids = read_lake_filtered(lake, where, registry=registry, columns=["doc_id"])
+    events = ids.map_batches(to_events, batch_format="pyarrow")
+    metrics = ingest_change_log(events, lake, num_partitions=num_partitions,
+                                registry=registry)
+    deletes = int(pc.sum(metrics["deletes"]).as_py() or 0)
+    touched = int(pc.sum(pc.cast(pc.greater(metrics["deletes"], 0),
+                                 pa.int64())).as_py() or 0)
+    return {"matched": deletes, "lsn": lsn, "partitions": touched}

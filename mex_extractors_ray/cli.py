@@ -197,6 +197,16 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    ray = _ray()
+    from mex_extractors_ray.cdc.filtered import delete_where
+
+    preds = [_parse_where(w) for w in args.where]
+    print(json.dumps(delete_where(args.lake, preds)))
+    ray.shutdown()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     ray = _ray()
     from mex_extractors_ray.cdc.compact import vacuum_lake
@@ -478,6 +488,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated projection (pushdown)")
     rd.add_argument("--out", default=None, help="optional parquet output dir")
     rd.set_defaults(fn=cmd_read)
+
+    dl = sub.add_parser(
+        "delete", help="bulk predicate delete through the CDC path "
+                       "(GDPR/right-to-be-forgotten; feed- and "
+                       "replica-visible ordinary deletes)")
+    dl.add_argument("--lake", required=True)
+    dl.add_argument("--where", action="append", required=True,
+                    help="predicate (repeatable; conjunctive) — matching "
+                         "LIVE docs get delete events at watermark+1")
+    dl.set_defaults(fn=cmd_delete)
 
     ch = sub.add_parser("changes", help="change feed: all effects with lsn > --since")
     ch.add_argument("--lake", required=True)

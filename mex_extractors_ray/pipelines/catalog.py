@@ -262,6 +262,42 @@ def q_cdc_patch_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_delete_where_state(sf_dir: str) -> pa.Table:
+    """Bulk predicate delete (GDPR op) through the stock CDC path: build a
+    fresh lake, ``delete_where(n_tok >= 100)``, read the final state —
+    hash-checked against the final-state oracle post-filtered in SQL. Own
+    lake (not the shared cache): the op mutates it."""
+    from mex_extractors_ray.cdc.filtered import delete_where
+
+    tag = hashlib.sha1(f"{sf_dir}|delwhere".encode()).hexdigest()[:10]
+    base = WORK_ROOT / f"cdc-{tag}"
+    key = (sf_dir, "delwhere", 1)
+    if key not in _LAKE_CACHE:
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, lake_dir = base / "log", base / "lake"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        paths = []
+        for i, start in enumerate(range(0, log.num_rows, 100_000)):
+            p = log_dir / f"log-{i:05d}.parquet"
+            pq.write_table(log.slice(start, 100_000), p, compression="snappy")
+            paths.append(str(p))
+        ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS)
+        delete_where(lake_dir, [("n_tok", ">=", 100)])
+        _LAKE_CACHE[key] = lake_dir
+    lake = read_lake_arrow(_LAKE_CACHE[key])
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 def q_token_bigram_topk(sf_dir: str) -> pa.Table:
     """Corpus-level token-bigram top-k over the LIVE lake payload — LM-data
     n-gram statistics composed on top of the CDC engine's own output
@@ -3006,6 +3042,7 @@ _QUERY_FNS = {
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_patch_state": q_cdc_patch_state,
         "token_bigram_topk": q_token_bigram_topk,
+        "cdc_delete_where_state": q_cdc_delete_where_state,
         "cdc_split_state": q_cdc_split_state,
         "cdc_partition_metrics": q_cdc_partition_metrics,
         "cdc_partition_routing": q_cdc_partition_routing,
@@ -3196,6 +3233,8 @@ LEFT JOIN (
 ORDER BY 1
 """.format(hashed=_text_string_hash_over_final()),
         "cdc_patch_state": _CDC_PATCH_SQL,
+        "cdc_delete_where_state":
+            f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE n_tok < 100",
         "token_bigram_topk": _CDC_RANKED_SQL + """
 , live AS (SELECT user_id, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'),
 pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 126) t(i)),
