@@ -114,10 +114,21 @@ def main() -> dict:
         watermarks.append(wm)
 
         if w % 10 == 0:  # periodic maintenance, mid-lifecycle
+            # alternate plain and CLUSTERED folds (row-group pruning on
+            # n_tok); both must keep every downstream surface coherent
+            kw = ({"cluster_by": "n_tok", "row_group_rows": 4096}
+                  if w % 20 == 0 else {})
             maint["compacts"] += sum(
-                1 for r in compact(lake) if r["action"] == "rewritten")
+                1 for r in compact(lake, **kw) if r["action"] == "rewritten")
             maint["vacuumed_files"] += int(
                 vacuum_lake(lake, retention_seconds=0.0)["files_removed"])
+        if w % 15 == 0 and w < WINDOWS:  # GDPR deletes mid-lifecycle: the
+            # next window's tail propagates them to export + replica
+            from mex_extractors_ray.cdc.filtered import delete_where
+
+            src = f"src{(w // 15) % 6}"
+            maint["deleted_docs"] = maint.get("deleted_docs", 0) + int(
+                delete_where(lake, [("source", "==", src)])["matched"])
         if w % 20 == 0:
             print(f"window {w}/{WINDOWS} wm={wm} splits={split_total}",
                   file=sys.stderr)
