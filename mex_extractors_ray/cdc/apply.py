@@ -234,12 +234,16 @@ def resolve_and_partition(
         # never shadow a later insert inside the reduce
         batch = batch.filter(pc.not_equal(batch["op"], "delete"))
     if mode == "patch":
-        # NO combiner for sparse updates: per-doc last-wins would drop
-        # patches that still contribute columns, and a column-merged
-        # partial row can't carry per-column LSNs, so two partials from
-        # interleaved batches would merge in the wrong order. Shuffle
-        # bytes ∝ events is inherent to column-merge CDC.
-        prereduce = False
+        # sparse updates get their OWN combiner: per-doc last-wins would
+        # drop patches that still contribute columns, but the per-column
+        # set-LSN annotation makes the column-merge fold ASSOCIATIVE, so a
+        # batch collapses to one annotated partial per doc exactly
+        # (_combine_patch_batch) — shuffle bytes ∝ distinct docs per
+        # batch, not events, same as the last-wins combiner.
+        data_cols = [n for n, _ in registry.latest.fields if n != "doc_id"]
+        batch = (_combine_patch_batch(batch, data_cols) if prereduce
+                 else _annotate_patch_rows(batch, data_cols))
+        prereduce = False  # the generic last-wins combiner must not run
     # ONE doc_id hash serves both the combiner sort key and the partition
     # assignment. Sorting by (_h, doc_id, lsn) keeps equal doc_ids adjacent
     # (exactness does NOT depend on hash collisions — the boundary mask
@@ -300,33 +304,55 @@ def _last_wins(group: pa.Table) -> pa.Table:
     return _reduce_per_doc(group, "last_wins")
 
 
-def _fold_patches(t: pa.Table, data_cols: list[str]) -> pa.Table:
-    """Column-level merge fold (the ``patch`` apply mode's kernel).
+def _annotate_patch_rows(t: pa.Table, data_cols: list[str]) -> pa.Table:
+    """Per-column set-LSN annotations for the patch fold: ``_lsn_<c>`` is
+    the LSN at which this row SETS column ``c`` (-1 = doesn't touch it),
+    ``_del_lsn`` the LSN of a delete (-1 otherwise).
 
-    Input: one partition's rows sorted here by (doc_id, lsn) — old live rows
-    injected as ``op='live'`` plus this window's events. Semantics per doc,
-    in LSN order:
+    - ``patch`` rows set exactly their non-null columns (a patch cannot
+      set-to-null — the sparse-update convention);
+    - full rows (``insert``/``update``/``live``) set EVERY column at their
+      LSN, explicit nulls included (set-to-null) — which makes a full row
+      equivalent to a barrier under per-column argmax;
+    - ``delete`` rows set nothing; their ``_del_lsn`` kills any column
+      whose set-LSN is older.
 
-    - ``patch`` rows overlay their NON-NULL columns onto the running row
-      (null = "unchanged" — the sparse-update convention of CDC formats
-      like Debezium's partial updates);
-    - any non-patch row is a BARRIER: full rows (``live``/``insert``/
-      ``update``) replace the whole row, ``delete`` clears it (its payload
-      is all null, so a patch after it resurrects from nulls);
-    - the winner is the fold of the doc's FINAL barrier segment; its lsn is
-      the doc's max lsn; op = ``delete`` iff the last event is a delete.
+    Idempotent: already-annotated tables pass through (the combiner's
+    merged partials arrive at the apply with annotations attached)."""
+    if "_del_lsn" in t.column_names:
+        return t
+    lsn = np.asarray(t["lsn"], dtype=np.int64)
+    ops = t["op"].combine_chunks().to_numpy(zero_copy_only=False)
+    is_patch = ops == "patch"
+    is_del = ops == "delete"
+    t = t.append_column("_del_lsn", pa.array(np.where(is_del, lsn, np.int64(-1))))
+    for c in data_cols:
+        nonnull = ~pc.is_null(t[c].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(bool)
+        sets = np.where(is_patch, nonnull, ~is_del)
+        t = t.append_column(f"_lsn_{c}", pa.array(np.where(sets, lsn, np.int64(-1))))
+    return t
 
-    Fully vectorized: one sort, boundary masks, a per-column
-    ``np.maximum.accumulate`` last-non-null index, one ``take`` per column
-    (zero-copy for fixed-width, offset-sliced for the tokens list). No SQL
-    analog does this in one pass, but the whole fold IS expressible as a
-    window/arg_max query — see ``_CDC_PATCH_SQL`` in pipelines/catalog.py,
-    which hash-checks this kernel end to end.
-    """
+
+def _patch_run_fold(t: pa.Table, data_cols: list[str]):
+    """Shared core of the patch combiner and the apply fold: per-doc,
+    per-column LSN-argmax over annotated rows.
+
+    Per doc: ``D = max(_del_lsn)`` (newest delete), winner lsn ``L = max
+    lsn``; column ``c``'s winner is the value whose ``_lsn_c`` is the run
+    maximum ``M_c`` — alive iff ``M_c > D`` (a set after the newest delete
+    survives; older sets are cleared). The doc is dead iff ``L == D``
+    (nothing re-set it after the delete). This argmax formulation is
+    ASSOCIATIVE, which is what makes the map-side combiner exact: merged
+    partials carry (value, M_c, D, L) and re-fold at the apply in any
+    grouping. Replay-safe by the same property: a re-delivered older set
+    loses the argmax to the live row's newer synthesized set-LSN.
+
+    All reduceat/boundary-mask vectorized; one ``take`` per column.
+    Returns (ends, D, L, doc_ids, {col: (values, M_c)})."""
+    t = _annotate_patch_rows(t, data_cols)
     t = t.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
     n = t.num_rows
-    if n == 0:
-        return t
     d = t["doc_id"].combine_chunks()
     doc_start = np.ones(n, dtype=bool)
     if n > 1:
@@ -335,31 +361,72 @@ def _fold_patches(t: pa.Table, data_cols: list[str]) -> pa.Table:
             .to_numpy(zero_copy_only=False)
             .astype(bool)
         )
-    ops = t["op"].combine_chunks().to_numpy(zero_copy_only=False)
-    seg_start = doc_start | (ops != "patch")
-    idx = np.arange(n, dtype=np.int64)
-    seg_start_idx = np.where(seg_start, idx, 0)
-    np.maximum.accumulate(seg_start_idx, out=seg_start_idx)
-    doc_end = np.append(doc_start[1:], True)
-    ends = idx[doc_end]
-    final_seg_start = seg_start_idx[ends]
-    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    starts = np.flatnonzero(doc_start)
+    run_len = np.diff(np.append(starts, n))
+    run_of = np.repeat(np.arange(len(starts), dtype=np.int64), run_len)
+    ends = starts + run_len - 1
+    D = np.maximum.reduceat(np.asarray(t["_del_lsn"], dtype=np.int64), starts)
+    L = np.asarray(t["lsn"], dtype=np.int64)[ends]
+    cols: dict[str, tuple] = {}
     for c in data_cols:
+        lc = np.asarray(t[f"_lsn_{c}"], dtype=np.int64)
+        M = np.maximum.reduceat(lc, starts)
+        # argmax index without encode-overflow risk: event LSNs are unique
+        # within a run, so the max (when ≥0) is hit exactly once
+        pick = np.zeros(len(starts), dtype=np.int64)
+        hit = np.flatnonzero((lc == M[run_of]) & (lc >= 0))
+        pick[run_of[hit]] = hit
+        valid = M > D  # covers M >= 0 too (D >= -1)
         col = t[c].combine_chunks()
-        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
-        lastv = np.where(valid, idx, np.int64(-1))
-        np.maximum.accumulate(lastv, out=lastv)
-        pick = lastv[ends]
-        ok = pick >= final_seg_start  # a -1 (never set) also fails this
-        cols[c] = col.take(pa.array(np.where(ok, pick, 0), mask=~ok))
+        values = col.take(pa.array(np.where(valid, pick, 0), mask=~valid))
+        cols[c] = (values, np.where(valid, M, np.int64(-1)))
+    return ends, D, L, d, cols
+
+
+def _fold_patches(t: pa.Table, data_cols: list[str]) -> pa.Table:
+    """Column-level merge fold (the ``patch`` apply mode's kernel): one row
+    per doc with op ``delete``/``upsert`` and fully-merged columns. Accepts
+    raw OR combiner-merged (annotated) rows — same result either way (the
+    argmax core is associative). The whole fold is expressible as a
+    window/arg_max SQL query — ``_CDC_PATCH_SQL`` in pipelines/catalog.py
+    hash-checks it end to end."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"lsn": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
+             "doc_id": pa.array([], t["doc_id"].type if "doc_id" in t.column_names else pa.string()),
+             **{c: pa.array([], t[c].type) for c in data_cols if c in t.column_names}}
+        )
+    ends, D, L, d, cols = _patch_run_fold(t, data_cols)
+    dead = (D >= 0) & (D == L)
     return pa.table(
         {
-            "lsn": pa.array(np.asarray(t["lsn"], dtype=np.int64)[ends]),
-            "op": pa.array(np.where(ops[ends] == "delete", "delete", "upsert")),
+            "lsn": pa.array(L),
+            "op": pa.array(np.where(dead, "delete", "upsert")),
             "doc_id": d.take(pa.array(ends)),
-            **cols,
+            **{c: v for c, (v, _) in cols.items()},
         }
     )
+
+
+def _combine_patch_batch(t: pa.Table, data_cols: list[str]) -> pa.Table:
+    """The patch mode's MAP-SIDE COMBINER: merge a batch's events to one
+    annotated partial per doc (value + set-LSN per column, newest delete,
+    max LSN). Exact because the argmax fold is associative — shuffle bytes
+    become ∝ distinct docs per batch instead of ∝ events, which is the
+    whole combiner win on skewed sparse-update streams."""
+    if t.num_rows <= 1:
+        return _annotate_patch_rows(t, data_cols)
+    ends, D, L, d, cols = _patch_run_fold(t, data_cols)
+    out = {
+        "lsn": pa.array(L),
+        "op": pa.array(["patch"] * len(L)),
+        "doc_id": d.take(pa.array(ends)),
+    }
+    ann = {"_del_lsn": pa.array(D)}
+    for c, (v, m) in cols.items():
+        out[c] = v
+        ann[f"_lsn_{c}"] = pa.array(m)
+    return pa.table({**out, **ann})
 
 
 def _patch_winners(fresh: pa.Table, pdir: Path, old_files: list[str],
@@ -381,7 +448,9 @@ def _patch_winners(fresh: pa.Table, pdir: Path, old_files: list[str],
         if t.num_rows:
             parts.append(t)
     data_cols = [c for c in lake_cols if c not in ("doc_id", "lsn")]
-    pieces = [fresh.select(["lsn", "op", "doc_id"] + data_cols)]
+    sel = (["lsn", "op", "doc_id"] + data_cols
+           + ["_del_lsn"] + [f"_lsn_{c}" for c in data_cols])
+    pieces = [_annotate_patch_rows(fresh, data_cols).select(sel)]
     if parts:
         tomb_arr = (
             old_tomb_ids["doc_id"].combine_chunks()
@@ -390,8 +459,10 @@ def _patch_winners(fresh: pa.Table, pdir: Path, old_files: list[str],
         )
         base = merge_live(parts, tomb_arr)
         if base.num_rows:
+            # the live row is a full set at its own LSN — a re-delivered
+            # older event then loses every per-column argmax to it
             base = base.append_column("op", pa.array(["live"] * base.num_rows))
-            pieces.append(base.select(["lsn", "op", "doc_id"] + data_cols))
+            pieces.append(_annotate_patch_rows(base, data_cols).select(sel))
     combined = pa.concat_tables(pieces, promote_options="permissive")
     return _fold_patches(combined, data_cols)
 

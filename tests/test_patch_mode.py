@@ -160,3 +160,45 @@ def test_patch_log_derivation_is_well_formed():
         for c in ("n_tok", "source", "lang")
     )
     assert set_cnt == pat.num_rows  # one group per patch (tokens rides n_tok)
+
+
+def test_combiner_is_associative_and_compresses():
+    """fold(combine(any batch split)) == fold(raw) — the associativity that
+    makes the patch combiner exact — and partials are one row per doc."""
+    import numpy as np
+
+    from mex_extractors_ray.cdc.apply import _combine_patch_batch, _fold_patches
+
+    log = patch_log_from_events(_tiny_events(500, 25))
+    cols = _DATA_COLS
+    sel = log.select(["lsn", "op", "doc_id"] + cols)
+    direct = _fold_patches(sel, cols).sort_by([("doc_id", "ascending")])
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        # random 3-way split, combine each part, fold the partials
+        assign = rng.integers(0, 3, size=sel.num_rows)
+        parts = [
+            _combine_patch_batch(sel.filter(pa.array(assign == i)), cols)
+            for i in range(3)
+        ]
+        for p in parts:
+            # one partial per (part, doc): the shuffle ships docs, not events
+            assert p.num_rows == pc.count_distinct(p["doc_id"]).as_py()
+        merged = pa.concat_tables(parts, promote_options="permissive")
+        got = _fold_patches(merged, cols).sort_by([("doc_id", "ascending")])
+        assert got.equals(direct)
+
+
+def test_combiner_collapses_hot_key():
+    from mex_extractors_ray.cdc.apply import _combine_patch_batch
+
+    rows = [dict(lsn=1, op="insert", doc_id="hot", tokens=[1], n_tok=1,
+                 source="s0", lang="de")]
+    rows += [dict(lsn=2 + i, op="patch", doc_id="hot",
+                  lang=("en", "fr")[i % 2]) for i in range(200)]
+    t = _log(rows).select(["lsn", "op", "doc_id"] + _DATA_COLS)
+    out = _combine_patch_batch(t, _DATA_COLS)
+    assert out.num_rows == 1  # 201 events -> ONE shuffled partial
+    r = out.to_pylist()[0]
+    assert r["lang"] == "fr" and r["lsn"] == 201 and r["tokens"] == [1]
+    assert r["_lsn_lang"] == 201 and r["_lsn_tokens"] == 1

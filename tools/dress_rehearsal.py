@@ -255,6 +255,22 @@ def main() -> dict:
     }
     report["dup_clusters_10x"] = {"nodes": n_nodes, "sec": round(cc_sec, 2)}
 
+    # ---- 4b. exact substring dedup over the same 10x corpus (winnowed:
+    # the scale mode — window-min gram selection cuts shuffle bytes ~W×,
+    # detection guaranteed for shared runs ≥ L+W-1)
+    from mex_extractors_ray.stages.substr import substring_dup_pairs
+
+    t0 = time.time()
+    sub_pairs = substring_dup_pairs(
+        _read_pq(docs_path, columns=["doc_id", "text"]), "text", "doc_id",
+        L=30, winnow=8, num_partitions=NUM_PARTITIONS,
+        max_docs_per_gram=256,
+    ).count()
+    report["substring_dedup_10x"] = {
+        "pairs": sub_pairs, "sec": round(time.time() - t0, 2),
+        "mode": "winnow=8, stop-gram cap 256",
+    }
+
     # ---- 5. incremental export: bring an export current (bootstrap ∝
     # lake), then one more window and the incremental pass (∝ window)
     from mex_extractors_ray.pipelines.incremental_export import incremental_export
