@@ -2744,6 +2744,43 @@ GROUP BY w ORDER BY n DESC, w ASC LIMIT {WORD_TOPK}
 """
 
 
+def q_token_index_lookup(sf_dir: str):
+    """Persisted inverted token index + routed term lookup
+    (``stages/invindex``): build = per-batch distinct-(token, doc) explode
+    (map-side combiner) + ONE coarse token-hash shuffle into independent
+    posting-bucket files; the lookup then opens ONLY the bucket files its
+    terms hash to (token-sorted row groups prune inside the file) and
+    intersects postings smallest-first — cost ∝ terms + postings touched,
+    never corpus size. Query: docs containing BOTH the rare term 'dup'
+    (~5% of the corpus) and the common term 'vector'."""
+    import shutil
+    import tempfile
+
+    from mex_extractors_ray.stages import invindex
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d = Path(tempfile.mkdtemp(prefix="token-index-", dir="/tmp"))
+    try:
+        invindex.build_token_index(docs, d, num_buckets=16)
+        out = invindex.lookup_token_docs(d, ("dup", "vector"), mode="all")
+        res = out.to_pandas()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_TOKEN_INDEX_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+WHERE list_contains(list_filter(string_split(COALESCE(text, ''), ' '),
+                                x -> x <> ''), 'dup')
+  AND list_contains(list_filter(string_split(COALESCE(text, ''), ' '),
+                                x -> x <> ''), 'vector')
+ORDER BY doc_id
+"""
+
+
 QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -3122,6 +3159,7 @@ _QUERY_FNS = {
         "quantity_brackets": q_quantity_brackets,
         "sampled_per_source": q_sampled_per_source,
         "word_topk": q_word_topk,
+        "token_index_lookup": q_token_index_lookup,
         "nchar_quantiles": q_nchar_quantiles,
         "nchar_quantiles_by_source": q_nchar_quantiles_by_source,
         "quality_gate_docs": q_quality_gate_docs,
@@ -3674,6 +3712,7 @@ GROUP BY b.bracket
 """,
         "sampled_per_source": _sampled_per_source_oracle(),
         "word_topk": _WORD_TOPK_SQL,
+        "token_index_lookup": _TOKEN_INDEX_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
         "nchar_quantiles_by_source": _nchar_quantiles_by_source_oracle(),
         "quality_gate_docs": _QUALITY_GATE_SQL,

@@ -1,0 +1,247 @@
+"""Persisted inverted token index (posting lists) over a text corpus.
+
+The reference answers "which records contain value X?" by scanning every
+record per query (per-field filters, e.g. ``mex/extractors/ff_projects/
+filter.py`` predicates); at corpus scale a term lookup must not scan the
+corpus. This module builds a PERSISTED index once and serves term lookups
+at cost ∝ len(terms) + postings touched, never corpus size:
+
+- :func:`build_token_index` — per batch, distinct (token, doc_id) pairs
+  (map-side dedup: the shuffle ships each doc's distinct vocab, never
+  repeated occurrences); ONE coarse hash shuffle on the token (the
+  ``dedup._keyed_blocks`` discipline); per bucket a token-sorted posting
+  file ``bucket=K.parquet`` with columns (token, df, doc_ids ascending).
+  Buckets are written independently via temp+rename (``resume=True``
+  skips buckets whose file already exists — a failed build finishes by
+  rewriting only the missing ones), and a term's bucket is recomputable
+  from the term alone (``hashing.assign_partitions``), so a lookup opens
+  only the files its terms hash to.
+- :func:`lookup_token_docs` — per-bucket parquet read with a
+  ``token in terms`` filter (the file is token-sorted with small row
+  groups, so parquet column stats prune row groups), then numpy set
+  kernels for any-of (union) / all-of (intersection) semantics.
+- ``max_df`` — stopword-scale tokens can be EXCLUDED at build time: a
+  100-TB corpus's "the" posting list IS the corpus. Dropped tokens are
+  recorded in ``_index_meta.json`` (no silent cap) and a lookup that
+  names one raises instead of silently returning nothing.
+
+Scale shape: build = one explode + one coarse exchange, output
+partitioned by token hash (resumable); postings bounded by ``max_df``;
+lookups are manifest-routed point reads, the same asymptotics as the
+lake's ``cdc_point_lookups``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from mex_extractors_ray.hashing import assign_partitions, shard_tags
+
+META_NAME = "_index_meta.json"
+_ROW_GROUP_ROWS = 4096
+
+
+def _distinct_pairs(t: pa.Table, text_col: str, id_col: str,
+                    pattern: str) -> pa.Table:
+    """(token, doc_id) distinct pairs for one batch — all Arrow kernels."""
+    words = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    rows = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                     np.diff(offsets))
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    keep = np.asarray(keep, dtype=bool)
+    pairs = pa.table({
+        "token": flat.filter(pa.array(keep)),
+        "doc_id": ids.take(pa.array(rows[keep])),
+    })
+    # distinct within the batch: the map-side combiner — the shuffle ships
+    # each doc's vocabulary once, not every occurrence
+    return pairs.group_by(["token", "doc_id"]).aggregate([])
+
+
+def bucket_path(index_dir: str | Path, bucket: int) -> Path:
+    return Path(index_dir) / f"bucket={bucket:05d}.parquet"
+
+
+def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64,
+                      pattern: str = " ", max_df: int | None = None,
+                      resume: bool = False) -> dict:
+    """Build the index; returns a build report (one row per bucket,
+    manifest-scale). ``resume=True`` skips already-written buckets."""
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    index_dir = Path(index_dir)
+    index_dir.mkdir(parents=True, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        p = _distinct_pairs(t, text_col, id_col, pattern)
+        return p.append_column(
+            "_kpart", shard_tags(assign_partitions(p["token"], num_buckets),
+                                 num_buckets))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_kpart"])
+        if g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "tokens": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.int64()),
+                             "skipped": pa.array([], pa.bool_()),
+                             "dropped": pa.array([], pa.list_(pa.string()))})
+        bucket = int(assign_partitions(g["token"].slice(0, 1), num_buckets)[0])
+        path = bucket_path(index_dir, bucket)
+        if resume and path.exists():
+            return pa.table({"bucket": [bucket], "tokens": [-1],
+                             "postings": [-1], "skipped": [True],
+                             "dropped": [[]]},
+                            schema=_REPORT_SCHEMA)
+        t = g.sort_by([("token", "ascending"), ("doc_id", "ascending")])
+        starts = _run_starts(t["token"])
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(start_idx, t.num_rows)).astype(np.int64)
+        tokens = t["token"].combine_chunks().take(pa.array(start_idx))
+        doc_vals = t["doc_id"].combine_chunks()
+        if isinstance(doc_vals, pa.ChunkedArray):  # single chunk after combine
+            doc_vals = doc_vals.chunk(0) if doc_vals.num_chunks else pa.array([], t["doc_id"].type)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.append(start_idx, t.num_rows), pa.int32()), doc_vals)
+        out = pa.table({"token": tokens, "df": pa.array(counts),
+                        "doc_ids": lists})
+        dropped: list[str] = []
+        if max_df is not None:
+            over = counts > max_df
+            if over.any():
+                dropped = tokens.filter(pa.array(over)).to_pylist()
+                out = out.filter(pa.array(~over))
+        tmp = path.with_suffix(".parquet.tmp")
+        pq.write_table(out, tmp, row_group_size=_ROW_GROUP_ROWS)
+        os.replace(tmp, path)
+        return pa.table({"bucket": [bucket], "tokens": [out.num_rows],
+                         "postings": [int(counts.sum())], "skipped": [False],
+                         "dropped": [dropped]}, schema=_REPORT_SCHEMA)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    try:
+        grouped = tagged.groupby("_kpart", num_partitions=num_buckets)
+    except TypeError:
+        grouped = tagged.groupby("_kpart")
+    report = grouped.map_groups(write_bucket, batch_format="pyarrow").take_all()
+
+    dropped_all = sorted({w for r in report for w in (r["dropped"] or [])})
+    meta = {"num_buckets": num_buckets, "text_col": text_col,
+            "id_col": id_col, "pattern": pattern, "max_df": max_df,
+            # bounded by nature: only stopword-scale tokens exceed max_df
+            "dropped_tokens": dropped_all[:4096],
+            "dropped_token_count": len(dropped_all)}
+    meta_tmp = index_dir / (META_NAME + ".tmp")
+    meta_tmp.write_text(json.dumps(meta))
+    os.replace(meta_tmp, index_dir / META_NAME)
+    return {"buckets": len({r["bucket"] for r in report}),
+            "tokens": sum(r["tokens"] for r in report if not r["skipped"]),
+            "postings": sum(r["postings"] for r in report if not r["skipped"]),
+            "skipped_buckets": sum(1 for r in report if r["skipped"]),
+            "dropped_tokens": len(dropped_all)}
+
+
+_REPORT_SCHEMA = pa.schema([
+    ("bucket", pa.int32()), ("tokens", pa.int64()), ("postings", pa.int64()),
+    ("skipped", pa.bool_()), ("dropped", pa.list_(pa.string())),
+])
+
+
+def load_index_meta(index_dir: str | Path) -> dict:
+    p = Path(index_dir) / META_NAME
+    if not p.exists():
+        raise ValueError(f"no token index at {index_dir} ({META_NAME} missing)")
+    return json.loads(p.read_text())
+
+
+def lookup_token_docs(index_dir: str | Path, terms: tuple[str, ...] | list[str],
+                      mode: str = "all") -> pa.Table:
+    """doc_ids containing ANY (union) / ALL (intersection) of ``terms``.
+
+    Reads only the bucket files the terms hash to; each read carries a
+    ``token in terms`` filter so parquet row-group stats on the sorted
+    token column prune inside the file. Driver state ∝ postings of the
+    requested terms — the lookup IS the operator (the point-lookup
+    discipline of ``cdc/apply.lookup_docs``)."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    if not terms:
+        raise ValueError("lookup_token_docs: empty term list")
+    meta = load_index_meta(index_dir)
+    dropped = set(meta.get("dropped_tokens", []))
+    hit = dropped.intersection(terms)
+    if hit:
+        raise ValueError(
+            f"terms {sorted(hit)} were dropped at build time (df > "
+            f"{meta['max_df']}); rebuild without max_df to index them")
+    buckets: dict[int, list[str]] = {}
+    parts = assign_partitions(pa.array(list(terms), pa.string()),
+                              meta["num_buckets"])
+    for term, b in zip(terms, parts):
+        buckets.setdefault(int(b), []).append(term)
+    postings: dict[str, np.ndarray] = {}
+    id_type = None
+    for b, bterms in sorted(buckets.items()):
+        path = bucket_path(index_dir, b)
+        if not path.exists():  # no token hashed there at build time
+            continue
+        t = pq.read_table(path, columns=["token", "doc_ids"],
+                          filters=[("token", "in", bterms)])
+        id_type = t["doc_ids"].type.value_type
+        toks = t["token"].to_pylist()
+        lists = t["doc_ids"].combine_chunks()
+        for i, tok in enumerate(toks):
+            postings[tok] = np.asarray(lists[i].values.to_numpy(
+                zero_copy_only=False))
+    if id_type is None:
+        id_type = pa.int64()
+    if mode == "any":
+        arrs = [v for v in postings.values()]
+        out = (np.unique(np.concatenate(arrs)) if arrs
+               else np.array([], dtype=np.int64))
+    else:
+        if len(postings) < len(set(terms)):  # some term has no postings
+            out = np.array([], dtype=np.int64)
+        else:
+            # intersect smallest-first: cost tracks the rarest term
+            arrs = sorted(postings.values(), key=len)
+            out = reduce(np.intersect1d, arrs[1:], arrs[0])
+    return pa.table({"doc_id": pa.array(out).cast(id_type)})
+
+
+def token_df(index_dir: str | Path, terms: tuple[str, ...] | list[str]) -> pa.Table:
+    """Document frequency per term (0 for unindexed terms) — same routed
+    point read as :func:`lookup_token_docs`, postings column not loaded."""
+    meta = load_index_meta(index_dir)
+    parts = assign_partitions(pa.array(list(terms), pa.string()),
+                              meta["num_buckets"])
+    buckets: dict[int, list[str]] = {}
+    for term, b in zip(terms, parts):
+        buckets.setdefault(int(b), []).append(term)
+    dfs: dict[str, int] = {t: 0 for t in terms}
+    for b, bterms in sorted(buckets.items()):
+        path = bucket_path(index_dir, b)
+        if not path.exists():
+            continue
+        t = pq.read_table(path, columns=["token", "df"],
+                          filters=[("token", "in", bterms)])
+        for tok, df in zip(t["token"].to_pylist(), t["df"].to_pylist()):
+            dfs[tok] = int(df)
+    return pa.table({"token": pa.array(list(terms), pa.string()),
+                     "df": pa.array([dfs[t] for t in terms], pa.int64())})
