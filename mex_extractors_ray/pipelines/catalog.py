@@ -2519,6 +2519,55 @@ def q_cdc_change_feed(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 validity intervals over the CDC change log: one row per
+    NON-DELETE version with ``[valid_from_lsn, valid_to_lsn)`` bounds — a
+    later update OR delete closes the open interval; ``-1`` marks a
+    still-open (current) version. This is the interval form of the
+    reference's last-wins versioned merge (`mex/extractors/sumo/transform.py`
+    keeps only the latest row; SCD2 keeps every version with bounds).
+    lead() = ``sessions.keyed_lead``: ONE doc-hash coarse shuffle + a
+    per-block sort/shift — no per-key dispatch, no row loop."""
+    from mex_extractors_ray.stages.sessions import keyed_lead
+
+    lake = build_cdc_lake(sf_dir)  # ensures the log shards exist on disk
+    log_dir = Path(lake).parent / "log"
+    paths = sorted(str(p) for p in log_dir.glob("log-*.parquet"))
+    ds = _read_pq(paths, columns=["lsn", "op", "doc_id", "n_tok", "source"])
+    led = keyed_lead(ds, "doc_id", "lsn", out_col="valid_to_lsn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], "delete"))
+        vt = t["valid_to_lsn"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "valid_from_lsn": t["lsn"],
+            "valid_to_lsn": vt,
+            "is_current": pc.cast(pc.equal(vt, -1), pa.int64()),
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            "source": t["source"],
+        })
+
+    return led.map_batches(finish, batch_format="pyarrow")
+
+
+_CDC_SCD2_SQL = f"""
+WITH log AS ({_CDC_LOG_SQL}),
+led AS (
+  SELECT *, COALESCE(LEAD(lsn) OVER (PARTITION BY doc_id ORDER BY lsn), -1)
+            AS valid_to_lsn
+  FROM log
+)
+SELECT doc_id,
+       lsn AS valid_from_lsn,
+       valid_to_lsn,
+       CAST(valid_to_lsn = -1 AS BIGINT) AS is_current,
+       8 + (lsn % 120) AS n_tok,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source
+FROM led WHERE op <> 'delete'
+"""
+
+
 def q_media_stats(sf_dir: str):
     """REAL multimodal codecs, oracle-checked end to end: per doc_id a
     payload is built with the real encoders (binary PPM for even ids,
@@ -2778,6 +2827,68 @@ WHERE list_contains(list_filter(string_split(COALESCE(text, ''), ' '),
   AND list_contains(list_filter(string_split(COALESCE(text, ''), ' '),
                                 x -> x <> ''), 'vector')
 ORDER BY doc_id
+"""
+
+
+BM25_TERMS = ("query", "dup", "merge")
+BM25_K = 20
+
+
+def q_token_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval over the persisted inverted index
+    (``invindex.bm25_topk``): postings now carry tf + doc length, so the
+    whole score is computed from the term-routed bucket reads — cost ∝
+    postings of the query terms, never corpus size. Integer-score
+    discipline: per-term contribution floored at 1e6 scale (log-free
+    rational idf, k1=1.25 / b=0.75 exact binary doubles), so the SQL
+    oracle spelling the identical IEEE expression hash-matches."""
+    import shutil
+    import tempfile
+
+    from mex_extractors_ray.stages import invindex
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d = Path(tempfile.mkdtemp(prefix="bm25-index-", dir="/tmp"))
+    try:
+        invindex.build_token_index(docs, d, num_buckets=16)
+        out = invindex.bm25_topk(d, BM25_TERMS, k=BM25_K)
+        res = out.to_pandas()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        return res
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+dl AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) AS total_len FROM dl),
+terms(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)}),
+tf AS (
+  SELECT d.doc_id, t.term, d.dl,
+         CAST(len(list_filter(d.ts, x -> x = t.term)) AS BIGINT) AS tf
+  FROM dl d CROSS JOIN terms t
+),
+df AS (SELECT term, CAST(COUNT(*) FILTER (WHERE tf > 0) AS BIGINT) AS df
+       FROM tf GROUP BY term),
+scored AS (
+  SELECT f.doc_id,
+         CAST(FLOOR(1e6 * (((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * ((f.tf * (1.25 + 1.0))
+                 / (f.tf + 1.25 * (1.0 - 0.75 + (0.75 * f.dl)
+                                   / (s.total_len / s.n_docs))))) + 0.5)
+              AS BIGINT) AS sc
+  FROM tf f JOIN df ON f.term = df.term CROSS JOIN stats s
+  WHERE f.tf > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(SUM(sc) AS BIGINT) AS score_c6
+FROM scored GROUP BY doc_id
+ORDER BY score_c6 DESC, doc_id LIMIT {BM25_K}
 """
 
 
@@ -3160,6 +3271,7 @@ _QUERY_FNS = {
         "sampled_per_source": q_sampled_per_source,
         "word_topk": q_word_topk,
         "token_index_lookup": q_token_index_lookup,
+        "token_bm25_topk": q_token_bm25_topk,
         "nchar_quantiles": q_nchar_quantiles,
         "nchar_quantiles_by_source": q_nchar_quantiles_by_source,
         "quality_gate_docs": q_quality_gate_docs,
@@ -3167,6 +3279,7 @@ _QUERY_FNS = {
         "value_quantiles_sampled": q_value_quantiles_sampled,
         "cdc_asof_state": q_cdc_asof_state,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_point_lookups": q_cdc_point_lookups,
         "cdc_filtered_read": q_cdc_filtered_read,
         "cdc_filtered_range": q_cdc_filtered_range,
@@ -3713,6 +3826,7 @@ GROUP BY b.bracket
         "sampled_per_source": _sampled_per_source_oracle(),
         "word_topk": _WORD_TOPK_SQL,
         "token_index_lookup": _TOKEN_INDEX_SQL,
+        "token_bm25_topk": _BM25_SQL,
         "nchar_quantiles": _nchar_quantiles_oracle(),
         "nchar_quantiles_by_source": _nchar_quantiles_by_source_oracle(),
         "quality_gate_docs": _QUALITY_GATE_SQL,
@@ -3720,6 +3834,7 @@ GROUP BY b.bracket
         "value_quantiles_sampled": _value_quantiles_sampled_oracle(),
         "cdc_asof_state": _CDC_ASOF_SQL,
         "cdc_change_feed": _CDC_FEED_SQL,
+        "cdc_scd2_history": _CDC_SCD2_SQL,
         "cdc_point_lookups": _CDC_LOOKUP_SQL,
         "cdc_filtered_read":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src3'",

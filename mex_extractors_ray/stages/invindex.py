@@ -7,10 +7,13 @@ corpus. This module builds a PERSISTED index once and serves term lookups
 at cost ∝ len(terms) + postings touched, never corpus size:
 
 - :func:`build_token_index` — per batch, distinct (token, doc_id) pairs
-  (map-side dedup: the shuffle ships each doc's distinct vocab, never
-  repeated occurrences); ONE coarse hash shuffle on the token (the
-  ``dedup._keyed_blocks`` discipline); per bucket a token-sorted posting
-  file ``bucket=K.parquet`` with columns (token, df, doc_ids ascending).
+  with per-pair term frequency and doc length (map-side dedup: the
+  shuffle ships each doc's distinct vocab, never repeated occurrences);
+  ONE coarse hash shuffle on the token (the ``dedup._keyed_blocks``
+  discipline); per bucket a token-sorted posting file
+  ``bucket=K.parquet`` with columns (token, df, doc_ids ascending, tfs,
+  dlens) — tf/dlen ride along so ranked retrieval (:func:`bm25_topk`)
+  needs nothing but the term-routed reads.
   Buckets are written independently via temp+rename (``resume=True``
   skips buckets whose file already exists — a failed build finishes by
   rewriting only the missing ones), and a term's bucket is recomputable
@@ -49,9 +52,14 @@ META_NAME = "_index_meta.json"
 _ROW_GROUP_ROWS = 4096
 
 
-def _distinct_pairs(t: pa.Table, text_col: str, id_col: str,
-                    pattern: str) -> pa.Table:
-    """(token, doc_id) distinct pairs for one batch — all Arrow kernels."""
+def _doc_token_stats(t: pa.Table, text_col: str, id_col: str,
+                     pattern: str) -> pa.Table:
+    """(token, doc_id, tf, dlen) rows for one batch — one per DISTINCT
+    (token, doc) pair (the map-side combiner: the shuffle ships each doc's
+    vocabulary once, never repeated occurrences), carrying the pair's term
+    frequency and the doc's total token count. A doc's text lives in one
+    row, so tf and dlen are complete within the batch — no cross-batch
+    merge needed. All Arrow/numpy kernels."""
     words = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -64,13 +72,22 @@ def _distinct_pairs(t: pa.Table, text_col: str, id_col: str,
         ids = ids.combine_chunks()
     keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
     keep = np.asarray(keep, dtype=bool)
+    r = rows[keep]
+    dlen_per_row = (np.bincount(r, minlength=t.num_rows).astype(np.int64)
+                    if t.num_rows else np.zeros(0, np.int64))
     pairs = pa.table({
         "token": flat.filter(pa.array(keep)),
-        "doc_id": ids.take(pa.array(rows[keep])),
+        "_row": pa.array(r),
     })
-    # distinct within the batch: the map-side combiner — the shuffle ships
-    # each doc's vocabulary once, not every occurrence
-    return pairs.group_by(["token", "doc_id"]).aggregate([])
+    g = pairs.group_by(["token", "_row"]).aggregate([("_row", "count")])
+    gr = np.asarray(g["_row"].combine_chunks(), dtype=np.int64)
+    return pa.table({
+        "token": g["token"],
+        "doc_id": ids.take(pa.array(gr)),
+        "tf": g["_row_count"].combine_chunks().cast(pa.int64()),
+        "dlen": pa.array(dlen_per_row[gr] if len(gr) else
+                         np.zeros(0, np.int64)),
+    })
 
 
 def bucket_path(index_dir: str | Path, bucket: int) -> Path:
@@ -89,7 +106,7 @@ def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
     index_dir.mkdir(parents=True, exist_ok=True)
 
     def tag(t: pa.Table) -> pa.Table:
-        p = _distinct_pairs(t, text_col, id_col, pattern)
+        p = _doc_token_stats(t, text_col, id_col, pattern)
         return p.append_column(
             "_kpart", shard_tags(assign_partitions(p["token"], num_buckets),
                                  num_buckets))
@@ -114,13 +131,23 @@ def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
         start_idx = np.flatnonzero(starts)
         counts = np.diff(np.append(start_idx, t.num_rows)).astype(np.int64)
         tokens = t["token"].combine_chunks().take(pa.array(start_idx))
-        doc_vals = t["doc_id"].combine_chunks()
-        if isinstance(doc_vals, pa.ChunkedArray):  # single chunk after combine
-            doc_vals = doc_vals.chunk(0) if doc_vals.num_chunks else pa.array([], t["doc_id"].type)
-        lists = pa.ListArray.from_arrays(
-            pa.array(np.append(start_idx, t.num_rows), pa.int32()), doc_vals)
-        out = pa.table({"token": tokens, "df": pa.array(counts),
-                        "doc_ids": lists})
+        off = pa.array(np.append(start_idx, t.num_rows), pa.int32())
+
+        def _values(col):
+            v = t[col].combine_chunks()
+            if isinstance(v, pa.ChunkedArray):  # single chunk after combine
+                v = v.chunk(0) if v.num_chunks else pa.array([], t[col].type)
+            return v
+
+        out = pa.table({
+            "token": tokens, "df": pa.array(counts),
+            "doc_ids": pa.ListArray.from_arrays(off, _values("doc_id")),
+            # tf + dlen travel WITH the posting so a BM25 lookup scores
+            # candidates from the routed term reads alone (no second
+            # doc-length structure to fetch)
+            "tfs": pa.ListArray.from_arrays(off, _values("tf")),
+            "dlens": pa.ListArray.from_arrays(off, _values("dlen")),
+        })
         dropped: list[str] = []
         if max_df is not None:
             over = counts > max_df
@@ -134,6 +161,24 @@ def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
                          "postings": [int(counts.sum())], "skipped": [False],
                          "dropped": [dropped]}, schema=_REPORT_SCHEMA)
 
+    # corpus stats for BM25 (N, total token length → avgdl): a separate
+    # cheap aggregation pass (O(batches) partial rows on the driver). It
+    # re-reads the text column once; the index build is one-time and
+    # IO-bound, so the extra read is noise next to the shuffle.
+    def _len_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        n_tok = int(pc.sum(pc.cast(pc.greater(pc.utf8_length(flat), 0),
+                                   pa.int64())).as_py() or 0)
+        return pa.table({"n_docs": pa.array([t.num_rows], pa.int64()),
+                         "total_len": pa.array([n_tok], pa.int64())})
+
+    parts = ds.map_batches(_len_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    total_len = sum(r["total_len"] for r in parts)
+
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     try:
         grouped = tagged.groupby("_kpart", num_partitions=num_buckets)
@@ -144,6 +189,7 @@ def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
     dropped_all = sorted({w for r in report for w in (r["dropped"] or [])})
     meta = {"num_buckets": num_buckets, "text_col": text_col,
             "id_col": id_col, "pattern": pattern, "max_df": max_df,
+            "n_docs": n_docs, "total_len": total_len,
             # bounded by nature: only stopword-scale tokens exceed max_df
             "dropped_tokens": dropped_all[:4096],
             "dropped_token_count": len(dropped_all)}
@@ -245,3 +291,82 @@ def token_df(index_dir: str | Path, terms: tuple[str, ...] | list[str]) -> pa.Ta
             dfs[tok] = int(df)
     return pa.table({"token": pa.array(list(terms), pa.string()),
                      "df": pa.array([dfs[t] for t in terms], pa.int64())})
+
+
+def bm25_topk(index_dir: str | Path, terms: tuple[str, ...] | list[str],
+              k: int = 10, k1: float = 1.25, b: float = 0.75) -> pa.Table:
+    """BM25-ranked top-k docs for a multi-term query, served ENTIRELY from
+    the routed posting reads — tf and dlen travel with each posting, N and
+    avgdl come from the build meta, so cost ∝ postings of the query terms,
+    never corpus size (the reference re-scans records per query,
+    ``mex/extractors/ff_projects/filter.py``; this is the indexed form).
+
+    Scoring uses the log-free rational idf ``(N − df + ½)/(df + ½)`` —
+    ln-idf's argument without the (monotone) log, so rankings for a given
+    df are order-compatible — and emits per-doc
+
+        score_c6 = Σ_t floor(1e6·idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) + ½)
+
+    as exact int64 (the ``tfidf_top_terms`` integer-score discipline:
+    every float op is a fixed-order IEEE +,−,×,÷ chain, so a SQL oracle
+    spelling the same expression hash-matches bit-for-bit; the defaults
+    k1=1.25, b=0.75 are exact binary doubles for literal-parsing parity).
+    Ties break by ascending doc id. Duplicate query terms are deduped."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("bm25_topk: empty term list")
+    meta = load_index_meta(index_dir)
+    if "n_docs" not in meta:
+        raise ValueError(
+            f"index at {index_dir} predates corpus stats; rebuild to use bm25_topk")
+    dropped = set(meta.get("dropped_tokens", []))
+    hit = dropped.intersection(terms)
+    if hit:
+        raise ValueError(
+            f"terms {sorted(hit)} were dropped at build time (df > "
+            f"{meta['max_df']}); rebuild without max_df to score them")
+    n_docs = float(meta["n_docs"])
+    avgdl = float(meta["total_len"]) / float(meta["n_docs"])
+    buckets: dict[int, list[str]] = {}
+    parts = assign_partitions(pa.array(terms, pa.string()), meta["num_buckets"])
+    for term, bk in zip(terms, parts):
+        buckets.setdefault(int(bk), []).append(term)
+    doc_chunks: list[np.ndarray] = []
+    sc_chunks: list[np.ndarray] = []
+    id_type = pa.int64()
+    for bk, bterms in sorted(buckets.items()):
+        path = bucket_path(index_dir, bk)
+        if not path.exists():
+            continue
+        t = pq.read_table(path, columns=["token", "df", "doc_ids", "tfs", "dlens"],
+                          filters=[("token", "in", bterms)])
+        id_type = t["doc_ids"].type.value_type
+        dfs = t["df"].to_pylist()
+        docs_l = t["doc_ids"].combine_chunks()
+        tfs_l = t["tfs"].combine_chunks()
+        dlens_l = t["dlens"].combine_chunks()
+        for i in range(t.num_rows):
+            df = float(dfs[i])
+            docs = np.asarray(docs_l[i].values.to_numpy(zero_copy_only=False))
+            tf = np.asarray(tfs_l[i].values.to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+            dl = np.asarray(dlens_l[i].values.to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+            idf = (n_docs - df + 0.5) / (df + 0.5)
+            sc = np.floor(
+                1e6 * (idf * ((tf * (k1 + 1.0))
+                              / (tf + k1 * (1.0 - b + (b * dl) / avgdl))))
+                + 0.5).astype(np.int64)
+            doc_chunks.append(docs)
+            sc_chunks.append(sc)
+    if not doc_chunks:
+        return pa.table({"doc_id": pa.array([], id_type),
+                         "score_c6": pa.array([], pa.int64())})
+    all_docs = np.concatenate(doc_chunks)
+    all_sc = np.concatenate(sc_chunks)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(acc, inv, all_sc)
+    order = np.lexsort((uniq, -acc))[:k]
+    return pa.table({"doc_id": pa.array(uniq[order]).cast(id_type),
+                     "score_c6": pa.array(acc[order])})

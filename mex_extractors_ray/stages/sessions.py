@@ -92,6 +92,47 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float,
     return _keyed_blocks(ds, key, block, num_partitions)
 
 
+def keyed_lead(ds, key: str, order_col: str, out_col: str = "lead",
+               fill: int = -1, num_partitions: int = 64):
+    """``lead()`` window function: per row, the SAME key's NEXT
+    ``order_col`` value in ascending order; ``fill`` (default ``-1``) for a
+    key's last row — a sentinel instead of null so downstream int64 schemas
+    stay non-nullable (the catalog hash discipline).
+
+    SQL equivalent: ``COALESCE(lead(order_col) OVER (PARTITION BY key
+    ORDER BY order_col), fill)``. This is the SCD-Type-2 building block:
+    over a change log it turns per-key version rows into validity
+    intervals (valid_from = order_col, valid_to = lead) — the interval
+    form of the last-wins collapse the reference's versioned merge does
+    (`mex/extractors/sumo/transform.py` keeps only the latest row; SCD2
+    keeps them all with bounds). Scale shape == ``sessionize``: ONE coarse
+    key-hash shuffle, then per block one Arrow sort + one numpy shift
+    masked at key-run ends. ``order_col`` must be integer-typed and
+    non-null (LSNs / sequence numbers)."""
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        t = g.sort_by([(key, "ascending"), (order_col, "ascending")])
+        col = t[order_col].combine_chunks()
+        if col.null_count:
+            raise ValueError(f"keyed_lead: null {order_col} values are ambiguous")
+        vals = np.asarray(col.cast(pa.int64()))
+        new_key = _run_starts(t[key])
+        lead = np.empty(n, dtype=np.int64)
+        lead[:-1] = vals[1:]
+        lead[-1] = fill
+        # a key's LAST row = the row before the next key's first run start
+        last = np.empty(n, dtype=bool)
+        last[:-1] = new_key[1:]
+        last[-1] = True
+        lead[last] = fill
+        return t.append_column(out_col, pa.array(lead))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def keyed_lag_gaps(ds, key: str, ts_col: str, order_cols: tuple[str, ...] = (),
                    out_col: str = "prev_gap_us", num_partitions: int = 64):
     """``lag()``-family window function re-expressed Ray-Data-first: per

@@ -126,6 +126,83 @@ def test_bucket_files_are_token_sorted_small_row_groups(built_index):
             assert lst == sorted(lst)
 
 
+def test_postings_carry_tf_and_dlen(built_index):
+    d, _ = built_index
+    # brute per-pair tf + per-doc length from the fixture
+    want_tf = {}
+    want_dl = {}
+    for did, txt in DOCS:
+        words = [w for w in (txt or "").split(" ") if w]
+        want_dl[did] = len(words)
+        for w in set(words):
+            want_tf[(w, did)] = words.count(w)
+    for p in d.glob("bucket=*.parquet"):
+        t = pq.read_table(p)
+        for i in range(t.num_rows):
+            tok = t["token"][i].as_py()
+            ids = t["doc_ids"][i].as_py()
+            tfs = t["tfs"][i].as_py()
+            dls = t["dlens"][i].as_py()
+            assert len(ids) == len(tfs) == len(dls)
+            for did, tf, dl in zip(ids, tfs, dls):
+                assert tf == want_tf[(tok, did)]
+                assert dl == want_dl[did]
+    meta = invindex.load_index_meta(d)
+    assert meta["n_docs"] == len(DOCS)                 # incl. empty + null
+    assert meta["total_len"] == sum(want_dl.values())
+
+
+def _brute_bm25(terms, k, k1=1.25, b=0.75):
+    import math
+
+    n_docs = float(len(DOCS))
+    dls = {did: len([w for w in (txt or "").split(" ") if w]) for did, txt in DOCS}
+    avgdl = float(sum(dls.values())) / n_docs
+    scores = {}
+    for term in dict.fromkeys(terms):
+        post = [(did, [w for w in (txt or "").split(" ") if w].count(term))
+                for did, txt in DOCS if txt and term in txt.split(" ")]
+        df = float(len(post))
+        for did, tf in post:
+            tf = float(tf)
+            dl = float(dls[did])
+            idf = (n_docs - df + 0.5) / (df + 0.5)
+            sc = math.floor(1e6 * (idf * ((tf * (k1 + 1.0))
+                            / (tf + k1 * (1.0 - b + (b * dl) / avgdl)))) + 0.5)
+            scores[did] = scores.get(did, 0) + sc
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+@pytest.mark.parametrize("terms,k", [
+    (("alpha",), 3),
+    (("beta", "gamma"), 10),
+    (("alpha", "zeta", "epsilon"), 4),
+    (("alpha", "alpha", "zeta"), 4),     # duplicate terms deduped
+    (("nosuchword",), 5),                # unindexed → empty
+])
+def test_bm25_matches_brute_force(built_index, terms, k):
+    d, _ = built_index
+    got = invindex.bm25_topk(d, terms, k=k)
+    pairs = list(zip(got["doc_id"].to_pylist(), got["score_c6"].to_pylist()))
+    assert pairs == _brute_bm25(terms, k)
+
+
+def test_bm25_validates(built_index, tmp_path):
+    d, _ = built_index
+    with pytest.raises(ValueError, match="empty term"):
+        invindex.bm25_topk(d, ())
+    # a stats-free (pre-upgrade) meta must refuse, not mis-score
+    import json
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    meta = invindex.load_index_meta(d).copy()
+    meta.pop("n_docs"), meta.pop("total_len")
+    (legacy / invindex.META_NAME).write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="corpus stats"):
+        invindex.bm25_topk(legacy, ("beta",))
+
+
 def test_lookup_modes_validate(built_index):
     d, _ = built_index
     with pytest.raises(ValueError, match="mode"):

@@ -176,6 +176,30 @@ def test_keyed_lag_gaps(ray_session):
     assert out["prev_gap_us"].tolist() == [-1, 10_000_000, 0, -1, -1, 993_000_000]
 
 
+def test_keyed_lead_scd2_intervals(ray_session):
+    from mex_extractors_ray.stages.sessions import keyed_lead
+
+    rows = [
+        {"k": "a", "lsn": 1},
+        {"k": "a", "lsn": 5},
+        {"k": "a", "lsn": 9},
+        {"k": "b", "lsn": 3},
+        {"k": "c", "lsn": 2},
+        {"k": "c", "lsn": 4},
+    ]
+    out = (
+        keyed_lead(_ds(rows), "k", "lsn", out_col="valid_to", num_partitions=4)
+        .to_pandas().sort_values(["k", "lsn"])
+    )
+    assert out["valid_to"].tolist() == [5, 9, -1, -1, 4, -1]
+    # custom fill sentinel
+    out2 = (
+        keyed_lead(_ds(rows), "k", "lsn", out_col="v", fill=0, num_partitions=4)
+        .to_pandas().sort_values(["k", "lsn"])
+    )
+    assert out2["v"].tolist() == [5, 9, 0, 0, 4, 0]
+
+
 def test_rollup_sum_count_levels(ray_session):
     rows = [
         {"a": "x", "b": 1, "v": 10},
