@@ -818,6 +818,53 @@ def q_customers_without_orders(sf_dir: str):
     return out.to_pandas()
 
 
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER large-large join under an oracle: per-customer order
+    count + exact-cents spend, customers with NO orders kept (their nulls
+    → 0). Scale shape: pre-aggregate the fact side FIRST (in-batch
+    combiner + ``keyed_sums`` — the exchange ships one row per customer,
+    not one per order), then bucketed LEFT join the dimension onto the
+    aggregate; the Arrow-dtype per-bucket merge keeps unmatched-side
+    nulls typed (no int64→float64 widening)."""
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_custkey": b["o_custkey"],
+            "spend_c100": _cents(b["o_totalprice"]),
+            "n_orders": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by("c_custkey").aggregate(
+            [("spend_c100", "sum"), ("n_orders", "sum")])
+        return g.rename_columns(["c_custkey", "spend_c100", "n_orders"])
+
+    agg = aggregates.keyed_sums(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["c_custkey"], ["spend_c100", "n_orders"])
+    joined = joins.bucketed_join(cust, agg, on="c_custkey", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.fill_null(t["n_orders"], 0).cast(pa.int64()),
+            "spend_c100": pc.fill_null(t["spend_c100"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_CUSTOMER_ORDER_PROFILE_SQL = """
+SELECT c_custkey,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS spend_c100
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
 def q_order_priority_revenue(sf_dir: str):
     """Large-large bucketed hash join (both sides streamed, co-partitioned
     on hash(key) % B — no broadcast): orders ⋈ lineitem on orderkey,
@@ -2830,6 +2877,27 @@ ORDER BY doc_id
 """
 
 
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_docs_profile(sf_dir: str):
+    """Distributed data profiling (``stages/profile.py``): per column —
+    row count, null count, EXACT distinct count, native-ordered min/max —
+    via per-batch scalar partials plus one coarse (col, value) hash
+    shuffle with run-boundary distinct counting; the oracle is generated
+    from the same column list (one UNION ALL leg per column)."""
+    from mex_extractors_ray.stages.profile import profile_columns
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=PROFILE_COLS)
+    return profile_columns(docs, PROFILE_COLS).to_pandas()
+
+
+def _docs_profile_oracle() -> str:
+    from mex_extractors_ray.stages.profile import profile_sql
+
+    return profile_sql("documents", PROFILE_COLS)
+
+
 BM25_TERMS = ("query", "dup", "merge")
 BM25_K = 20
 
@@ -3204,6 +3272,7 @@ _QUERY_FNS = {
         "parts_semi_join": q_parts_semi_join,
         "customers_without_orders": q_customers_without_orders,
         "order_priority_revenue": q_order_priority_revenue,
+        "customer_order_profile": q_customer_order_profile,
         "first_event_per_user": q_first_event_per_user,
         "single_line_orders": q_single_line_orders,
         "event_type_sets": q_event_type_sets,
@@ -3272,6 +3341,7 @@ _QUERY_FNS = {
         "word_topk": q_word_topk,
         "token_index_lookup": q_token_index_lookup,
         "token_bm25_topk": q_token_bm25_topk,
+        "docs_profile": q_docs_profile,
         "nchar_quantiles": q_nchar_quantiles,
         "nchar_quantiles_by_source": q_nchar_quantiles_by_source,
         "quality_gate_docs": q_quality_gate_docs,
@@ -3466,6 +3536,7 @@ GROUP BY p_brand
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
 """,
+        "customer_order_profile": _CUSTOMER_ORDER_PROFILE_SQL,
         "order_priority_revenue": """
 SELECT o_orderpriority,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c10k,
@@ -3827,6 +3898,7 @@ GROUP BY b.bracket
         "word_topk": _WORD_TOPK_SQL,
         "token_index_lookup": _TOKEN_INDEX_SQL,
         "token_bm25_topk": _BM25_SQL,
+        "docs_profile": _docs_profile_oracle(),
         "nchar_quantiles": _nchar_quantiles_oracle(),
         "nchar_quantiles_by_source": _nchar_quantiles_by_source_oracle(),
         "quality_gate_docs": _QUALITY_GATE_SQL,
