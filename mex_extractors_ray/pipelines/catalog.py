@@ -92,24 +92,30 @@ def _cents(col, scale: int = 100) -> pa.Array:
 _LAKE_CACHE: dict[tuple[str, str], Path] = {}
 
 
-def build_cdc_lake(sf_dir: str, mode: str = "last_wins", windows: int = 1) -> Path:
+def build_cdc_lake(sf_dir: str, mode: str = "last_wins", windows: int = 1,
+                   upto_cut: bool = False) -> Path:
     """Derive the closed-form change log from ``events``, ingest it through
     the full engine (resolve → shuffle → per-partition merge → manifest
-    commit). Cached per (sf_dir, mode, windows) within a process.
+    commit). Cached per (sf_dir, mode, windows, upto_cut) within a process.
 
     ``windows=2`` splits the log at ``cut = max(lsn) // 2`` and ingests two
     windows — window 1 lands as the base fold, window 2 as delta files +
-    delete logs, which is the layout time-travel reads need."""
-    key = (sf_dir, mode, windows)
+    delete logs, which is the layout time-travel reads need.
+    ``upto_cut=True`` ingests ONLY the events at or below that same cut —
+    a genuinely separate (older) lake, the fixture for lake-to-lake diff."""
+    key = (sf_dir, mode, windows, upto_cut)
     if key in _LAKE_CACHE:
         return _LAKE_CACHE[key]
-    tag = hashlib.sha1(f"{sf_dir}|{mode}|{windows}".encode()).hexdigest()[:10]
+    tag = hashlib.sha1(f"{sf_dir}|{mode}|{windows}|{upto_cut}".encode()).hexdigest()[:10]
     base = WORK_ROOT / f"cdc-{tag}"
     shutil.rmtree(base, ignore_errors=True)
     log_dir, lake_dir = base / "log", base / "lake"
     log_dir.mkdir(parents=True)
     events = pq.read_table(f"{sf_dir}/events.parquet")
     log = change_log_from_events(events)
+    if upto_cut:
+        log = log.filter(pc.less_equal(log["lsn"],
+                                       int(pc.max(log["lsn"]).as_py()) // 2))
     if windows == 2:
         cut = int(pc.max(log["lsn"]).as_py()) // 2
         splits = [log.filter(pc.less_equal(log["lsn"], cut)),
@@ -862,6 +868,39 @@ SELECT c_custkey,
             AS BIGINT) AS spend_c100
 FROM customer LEFT JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey
+"""
+
+
+def q_customer_running_spend(sf_dir: str):
+    """Running-total window function (``sessions.keyed_cumsum``): per
+    order, the customer's cumulative exact-cents spend up to and
+    including it in orderkey order — SQL ``SUM(v) OVER (PARTITION BY
+    custkey ORDER BY orderkey)`` re-expressed as ONE coarse key shuffle +
+    per-block global cumsum rebased at key-run starts."""
+    from mex_extractors_ray.stages.sessions import keyed_cumsum
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "price_c100": _cents(b["o_totalprice"]),
+        })
+
+    out = keyed_cumsum(orders.map_batches(prep, batch_format="pyarrow"),
+                       "o_custkey", "o_orderkey", "price_c100",
+                       out_col="running_c100")
+    return out.select_columns(["o_orderkey", "o_custkey", "running_c100"])
+
+
+_RUNNING_SPEND_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT)
+            AS running_c100
+FROM orders
 """
 
 
@@ -2598,6 +2637,55 @@ def q_cdc_scd2_history(sf_dir: str):
     return led.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_lake_diff(sf_dir: str):
+    """Anti-entropy lake diff (``cdc/diff.py``): the as-of-cut lake vs the
+    final lake, BOTH built through the real engine. Payloads never cross
+    the exchange — each side's partition-local merged read collapses a
+    row to one uint64 (tokens included via the position-weighted list
+    hash), then ONE doc-hash shuffle issues added/removed/changed
+    verdicts at run boundaries. The oracle FULL-OUTER-joins the
+    closed-form winners at the two watermarks (tokens are a pure
+    function of (doc, n_tok) in the fixture, so field comparison is
+    exact)."""
+    from mex_extractors_ray.cdc.diff import diff_lakes
+
+    old = build_cdc_lake(sf_dir, upto_cut=True)
+    new = build_cdc_lake(sf_dir)
+    return diff_lakes(old, new)
+
+
+_CDC_DIFF_SQL = f"""
+WITH log AS ({_CDC_LOG_SQL}),
+ra AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM log WHERE lsn <= (SELECT MAX(lsn) // 2 FROM log)
+),
+rb AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM log
+),
+a AS (SELECT doc_id,
+             CASE WHEN lsn % 10 IN (8, 9)
+                  THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+                  ELSE 'de' END AS lang,
+             8 + (lsn % 120) AS n_tok
+      FROM ra WHERE rn = 1 AND op <> 'delete'),
+b AS (SELECT doc_id,
+             CASE WHEN lsn % 10 IN (8, 9)
+                  THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+                  ELSE 'de' END AS lang,
+             8 + (lsn % 120) AS n_tok
+      FROM rb WHERE rn = 1 AND op <> 'delete')
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+   OR a.lang <> b.lang OR a.n_tok <> b.n_tok
+"""
+
+
 _CDC_SCD2_SQL = f"""
 WITH log AS ({_CDC_LOG_SQL}),
 led AS (
@@ -3273,6 +3361,7 @@ _QUERY_FNS = {
         "customers_without_orders": q_customers_without_orders,
         "order_priority_revenue": q_order_priority_revenue,
         "customer_order_profile": q_customer_order_profile,
+        "customer_running_spend": q_customer_running_spend,
         "first_event_per_user": q_first_event_per_user,
         "single_line_orders": q_single_line_orders,
         "event_type_sets": q_event_type_sets,
@@ -3350,6 +3439,7 @@ _QUERY_FNS = {
         "cdc_asof_state": q_cdc_asof_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_point_lookups": q_cdc_point_lookups,
         "cdc_filtered_read": q_cdc_filtered_read,
         "cdc_filtered_range": q_cdc_filtered_range,
@@ -3537,6 +3627,7 @@ SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
 """,
         "customer_order_profile": _CUSTOMER_ORDER_PROFILE_SQL,
+        "customer_running_spend": _RUNNING_SPEND_SQL,
         "order_priority_revenue": """
 SELECT o_orderpriority,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c10k,
@@ -3907,6 +3998,7 @@ GROUP BY b.bracket
         "cdc_asof_state": _CDC_ASOF_SQL,
         "cdc_change_feed": _CDC_FEED_SQL,
         "cdc_scd2_history": _CDC_SCD2_SQL,
+        "cdc_lake_diff": _CDC_DIFF_SQL,
         "cdc_point_lookups": _CDC_LOOKUP_SQL,
         "cdc_filtered_read":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src3'",

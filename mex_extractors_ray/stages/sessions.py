@@ -133,6 +133,40 @@ def keyed_lead(ds, key: str, order_col: str, out_col: str = "lead",
     return _keyed_blocks(ds, key, block, num_partitions)
 
 
+def keyed_cumsum(ds, key: str, order_col: str, value_col: str,
+                 out_col: str = "running_sum", num_partitions: int = 64):
+    """Running total window function: per row, the cumulative sum of
+    ``value_col`` over the SAME key's rows up to and including it in
+    ``order_col`` order — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY
+    order_col)``. Integer value columns only (the reduceat-kernel
+    discipline: silent float truncation is refused, scale to cents
+    first). Scale shape == ``keyed_lead``: ONE coarse key-hash shuffle,
+    per block one Arrow sort + one global cumsum rebased at key-run
+    starts — no per-key dispatch."""
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        t = g.sort_by([(key, "ascending"), (order_col, "ascending")])
+        col = t[value_col].combine_chunks()
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"keyed_cumsum: {value_col} is {col.type}; integer columns "
+                "only (scale floats to cents first)")
+        if col.null_count:
+            raise ValueError(f"keyed_cumsum: null {value_col} values — fill first")
+        vals = np.asarray(col.cast(pa.int64()))
+        cs = np.cumsum(vals)
+        new_key = _run_starts(t[key])
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        base = np.repeat(cs[starts] - vals[starts], counts)
+        return t.append_column(out_col, pa.array((cs - base).astype(np.int64)))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def keyed_lag_gaps(ds, key: str, ts_col: str, order_cols: tuple[str, ...] = (),
                    out_col: str = "prev_gap_us", num_partitions: int = 64):
     """``lag()``-family window function re-expressed Ray-Data-first: per

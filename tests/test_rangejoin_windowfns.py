@@ -200,6 +200,29 @@ def test_keyed_lead_scd2_intervals(ray_session):
     assert out2["v"].tolist() == [5, 9, 0, 0, 4, 0]
 
 
+def test_keyed_cumsum_running_totals(ray_session):
+    import pytest
+
+    from mex_extractors_ray.stages.sessions import keyed_cumsum
+
+    rows = [
+        {"k": "a", "o": 1, "v": 10},
+        {"k": "a", "o": 3, "v": 5},
+        {"k": "a", "o": 2, "v": 7},
+        {"k": "b", "o": 9, "v": 100},
+        {"k": "b", "o": 10, "v": 1},
+    ]
+    out = (
+        keyed_cumsum(_ds(rows), "k", "o", "v", out_col="rs", num_partitions=4)
+        .to_pandas().sort_values(["k", "o"])
+    )
+    assert out["rs"].tolist() == [10, 17, 22, 100, 101]
+    # float value columns refused (silent truncation guard)
+    frows = [{"k": "a", "o": 1, "v": 1.5}]
+    with pytest.raises(Exception, match="integer columns only"):
+        keyed_cumsum(_ds(frows), "k", "o", "v").to_pandas()
+
+
 def test_rollup_sum_count_levels(ray_session):
     rows = [
         {"a": "x", "b": 1, "v": 10},
