@@ -2954,6 +2954,45 @@ def q_token_index_lookup(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_token_index_incremental(sf_dir: str):
+    """INCREMENTAL index maintenance under the full-corpus oracle: the
+    index is built over HALF the documents, the other half arrives as a
+    CDC insert window through ``invindex.update_token_index`` (old-side
+    deletions + new-side additions merged into only the touched buckets
+    — cost ∝ change vocabulary, never corpus size), then the same routed
+    lookup as ``token_index_lookup`` must answer identically to the
+    one-shot full build."""
+    import shutil
+    import tempfile
+
+    from mex_extractors_ray.stages import invindex
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = docs.filter(expr="doc_id < 250")
+    rest = docs.filter(expr="doc_id >= 250")
+
+    def as_changes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "op": pa.array(["insert"] * t.num_rows, pa.string()),
+            "old_text": pa.nulls(t.num_rows, pa.string()),
+            "new_text": t["text"],
+        })
+
+    d = Path(tempfile.mkdtemp(prefix="token-index-inc-", dir="/tmp"))
+    try:
+        invindex.build_token_index(base, d, num_buckets=16)
+        invindex.update_token_index(
+            d, rest.map_batches(as_changes, batch_format="pyarrow"),
+            update_id="w1")
+        out = invindex.lookup_token_docs(d, ("dup", "vector"), mode="all")
+        res = out.to_pandas()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _TOKEN_INDEX_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id
 FROM documents
@@ -3429,6 +3468,7 @@ _QUERY_FNS = {
         "sampled_per_source": q_sampled_per_source,
         "word_topk": q_word_topk,
         "token_index_lookup": q_token_index_lookup,
+        "token_index_incremental": q_token_index_incremental,
         "token_bm25_topk": q_token_bm25_topk,
         "docs_profile": q_docs_profile,
         "nchar_quantiles": q_nchar_quantiles,
@@ -3988,6 +4028,7 @@ GROUP BY b.bracket
         "sampled_per_source": _sampled_per_source_oracle(),
         "word_topk": _WORD_TOPK_SQL,
         "token_index_lookup": _TOKEN_INDEX_SQL,
+        "token_index_incremental": _TOKEN_INDEX_SQL,
         "token_bm25_topk": _BM25_SQL,
         "docs_profile": _docs_profile_oracle(),
         "nchar_quantiles": _nchar_quantiles_oracle(),

@@ -293,6 +293,174 @@ def token_df(index_dir: str | Path, terms: tuple[str, ...] | list[str]) -> pa.Ta
                      "df": pa.array([dfs[t] for t in terms], pa.int64())})
 
 
+def update_token_index(index_dir: str | Path, changes, update_id: str,
+                       text_col_old: str = "old_text",
+                       text_col_new: str = "new_text") -> dict:
+    """Incremental index maintenance from a CDC-style change set — the
+    indexed analog of the lake's delta apply (`cdc/apply.py`): cost ∝
+    buckets touched by the changed docs' old+new vocabulary, never corpus
+    size (a full rebuild re-shuffles the whole corpus).
+
+    ``changes`` is a Dataset with columns (doc_id, op, old_text, new_text),
+    op ∈ insert/update/delete — the change-log op vocabulary. ``old_text``
+    must be the exact text that was indexed (the caller reads it from the
+    pre-window state, e.g. an as-of lake read); the equivalence tests
+    assert update == full rebuild byte-for-byte.
+
+    Shape: old-side pairs become deletions, new-side pairs additions; ONE
+    coarse token-hash shuffle routes both into the affected buckets; each
+    bucket rewrite is a vectorized merge — explode existing postings,
+    sort (token, doc, rank keep<del<add), keep each pair's run-last row
+    unless it is a deletion — written temp+rename. Buckets nobody touched
+    are never opened. Idempotent per ``update_id``: bucket merges converge
+    on re-run, and the meta delta (n_docs / total_len) is applied once.
+
+    Refuses ``max_df`` indexes (a dropped stopword's postings are not
+    reconstructible incrementally — rebuild instead)."""
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    index_dir = Path(index_dir)
+    meta = load_index_meta(index_dir)
+    if meta.get("max_df") is not None:
+        raise ValueError(
+            "update_token_index: index was built with max_df (dropped "
+            "postings are not reconstructible incrementally) — rebuild")
+    if meta.get("last_update_id") == update_id:
+        return {"noop": True, "update_id": update_id}
+    num_buckets, pattern = meta["num_buckets"], meta["pattern"]
+
+    def delta(t: pa.Table) -> pa.Table:
+        op = t["op"]
+        is_ins = pc.equal(op, "insert")
+        is_del = pc.equal(op, "delete")
+        old = pc.if_else(is_ins, pa.nulls(t.num_rows, pa.string()),
+                         t[text_col_old])
+        new = pc.if_else(is_del, pa.nulls(t.num_rows, pa.string()),
+                         t[text_col_new])
+        o = _doc_token_stats(pa.table({"doc_id": t["doc_id"], "text": old}),
+                             "text", "doc_id", pattern)
+        nw = _doc_token_stats(pa.table({"doc_id": t["doc_id"], "text": new}),
+                              "text", "doc_id", pattern)
+        o = o.append_column("rank", pa.array(np.ones(o.num_rows, np.int8)))
+        nw = nw.append_column("rank", pa.array(np.full(nw.num_rows, 2, np.int8)))
+        both = pa.concat_tables([o, nw])
+        return both.append_column(
+            "_kpart", shard_tags(assign_partitions(both["token"], num_buckets),
+                                 num_buckets))
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_kpart"])
+        if g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "tokens": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.int64())})
+        bucket = int(assign_partitions(g["token"].slice(0, 1), num_buckets)[0])
+        path = bucket_path(index_dir, bucket)
+        parts = [g]
+        if path.exists():
+            old = pq.read_table(path)
+            offs = np.asarray(old["doc_ids"].combine_chunks().offsets,
+                              dtype=np.int64)
+            lens = np.diff(offs)
+            idx = pa.array(np.repeat(np.arange(old.num_rows), lens))
+            keep = pa.table({
+                "token": old["token"].combine_chunks().take(idx),
+                "doc_id": old["doc_ids"].combine_chunks().flatten(),
+                "tf": old["tfs"].combine_chunks().flatten(),
+                "dlen": old["dlens"].combine_chunks().flatten(),
+            })
+            keep = keep.append_column(
+                "rank", pa.array(np.zeros(keep.num_rows, np.int8)))
+            parts.insert(0, keep)
+        allr = pa.concat_tables(parts, promote_options="default")
+        t = allr.sort_by([("token", "ascending"), ("doc_id", "ascending"),
+                          ("rank", "ascending")])
+        pair_start = (_run_starts(t["token"]) | _run_starts(t["doc_id"]))
+        starts = np.flatnonzero(pair_start)
+        last = np.append(starts[1:], t.num_rows) - 1      # run-last per pair
+        rank = np.asarray(t["rank"].combine_chunks(), dtype=np.int8)
+        emit = last[rank[last] != 1]                      # deletions vanish
+        t = t.take(pa.array(emit)).drop_columns(["rank"])
+        if t.num_rows == 0:
+            tmp = path.with_suffix(".parquet.tmp")
+            pq.write_table(pa.table({
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.list_(g["doc_id"].type)),
+                "tfs": pa.array([], pa.list_(pa.int64())),
+                "dlens": pa.array([], pa.list_(pa.int64())),
+            }), tmp, row_group_size=_ROW_GROUP_ROWS)
+            os.replace(tmp, path)
+            return pa.table({"bucket": [bucket], "tokens": [0],
+                             "postings": [0]})
+        tok_start = _run_starts(t["token"])
+        start_idx = np.flatnonzero(tok_start)
+        counts = np.diff(np.append(start_idx, t.num_rows)).astype(np.int64)
+        off = pa.array(np.append(start_idx, t.num_rows), pa.int32())
+
+        def _values(col):
+            v = t[col].combine_chunks()
+            if isinstance(v, pa.ChunkedArray):
+                v = v.chunk(0) if v.num_chunks else pa.array([], t[col].type)
+            return v
+
+        out = pa.table({
+            "token": t["token"].combine_chunks().take(pa.array(start_idx)),
+            "df": pa.array(counts),
+            "doc_ids": pa.ListArray.from_arrays(off, _values("doc_id")),
+            "tfs": pa.ListArray.from_arrays(off, _values("tf")),
+            "dlens": pa.ListArray.from_arrays(off, _values("dlen")),
+        })
+        tmp = path.with_suffix(".parquet.tmp")
+        pq.write_table(out, tmp, row_group_size=_ROW_GROUP_ROWS)
+        os.replace(tmp, path)
+        return pa.table({"bucket": [bucket], "tokens": [out.num_rows],
+                         "postings": [int(counts.sum())]})
+
+    # meta deltas (n_docs / total token length) — one tiny partial per batch
+    def meta_delta(t: pa.Table) -> pa.Table:
+        def _dl(col):
+            words = pc.split_pattern(pc.fill_null(col, ""), pattern)
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            flat = words.flatten()
+            return int(pc.sum(pc.cast(pc.greater(pc.utf8_length(flat), 0),
+                                      pa.int64())).as_py() or 0)
+        op = t["op"]
+        ins = int(pc.sum(pc.cast(pc.equal(op, "insert"), pa.int64())).as_py() or 0)
+        dels = int(pc.sum(pc.cast(pc.equal(op, "delete"), pa.int64())).as_py() or 0)
+        new_len = _dl(pc.if_else(pc.equal(op, "delete"),
+                                 pa.nulls(t.num_rows, pa.string()),
+                                 t[text_col_new]))
+        old_len = _dl(pc.if_else(pc.equal(op, "insert"),
+                                 pa.nulls(t.num_rows, pa.string()),
+                                 t[text_col_old]))
+        return pa.table({"dd": pa.array([ins - dels], pa.int64()),
+                         "dl": pa.array([new_len - old_len], pa.int64())})
+
+    mparts = changes.map_batches(meta_delta, batch_format="pyarrow").take_all()
+    dd = sum(r["dd"] for r in mparts)
+    dl = sum(r["dl"] for r in mparts)
+
+    tagged = changes.map_batches(delta, batch_format="pyarrow")
+    try:
+        grouped = tagged.groupby("_kpart", num_partitions=num_buckets)
+    except TypeError:
+        grouped = tagged.groupby("_kpart")
+    report = grouped.map_groups(rewrite, batch_format="pyarrow").take_all()
+
+    meta = load_index_meta(index_dir)
+    meta["n_docs"] = meta["n_docs"] + dd
+    meta["total_len"] = meta["total_len"] + dl
+    meta["last_update_id"] = update_id
+    meta_tmp = index_dir / (META_NAME + ".tmp")
+    meta_tmp.write_text(json.dumps(meta))
+    os.replace(meta_tmp, index_dir / META_NAME)
+    return {"noop": False, "update_id": update_id,
+            "buckets_touched": len({r["bucket"] for r in report}),
+            "n_docs_delta": dd, "total_len_delta": dl}
+
+
 def bm25_topk(index_dir: str | Path, terms: tuple[str, ...] | list[str],
               k: int = 10, k1: float = 1.25, b: float = 0.75) -> pa.Table:
     """BM25-ranked top-k docs for a multi-term query, served ENTIRELY from

@@ -203,6 +203,84 @@ def test_bm25_validates(built_index, tmp_path):
         invindex.bm25_topk(legacy, ("beta",))
 
 
+def _mk_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(2)
+
+
+def test_update_equals_rebuild(ray_session, tmp_path):
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+    def txt():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+
+    v1 = [(i, txt()) for i in range(40)]
+    # change set: delete 10, update 10, insert 10 (incl. an empty insert)
+    deletes = v1[:10]
+    updates = [(d, txt()) for d, _ in v1[10:20]]
+    inserts = [(100 + i, txt()) for i in range(9)] + [(199, "")]
+    v2 = updates + v1[20:] + inserts
+
+    import ray.data
+
+    changes = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in deletes] + [d for d, _ in updates]
+                           + [d for d, _ in inserts], pa.int64()),
+        "op": pa.array(["delete"] * 10 + ["update"] * 10 + ["insert"] * 10),
+        "old_text": pa.array([t for _, t in deletes]
+                             + [dict(v1)[d] for d, _ in updates]
+                             + [None] * 10, pa.string()),
+        "new_text": pa.array([None] * 10 + [t for _, t in updates]
+                             + [t for _, t in inserts], pa.string()),
+    })).repartition(3)
+
+    inc, full = tmp_path / "inc", tmp_path / "full"
+    invindex.build_token_index(_mk_ds(v1), inc, num_buckets=4)
+    r = invindex.update_token_index(inc, changes, update_id="w1")
+    assert not r["noop"] and r["buckets_touched"] >= 1
+    invindex.build_token_index(_mk_ds(v2), full, num_buckets=4)
+
+    # byte-equivalent postings per bucket, identical meta stats
+    for b in range(4):
+        pi, pf = invindex.bucket_path(inc, b), invindex.bucket_path(full, b)
+        if not pf.exists():
+            assert not pi.exists() or pq.read_table(pi).num_rows == 0
+            continue
+        ti = pq.read_table(pi) if pi.exists() else None
+        assert ti is not None and ti.equals(pq.read_table(pf)), f"bucket {b}"
+    mi, mf = invindex.load_index_meta(inc), invindex.load_index_meta(full)
+    assert mi["n_docs"] == mf["n_docs"] == len(v2)
+    assert mi["total_len"] == mf["total_len"]
+
+    # ranked retrieval agrees end to end
+    got = invindex.bm25_topk(inc, ("alpha", "zeta"), k=15)
+    want = invindex.bm25_topk(full, ("alpha", "zeta"), k=15)
+    assert got.equals(want)
+
+    # idempotency: same update_id is a metadata noop
+    assert invindex.update_token_index(inc, changes, update_id="w1")["noop"]
+    assert invindex.load_index_meta(inc)["n_docs"] == len(v2)
+
+
+def test_update_refuses_max_df_index(ray_session, tmp_path):
+    import ray.data
+
+    d = tmp_path / "idx"
+    invindex.build_token_index(_corpus_ds(ray_session), d, num_buckets=4,
+                               max_df=100)
+    changes = ray.data.from_items([
+        {"doc_id": 9, "op": "insert", "old_text": None, "new_text": "beta"}])
+    with pytest.raises(ValueError, match="max_df"):
+        invindex.update_token_index(d, changes, update_id="x")
+
+
 def test_lookup_modes_validate(built_index):
     d, _ = built_index
     with pytest.raises(ValueError, match="mode"):
