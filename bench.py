@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "doc_pagerank",
     "cdc_patch_state",
     "substring_dup_pairs",
+    "customer_running_spend",
+    "token_bm25_topk",
+    "docs_profile",
 ]
 
 
