@@ -2993,6 +2993,49 @@ def q_token_index_incremental(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_token_index_segmented(sf_dir: str):
+    """LSM-segment index maintenance under the full-corpus oracle: half
+    the corpus is indexed, the rest lands as a SEGMENT window (write cost
+    ∝ delta — no bucket rewrite), the routed lookup answers from the
+    base+segment latest-wins fold, THEN ``compact_token_index`` folds the
+    segment into the base and the same lookup must answer identically —
+    both results under the one SQL oracle (the lake's base-fold +
+    delta-file economics, applied to postings)."""
+    import shutil
+    import tempfile
+
+    from mex_extractors_ray.stages import invindex
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = docs.filter(expr="doc_id < 250")
+    rest = docs.filter(expr="doc_id >= 250")
+
+    def as_changes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "op": pa.array(["insert"] * t.num_rows, pa.string()),
+            "old_text": pa.nulls(t.num_rows, pa.string()),
+            "new_text": t["text"],
+        })
+
+    d = Path(tempfile.mkdtemp(prefix="token-index-seg-", dir="/tmp"))
+    try:
+        invindex.build_token_index(base, d, num_buckets=16)
+        invindex.update_token_index(
+            d, rest.map_batches(as_changes, batch_format="pyarrow"),
+            update_id="w1", segment=True)
+        folded = invindex.lookup_token_docs(d, ("dup", "vector"), mode="all")
+        invindex.compact_token_index(d)
+        compacted = invindex.lookup_token_docs(d, ("dup", "vector"), mode="all")
+        if not folded.equals(compacted):
+            raise AssertionError("segment fold != compacted base")
+        res = compacted.to_pandas()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _TOKEN_INDEX_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id
 FROM documents
@@ -3469,6 +3512,7 @@ _QUERY_FNS = {
         "word_topk": q_word_topk,
         "token_index_lookup": q_token_index_lookup,
         "token_index_incremental": q_token_index_incremental,
+        "token_index_segmented": q_token_index_segmented,
         "token_bm25_topk": q_token_bm25_topk,
         "docs_profile": q_docs_profile,
         "nchar_quantiles": q_nchar_quantiles,
@@ -4029,6 +4073,7 @@ GROUP BY b.bracket
         "word_topk": _WORD_TOPK_SQL,
         "token_index_lookup": _TOKEN_INDEX_SQL,
         "token_index_incremental": _TOKEN_INDEX_SQL,
+        "token_index_segmented": _TOKEN_INDEX_SQL,
         "token_bm25_topk": _BM25_SQL,
         "docs_profile": _docs_profile_oracle(),
         "nchar_quantiles": _nchar_quantiles_oracle(),

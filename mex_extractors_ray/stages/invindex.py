@@ -216,6 +216,20 @@ def load_index_meta(index_dir: str | Path) -> dict:
     return json.loads(p.read_text())
 
 
+def _term_postings(index_dir: str | Path, meta: dict, bucket: int,
+                   bterms: list[str]) -> pa.Table | None:
+    """LIST-format posting rows for ``bterms`` in one bucket. Fast path
+    (no segments): one filtered read of the base file. With committed
+    segments: fold base + segments for those terms, then re-list."""
+    if not meta.get("segments"):
+        path = bucket_path(index_dir, bucket)
+        if not path.exists():
+            return None
+        return pq.read_table(path, filters=[("token", "in", bterms)])
+    rows = folded_bucket_rows(index_dir, bucket, meta, terms=bterms)
+    return None if rows is None else _rows_to_postings(rows)
+
+
 def lookup_token_docs(index_dir: str | Path, terms: tuple[str, ...] | list[str],
                       mode: str = "all") -> pa.Table:
     """doc_ids containing ANY (union) / ALL (intersection) of ``terms``.
@@ -244,11 +258,9 @@ def lookup_token_docs(index_dir: str | Path, terms: tuple[str, ...] | list[str],
     postings: dict[str, np.ndarray] = {}
     id_type = None
     for b, bterms in sorted(buckets.items()):
-        path = bucket_path(index_dir, b)
-        if not path.exists():  # no token hashed there at build time
+        t = _term_postings(index_dir, meta, b, bterms)
+        if t is None:  # no token hashed there at build time
             continue
-        t = pq.read_table(path, columns=["token", "doc_ids"],
-                          filters=[("token", "in", bterms)])
         id_type = t["doc_ids"].type.value_type
         toks = t["token"].to_pylist()
         lists = t["doc_ids"].combine_chunks()
@@ -282,20 +294,111 @@ def token_df(index_dir: str | Path, terms: tuple[str, ...] | list[str]) -> pa.Ta
         buckets.setdefault(int(b), []).append(term)
     dfs: dict[str, int] = {t: 0 for t in terms}
     for b, bterms in sorted(buckets.items()):
-        path = bucket_path(index_dir, b)
-        if not path.exists():
+        t = _term_postings(index_dir, meta, b, bterms)
+        if t is None:
             continue
-        t = pq.read_table(path, columns=["token", "df"],
-                          filters=[("token", "in", bterms)])
         for tok, df in zip(t["token"].to_pylist(), t["df"].to_pylist()):
             dfs[tok] = int(df)
     return pa.table({"token": pa.array(list(terms), pa.string()),
                      "df": pa.array([dfs[t] for t in terms], pa.int64())})
 
 
+def segment_path(index_dir: str | Path, bucket: int, update_id: str) -> Path:
+    return Path(index_dir) / f"bucket={bucket:05d}.seg-{update_id}.parquet"
+
+
+def _explode_postings(t: pa.Table) -> pa.Table:
+    """List-format posting rows → flat (token, doc_id, tf, dlen) rows."""
+    docs = t["doc_ids"].combine_chunks()
+    offs = np.asarray(docs.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    idx = pa.array(np.repeat(np.arange(t.num_rows), lens))
+    return pa.table({
+        "token": t["token"].combine_chunks().take(idx),
+        "doc_id": docs.flatten(),
+        "tf": t["tfs"].combine_chunks().flatten(),
+        "dlen": t["dlens"].combine_chunks().flatten(),
+    })
+
+
+def _fold_rows(parts: list[pa.Table]) -> pa.Table:
+    """Latest-wins fold over (token, doc_id) pairs: ``parts`` in commit
+    order, each with a ``rank`` column (0 keep / 1 del / 2 add). Sort
+    (token, doc, seq, rank), keep each pair's run-last row unless it is a
+    deletion — the lake's last-wins merge, applied to postings."""
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    tagged = []
+    for seq, p in enumerate(parts):
+        tagged.append(p.append_column(
+            "seq", pa.array(np.full(p.num_rows, seq, np.int32))))
+    allr = pa.concat_tables(tagged, promote_options="default")
+    if allr.num_rows == 0:
+        return allr.drop_columns(["rank", "seq"])
+    t = allr.sort_by([("token", "ascending"), ("doc_id", "ascending"),
+                      ("seq", "ascending"), ("rank", "ascending")])
+    pair_start = (_run_starts(t["token"]) | _run_starts(t["doc_id"]))
+    starts = np.flatnonzero(pair_start)
+    last = np.append(starts[1:], t.num_rows) - 1
+    rank = np.asarray(t["rank"].combine_chunks(), dtype=np.int8)
+    emit = last[rank[last] != 1]
+    return t.take(pa.array(emit)).drop_columns(["rank", "seq"])
+
+
+def folded_bucket_rows(index_dir: str | Path, bucket: int, meta: dict,
+                       terms: list[str] | None = None) -> pa.Table | None:
+    """One bucket's LIVE posting rows (token-, then doc-sorted) with every
+    COMMITTED segment folded in (latest-wins per pair, deletions drop).
+    ``terms`` pushes a token filter into every file read — base and
+    segments alike are token-sorted with small row groups, so parquet
+    stats prune inside each file. Returns None when nothing exists.
+
+    Segments not listed in the meta are INVISIBLE (the lake's manifest
+    discipline: a crashed update's partial segment files never surface)."""
+    base = bucket_path(index_dir, bucket)
+    filters = [("token", "in", list(terms))] if terms else None
+    parts: list[pa.Table] = []
+    if base.exists():
+        rows = _explode_postings(pq.read_table(base, filters=filters))
+        parts.append(rows.append_column(
+            "rank", pa.array(np.zeros(rows.num_rows, np.int8))))
+    for uid in meta.get("segments", []):
+        p = segment_path(index_dir, bucket, uid)
+        if p.exists():
+            parts.append(pq.read_table(p, filters=filters))
+    if not parts:
+        return None
+    return _fold_rows(parts)
+
+
+def _rows_to_postings(t: pa.Table) -> pa.Table:
+    """Flat pair rows (token-sorted) → list-format posting table."""
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    tok_start = _run_starts(t["token"])
+    start_idx = np.flatnonzero(tok_start)
+    counts = np.diff(np.append(start_idx, t.num_rows)).astype(np.int64)
+    off = pa.array(np.append(start_idx, t.num_rows), pa.int32())
+
+    def _values(col):
+        v = t[col].combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.chunk(0) if v.num_chunks else pa.array([], t[col].type)
+        return v
+
+    return pa.table({
+        "token": t["token"].combine_chunks().take(pa.array(start_idx)),
+        "df": pa.array(counts),
+        "doc_ids": pa.ListArray.from_arrays(off, _values("doc_id")),
+        "tfs": pa.ListArray.from_arrays(off, _values("tf")),
+        "dlens": pa.ListArray.from_arrays(off, _values("dlen")),
+    })
+
+
 def update_token_index(index_dir: str | Path, changes, update_id: str,
                        text_col_old: str = "old_text",
-                       text_col_new: str = "new_text") -> dict:
+                       text_col_new: str = "new_text",
+                       segment: bool = False) -> dict:
     """Incremental index maintenance from a CDC-style change set — the
     indexed analog of the lake's delta apply (`cdc/apply.py`): cost ∝
     buckets touched by the changed docs' old+new vocabulary, never corpus
@@ -315,17 +418,33 @@ def update_token_index(index_dir: str | Path, changes, update_id: str,
     are never opened. Idempotent per ``update_id``: bucket merges converge
     on re-run, and the meta delta (n_docs / total_len) is applied once.
 
+    ``segment=True`` is the LSM path — the scale default once windows are
+    frequent: instead of read-modify-writing every touched bucket (write
+    amplification ∝ bucket bytes; with a Zipfian vocabulary every window
+    touches every bucket), the window's delta rows land as per-bucket
+    SEGMENT files ``bucket=K.seg-<id>.parquet`` (cost ∝ delta only) that
+    reads fold latest-wins (`folded_bucket_rows`) until
+    :func:`compact_token_index` folds them into the base — byte-for-byte
+    the lake's base-fold + delta-file design, applied to postings.
+    Segments commit by appearing in the meta's ``segments`` list, so a
+    crashed update's partial files are invisible and a re-run converges.
+
     Refuses ``max_df`` indexes (a dropped stopword's postings are not
     reconstructible incrementally — rebuild instead)."""
+    import re
+
     from mex_extractors_ray.stages.dedup import _run_starts
 
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", update_id):
+        raise ValueError(f"update_id {update_id!r} must be filename-safe")
     index_dir = Path(index_dir)
     meta = load_index_meta(index_dir)
     if meta.get("max_df") is not None:
         raise ValueError(
             "update_token_index: index was built with max_df (dropped "
             "postings are not reconstructible incrementally) — rebuild")
-    if meta.get("last_update_id") == update_id:
+    if (meta.get("last_update_id") == update_id
+            or update_id in meta.get("segments", [])):
         return {"noop": True, "update_id": update_id}
     num_buckets, pattern = meta["num_buckets"], meta["pattern"]
 
@@ -348,74 +467,48 @@ def update_token_index(index_dir: str | Path, changes, update_id: str,
             "_kpart", shard_tags(assign_partitions(both["token"], num_buckets),
                                  num_buckets))
 
-    def rewrite(g: pa.Table) -> pa.Table:
+    def apply_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_kpart"])
         if g.num_rows == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "tokens": pa.array([], pa.int64()),
                              "postings": pa.array([], pa.int64())})
         bucket = int(assign_partitions(g["token"].slice(0, 1), num_buckets)[0])
+        if segment:
+            # LSM path: the delta alone, sorted, as a side segment file —
+            # no base read, write cost ∝ this window's pairs
+            spath = segment_path(index_dir, bucket, update_id)
+            if not spath.exists():
+                seg = g.sort_by([("token", "ascending"),
+                                 ("doc_id", "ascending"),
+                                 ("rank", "ascending")])
+                tmp = spath.with_suffix(".parquet.tmp")
+                pq.write_table(seg, tmp, row_group_size=_ROW_GROUP_ROWS)
+                os.replace(tmp, spath)
+            return pa.table({"bucket": [bucket], "tokens": [-1],
+                             "postings": [g.num_rows]})
         path = bucket_path(index_dir, bucket)
         parts = [g]
         if path.exists():
-            old = pq.read_table(path)
-            offs = np.asarray(old["doc_ids"].combine_chunks().offsets,
-                              dtype=np.int64)
-            lens = np.diff(offs)
-            idx = pa.array(np.repeat(np.arange(old.num_rows), lens))
-            keep = pa.table({
-                "token": old["token"].combine_chunks().take(idx),
-                "doc_id": old["doc_ids"].combine_chunks().flatten(),
-                "tf": old["tfs"].combine_chunks().flatten(),
-                "dlen": old["dlens"].combine_chunks().flatten(),
-            })
-            keep = keep.append_column(
-                "rank", pa.array(np.zeros(keep.num_rows, np.int8)))
-            parts.insert(0, keep)
-        allr = pa.concat_tables(parts, promote_options="default")
-        t = allr.sort_by([("token", "ascending"), ("doc_id", "ascending"),
-                          ("rank", "ascending")])
-        pair_start = (_run_starts(t["token"]) | _run_starts(t["doc_id"]))
-        starts = np.flatnonzero(pair_start)
-        last = np.append(starts[1:], t.num_rows) - 1      # run-last per pair
-        rank = np.asarray(t["rank"].combine_chunks(), dtype=np.int8)
-        emit = last[rank[last] != 1]                      # deletions vanish
-        t = t.take(pa.array(emit)).drop_columns(["rank"])
+            keep = _explode_postings(pq.read_table(path))
+            parts.insert(0, keep.append_column(
+                "rank", pa.array(np.zeros(keep.num_rows, np.int8))))
+        t = _fold_rows(parts)
         if t.num_rows == 0:
-            tmp = path.with_suffix(".parquet.tmp")
-            pq.write_table(pa.table({
+            out = pa.table({
                 "token": pa.array([], pa.string()),
                 "df": pa.array([], pa.int64()),
                 "doc_ids": pa.array([], pa.list_(g["doc_id"].type)),
                 "tfs": pa.array([], pa.list_(pa.int64())),
                 "dlens": pa.array([], pa.list_(pa.int64())),
-            }), tmp, row_group_size=_ROW_GROUP_ROWS)
-            os.replace(tmp, path)
-            return pa.table({"bucket": [bucket], "tokens": [0],
-                             "postings": [0]})
-        tok_start = _run_starts(t["token"])
-        start_idx = np.flatnonzero(tok_start)
-        counts = np.diff(np.append(start_idx, t.num_rows)).astype(np.int64)
-        off = pa.array(np.append(start_idx, t.num_rows), pa.int32())
-
-        def _values(col):
-            v = t[col].combine_chunks()
-            if isinstance(v, pa.ChunkedArray):
-                v = v.chunk(0) if v.num_chunks else pa.array([], t[col].type)
-            return v
-
-        out = pa.table({
-            "token": t["token"].combine_chunks().take(pa.array(start_idx)),
-            "df": pa.array(counts),
-            "doc_ids": pa.ListArray.from_arrays(off, _values("doc_id")),
-            "tfs": pa.ListArray.from_arrays(off, _values("tf")),
-            "dlens": pa.ListArray.from_arrays(off, _values("dlen")),
-        })
+            })
+        else:
+            out = _rows_to_postings(t)
         tmp = path.with_suffix(".parquet.tmp")
         pq.write_table(out, tmp, row_group_size=_ROW_GROUP_ROWS)
         os.replace(tmp, path)
         return pa.table({"bucket": [bucket], "tokens": [out.num_rows],
-                         "postings": [int(counts.sum())]})
+                         "postings": [int(pc.sum(out["df"]).as_py() or 0)]})
 
     # meta deltas (n_docs / total token length) — one tiny partial per batch
     def meta_delta(t: pa.Table) -> pa.Table:
@@ -447,18 +540,72 @@ def update_token_index(index_dir: str | Path, changes, update_id: str,
         grouped = tagged.groupby("_kpart", num_partitions=num_buckets)
     except TypeError:
         grouped = tagged.groupby("_kpart")
-    report = grouped.map_groups(rewrite, batch_format="pyarrow").take_all()
+    report = grouped.map_groups(apply_bucket, batch_format="pyarrow").take_all()
 
     meta = load_index_meta(index_dir)
     meta["n_docs"] = meta["n_docs"] + dd
     meta["total_len"] = meta["total_len"] + dl
     meta["last_update_id"] = update_id
+    if segment:
+        # the COMMIT: segments become visible only through this list
+        meta["segments"] = meta.get("segments", []) + [update_id]
     meta_tmp = index_dir / (META_NAME + ".tmp")
     meta_tmp.write_text(json.dumps(meta))
     os.replace(meta_tmp, index_dir / META_NAME)
-    return {"noop": False, "update_id": update_id,
+    return {"noop": False, "update_id": update_id, "segment": segment,
             "buckets_touched": len({r["bucket"] for r in report}),
             "n_docs_delta": dd, "total_len_delta": dl}
+
+
+def compact_token_index(index_dir: str | Path) -> dict:
+    """Fold every committed segment into the bucket bases and clear the
+    segment list — the index's ``compact_partition``. Idempotent: folding
+    is latest-wins per pair, so re-applying an already-folded segment is a
+    no-op and a crashed compaction converges on re-run; segment FILES are
+    unlinked only after the meta flip (orphans are invisible to readers).
+    Distributed one task per bucket."""
+    import ray.data
+
+    index_dir = Path(index_dir)
+    meta = load_index_meta(index_dir)
+    segs = meta.get("segments", [])
+    if not segs:
+        return {"noop": True, "buckets": 0}
+    buckets = sorted({
+        int(p.name.split("=")[1].split(".")[0])
+        for p in index_dir.glob("bucket=*.parquet")
+    } | {
+        int(p.name.split("=")[1].split(".")[0])
+        for p in index_dir.glob("bucket=*.seg-*.parquet")
+    })
+
+    def fold(batch: dict) -> pa.Table:
+        done = []
+        for b in batch["item"]:
+            b = int(b)
+            rows = folded_bucket_rows(index_dir, b, meta)
+            if rows is None:
+                continue
+            out = _rows_to_postings(rows)
+            path = bucket_path(index_dir, b)
+            tmp = path.with_suffix(".parquet.tmp")
+            pq.write_table(out, tmp, row_group_size=_ROW_GROUP_ROWS)
+            os.replace(tmp, path)
+            done.append(b)
+        return pa.table({"bucket": pa.array(done, pa.int64())})
+
+    folded = ray.data.from_items(buckets).map_batches(
+        fold, batch_size=1, batch_format="numpy").take_all()
+
+    meta = load_index_meta(index_dir)
+    meta["segments"] = []
+    meta_tmp = index_dir / (META_NAME + ".tmp")
+    meta_tmp.write_text(json.dumps(meta))
+    os.replace(meta_tmp, index_dir / META_NAME)
+    for uid in segs:                       # after the flip: orphans invisible
+        for b in buckets:
+            segment_path(index_dir, b, uid).unlink(missing_ok=True)
+    return {"noop": False, "buckets": len(folded), "segments_folded": len(segs)}
 
 
 def bm25_topk(index_dir: str | Path, terms: tuple[str, ...] | list[str],
@@ -503,11 +650,9 @@ def bm25_topk(index_dir: str | Path, terms: tuple[str, ...] | list[str],
     sc_chunks: list[np.ndarray] = []
     id_type = pa.int64()
     for bk, bterms in sorted(buckets.items()):
-        path = bucket_path(index_dir, bk)
-        if not path.exists():
+        t = _term_postings(index_dir, meta, bk, bterms)
+        if t is None:
             continue
-        t = pq.read_table(path, columns=["token", "df", "doc_ids", "tfs", "dlens"],
-                          filters=[("token", "in", bterms)])
         id_type = t["doc_ids"].type.value_type
         dfs = t["df"].to_pylist()
         docs_l = t["doc_ids"].combine_chunks()

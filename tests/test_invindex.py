@@ -269,6 +269,91 @@ def test_update_equals_rebuild(ray_session, tmp_path):
     assert invindex.load_index_meta(inc)["n_docs"] == len(v2)
 
 
+def test_segment_update_fold_and_compact(ray_session, tmp_path):
+    import random
+
+    import ray.data
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+    def txt():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+
+    v1 = dict((i, txt()) for i in range(40))
+
+    def window(cur, dels, upds, ins_base):
+        rows = ([(d, "delete", cur[d], None) for d in dels]
+                + [(d, "update", cur[d], txt()) for d in upds]
+                + [(ins_base + i, "insert", None, txt()) for i in range(5)])
+        nxt = {k: v for k, v in cur.items() if k not in set(dels)}
+        for d, op, _, new in rows:
+            if op != "delete":
+                nxt[d] = new
+        ch = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "old_text": pa.array([r[2] for r in rows], pa.string()),
+            "new_text": pa.array([r[3] for r in rows], pa.string()),
+        })).repartition(2)
+        return ch, nxt
+
+    inc = tmp_path / "inc"
+    invindex.build_token_index(_mk_ds(sorted(v1.items())), inc, num_buckets=4)
+    w1, v2 = window(v1, dels=[0, 1], upds=[5, 6, 7], ins_base=100)
+    w2, v3 = window(v2, dels=[5, 100], upds=[2, 101], ins_base=200)
+    r1 = invindex.update_token_index(inc, w1, update_id="w1", segment=True)
+    assert r1["segment"] and not r1["noop"]
+    r2 = invindex.update_token_index(inc, w2, update_id="w2", segment=True)
+    assert invindex.load_index_meta(inc)["segments"] == ["w1", "w2"]
+
+    full = tmp_path / "full"
+    invindex.build_token_index(_mk_ds(sorted(v3.items())), full, num_buckets=4)
+
+    # BEFORE compaction: read-path folding answers like the full rebuild
+    for terms, mode in [(("alpha",), "any"), (("beta", "gamma"), "all")]:
+        got = invindex.lookup_token_docs(inc, terms, mode=mode)
+        want = invindex.lookup_token_docs(full, terms, mode=mode)
+        assert got.equals(want), (terms, mode)
+    assert invindex.token_df(inc, tuple(vocab)).equals(
+        invindex.token_df(full, tuple(vocab)))
+    assert invindex.bm25_topk(inc, ("alpha", "zeta"), k=20).equals(
+        invindex.bm25_topk(full, ("alpha", "zeta"), k=20))
+
+    # an UNCOMMITTED segment file is invisible (crash discipline)
+    rogue = invindex.segment_path(inc, 0, "crashed")
+    pq.write_table(pq.read_table(invindex.segment_path(inc, 0, "w1"))
+                   if invindex.segment_path(inc, 0, "w1").exists()
+                   else pa.table({"token": pa.array(["alpha"]),
+                                  "doc_id": pa.array([999], pa.int64()),
+                                  "tf": pa.array([1], pa.int64()),
+                                  "dlen": pa.array([1], pa.int64()),
+                                  "rank": pa.array([2], pa.int8())}), rogue)
+    got = invindex.lookup_token_docs(inc, ("alpha",), mode="any")
+    assert got.equals(invindex.lookup_token_docs(full, ("alpha",), mode="any"))
+    rogue.unlink()
+
+    # compaction folds to byte-identical bases and clears segments
+    rep = invindex.compact_token_index(inc)
+    assert not rep["noop"] and rep["segments_folded"] == 2
+    assert invindex.load_index_meta(inc)["segments"] == []
+    assert not list(inc.glob("*.seg-*.parquet"))
+    for b in range(4):
+        pi, pf = invindex.bucket_path(inc, b), invindex.bucket_path(full, b)
+        if not pf.exists():
+            assert not pi.exists() or pq.read_table(pi).num_rows == 0
+            continue
+        assert pq.read_table(pi).equals(pq.read_table(pf)), f"bucket {b}"
+    mi, mf = invindex.load_index_meta(inc), invindex.load_index_meta(full)
+    assert (mi["n_docs"], mi["total_len"]) == (mf["n_docs"], mf["total_len"])
+    # second compact is a noop; queries unchanged post-compact
+    assert invindex.compact_token_index(inc)["noop"]
+    assert invindex.bm25_topk(inc, ("alpha", "zeta"), k=20).equals(
+        invindex.bm25_topk(full, ("alpha", "zeta"), k=20))
+    # a retried window id is a noop even after compaction cleared segments
+    assert invindex.update_token_index(inc, w2, update_id="w2")["noop"]
+
+
 def test_update_refuses_max_df_index(ray_session, tmp_path):
     import ray.data
 

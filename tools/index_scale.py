@@ -109,10 +109,26 @@ def main() -> None:
     rep = invindex.build_token_index(ds, inc, num_buckets=NUM_BUCKETS)
     build_s = time.time() - t0
 
+    seg = work / "seg"
+    shutil.copytree(inc, seg)
+
     t0 = time.time()
     urep = invindex.update_token_index(
         inc, ray.data.from_arrow(changes).repartition(8), update_id="w1")
     update_s = time.time() - t0
+
+    t0 = time.time()
+    invindex.update_token_index(
+        seg, ray.data.from_arrow(changes).repartition(8), update_id="w1",
+        segment=True)
+    seg_update_s = time.time() - t0
+    t0 = time.time()
+    probe = invindex.bm25_topk(seg, ("w17", "w4099", "w31337"), k=10)
+    seg_read_s = time.time() - t0
+    t0 = time.time()
+    invindex.compact_token_index(seg)
+    compact_s = time.time() - t0
+    assert invindex.bm25_topk(seg, ("w17", "w4099", "w31337"), k=10).equals(probe)
 
     # post-change corpus for the equivalence rebuild
     del_set = set(ids[del_idx].tolist()) | set(ids[upd_idx].tolist())
@@ -128,27 +144,32 @@ def main() -> None:
     rebuild_s = time.time() - t0
 
     same = True
-    for b in range(NUM_BUCKETS):
-        pi, pf = invindex.bucket_path(inc, b), invindex.bucket_path(full, b)
-        ti = pq.read_table(pi) if pi.exists() else None
-        tf = pq.read_table(pf) if pf.exists() else None
-        if tf is None:
-            same &= ti is None or ti.num_rows == 0
-        else:
-            same &= ti is not None and ti.equals(tf)
-    mi, mf = invindex.load_index_meta(inc), invindex.load_index_meta(full)
-    same &= (mi["n_docs"] == mf["n_docs"]
-             and mi["total_len"] == mf["total_len"])
+    for d in (inc, seg):
+        for b in range(NUM_BUCKETS):
+            pi, pf = invindex.bucket_path(d, b), invindex.bucket_path(full, b)
+            ti = pq.read_table(pi) if pi.exists() else None
+            tf = pq.read_table(pf) if pf.exists() else None
+            if tf is None:
+                same &= ti is None or ti.num_rows == 0
+            else:
+                same &= ti is not None and ti.equals(tf)
+        mi, mf = invindex.load_index_meta(d), invindex.load_index_meta(full)
+        same &= (mi["n_docs"] == mf["n_docs"]
+                 and mi["total_len"] == mf["total_len"])
 
     out = {
         "docs": n, "frac": frac, "num_buckets": NUM_BUCKETS,
         "num_cpus": NUM_CPUS,
         "postings": rep["postings"],
         "build_s": round(build_s, 2),
-        "update_s": round(update_s, 2),
+        "update_inplace_s": round(update_s, 2),
+        "update_segment_s": round(seg_update_s, 2),
+        "segment_read_s": round(seg_read_s, 3),
+        "compact_s": round(compact_s, 2),
         "rebuild_s": round(rebuild_s, 2),
         "buckets_touched": urep["buckets_touched"],
-        "update_vs_rebuild": round(update_s / rebuild_s, 3),
+        "inplace_vs_rebuild": round(update_s / rebuild_s, 3),
+        "segment_vs_rebuild": round(seg_update_s / rebuild_s, 3),
         "equivalent": bool(same),
     }
     Path("INDEX_SCALE_r4.json").write_text(json.dumps(out))
