@@ -3036,6 +3036,42 @@ def q_token_index_segmented(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+PHRASE = ("order", "fast")
+
+
+def q_token_phrase_lookup(sf_dir: str):
+    """PHRASE query over a positional index (``positions=True`` build +
+    ``invindex.phrase_lookup``): per-pair occurrence positions travel with
+    the postings, candidates = posting intersection, adjacency by
+    positional intersection walked left-to-right. The oracle is an exact
+    substring match on the single-space-tokenized corpus
+    (``' '||text||' ' LIKE '% order fast %'`` ⇔ consecutive tokens here —
+    the corpus has no repeated/leading/trailing spaces)."""
+    import shutil
+    import tempfile
+
+    from mex_extractors_ray.stages import invindex
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d = Path(tempfile.mkdtemp(prefix="phrase-index-", dir="/tmp"))
+    try:
+        invindex.build_token_index(docs, d, num_buckets=16, positions=True)
+        out = invindex.phrase_lookup(d, PHRASE)
+        res = out.to_pandas()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_PHRASE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+WHERE ' ' || COALESCE(text, '') || ' ' LIKE '% {" ".join(PHRASE)} %'
+ORDER BY doc_id
+"""
+
+
 _TOKEN_INDEX_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id
 FROM documents
@@ -3513,6 +3549,7 @@ _QUERY_FNS = {
         "token_index_lookup": q_token_index_lookup,
         "token_index_incremental": q_token_index_incremental,
         "token_index_segmented": q_token_index_segmented,
+        "token_phrase_lookup": q_token_phrase_lookup,
         "token_bm25_topk": q_token_bm25_topk,
         "docs_profile": q_docs_profile,
         "nchar_quantiles": q_nchar_quantiles,
@@ -4074,6 +4111,7 @@ GROUP BY b.bracket
         "token_index_lookup": _TOKEN_INDEX_SQL,
         "token_index_incremental": _TOKEN_INDEX_SQL,
         "token_index_segmented": _TOKEN_INDEX_SQL,
+        "token_phrase_lookup": _PHRASE_SQL,
         "token_bm25_topk": _BM25_SQL,
         "docs_profile": _docs_profile_oracle(),
         "nchar_quantiles": _nchar_quantiles_oracle(),

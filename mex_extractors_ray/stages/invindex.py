@@ -53,13 +53,16 @@ _ROW_GROUP_ROWS = 4096
 
 
 def _doc_token_stats(t: pa.Table, text_col: str, id_col: str,
-                     pattern: str) -> pa.Table:
-    """(token, doc_id, tf, dlen) rows for one batch — one per DISTINCT
-    (token, doc) pair (the map-side combiner: the shuffle ships each doc's
-    vocabulary once, never repeated occurrences), carrying the pair's term
-    frequency and the doc's total token count. A doc's text lives in one
-    row, so tf and dlen are complete within the batch — no cross-batch
-    merge needed. All Arrow/numpy kernels."""
+                     pattern: str, positions: bool = False) -> pa.Table:
+    """(token, doc_id, tf, dlen[, poss]) rows for one batch — one per
+    DISTINCT (token, doc) pair (the map-side combiner: the shuffle ships
+    each doc's vocabulary once, never repeated occurrences), carrying the
+    pair's term frequency and the doc's total token count. With
+    ``positions=True`` each pair also carries its 0-based occurrence
+    positions (over the kept tokens) as a list — phrase/proximity queries
+    need them; they make the shuffle occurrence-scale (inherent to
+    positional indexes). A doc's text lives in one row, so everything is
+    complete within the batch. All Arrow/numpy kernels."""
     words = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -75,18 +78,53 @@ def _doc_token_stats(t: pa.Table, text_col: str, id_col: str,
     r = rows[keep]
     dlen_per_row = (np.bincount(r, minlength=t.num_rows).astype(np.int64)
                     if t.num_rows else np.zeros(0, np.int64))
-    pairs = pa.table({
+    if not positions:
+        pairs = pa.table({
+            "token": flat.filter(pa.array(keep)),
+            "_row": pa.array(r),
+        })
+        g = pairs.group_by(["token", "_row"]).aggregate([("_row", "count")])
+        gr = np.asarray(g["_row"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "token": g["token"],
+            "doc_id": ids.take(pa.array(gr)),
+            "tf": g["_row_count"].combine_chunks().cast(pa.int64()),
+            "dlen": pa.array(dlen_per_row[gr] if len(gr) else
+                             np.zeros(0, np.int64)),
+        })
+    # positional path: 0-based position over the KEPT tokens, grouped into
+    # one list per (row, token) pair by a sort + run-boundary pass
+    run_first = np.zeros(len(r), dtype=np.int64)
+    if len(r):
+        starts = np.flatnonzero(np.diff(r, prepend=-1))
+        run_first = np.repeat(starts, np.diff(np.append(starts, len(r))))
+    pos = np.arange(len(r), dtype=np.int64) - run_first
+    occ = pa.table({
         "token": flat.filter(pa.array(keep)),
         "_row": pa.array(r),
-    })
-    g = pairs.group_by(["token", "_row"]).aggregate([("_row", "count")])
-    gr = np.asarray(g["_row"].combine_chunks(), dtype=np.int64)
+        "_pos": pa.array(pos.astype(np.int32)),
+    }).sort_by([("_row", "ascending"), ("token", "ascending"),
+                ("_pos", "ascending")])
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    pair_start = (_run_starts(occ["_row"]) | _run_starts(occ["token"]))
+    sidx = np.flatnonzero(pair_start)
+    n_occ = occ.num_rows
+    counts = np.diff(np.append(sidx, n_occ)).astype(np.int64)
+    off = pa.array(np.append(sidx, n_occ), pa.int32())
+    pos_vals = occ["_pos"].combine_chunks()
+    if isinstance(pos_vals, pa.ChunkedArray):
+        pos_vals = (pos_vals.chunk(0) if pos_vals.num_chunks
+                    else pa.array([], pa.int32()))
+    gr = np.asarray(occ["_row"].combine_chunks(), dtype=np.int64)[sidx] \
+        if n_occ else np.zeros(0, np.int64)
     return pa.table({
-        "token": g["token"],
+        "token": occ["token"].combine_chunks().take(pa.array(sidx)),
         "doc_id": ids.take(pa.array(gr)),
-        "tf": g["_row_count"].combine_chunks().cast(pa.int64()),
+        "tf": pa.array(counts),
         "dlen": pa.array(dlen_per_row[gr] if len(gr) else
                          np.zeros(0, np.int64)),
+        "poss": pa.ListArray.from_arrays(off, pos_vals),
     })
 
 
@@ -97,16 +135,18 @@ def bucket_path(index_dir: str | Path, bucket: int) -> Path:
 def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
                       id_col: str = "doc_id", num_buckets: int = 64,
                       pattern: str = " ", max_df: int | None = None,
-                      resume: bool = False) -> dict:
+                      resume: bool = False, positions: bool = False) -> dict:
     """Build the index; returns a build report (one row per bucket,
-    manifest-scale). ``resume=True`` skips already-written buckets."""
+    manifest-scale). ``resume=True`` skips already-written buckets.
+    ``positions=True`` stores per-pair occurrence positions (phrase /
+    proximity queries; occurrence-scale shuffle and index — opt-in)."""
     from mex_extractors_ray.stages.dedup import _run_starts
 
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
 
     def tag(t: pa.Table) -> pa.Table:
-        p = _doc_token_stats(t, text_col, id_col, pattern)
+        p = _doc_token_stats(t, text_col, id_col, pattern, positions=positions)
         return p.append_column(
             "_kpart", shard_tags(assign_partitions(p["token"], num_buckets),
                                  num_buckets))
@@ -126,33 +166,17 @@ def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
                              "postings": [-1], "skipped": [True],
                              "dropped": [[]]},
                             schema=_REPORT_SCHEMA)
+        # tf + dlen (+ positions) travel WITH the posting so ranked and
+        # phrase retrieval need nothing but the term-routed reads
         t = g.sort_by([("token", "ascending"), ("doc_id", "ascending")])
-        starts = _run_starts(t["token"])
-        start_idx = np.flatnonzero(starts)
-        counts = np.diff(np.append(start_idx, t.num_rows)).astype(np.int64)
-        tokens = t["token"].combine_chunks().take(pa.array(start_idx))
-        off = pa.array(np.append(start_idx, t.num_rows), pa.int32())
-
-        def _values(col):
-            v = t[col].combine_chunks()
-            if isinstance(v, pa.ChunkedArray):  # single chunk after combine
-                v = v.chunk(0) if v.num_chunks else pa.array([], t[col].type)
-            return v
-
-        out = pa.table({
-            "token": tokens, "df": pa.array(counts),
-            "doc_ids": pa.ListArray.from_arrays(off, _values("doc_id")),
-            # tf + dlen travel WITH the posting so a BM25 lookup scores
-            # candidates from the routed term reads alone (no second
-            # doc-length structure to fetch)
-            "tfs": pa.ListArray.from_arrays(off, _values("tf")),
-            "dlens": pa.ListArray.from_arrays(off, _values("dlen")),
-        })
+        out = _rows_to_postings(t)
+        counts = np.asarray(out["df"].combine_chunks(), dtype=np.int64)
         dropped: list[str] = []
         if max_df is not None:
             over = counts > max_df
             if over.any():
-                dropped = tokens.filter(pa.array(over)).to_pylist()
+                dropped = out["token"].combine_chunks().filter(
+                    pa.array(over)).to_pylist()
                 out = out.filter(pa.array(~over))
         tmp = path.with_suffix(".parquet.tmp")
         pq.write_table(out, tmp, row_group_size=_ROW_GROUP_ROWS)
@@ -190,6 +214,7 @@ def build_token_index(ds, index_dir: str | Path, text_col: str = "text",
     meta = {"num_buckets": num_buckets, "text_col": text_col,
             "id_col": id_col, "pattern": pattern, "max_df": max_df,
             "n_docs": n_docs, "total_len": total_len,
+            "positions": positions,
             # bounded by nature: only stopword-scale tokens exceed max_df
             "dropped_tokens": dropped_all[:4096],
             "dropped_token_count": len(dropped_all)}
@@ -307,18 +332,22 @@ def segment_path(index_dir: str | Path, bucket: int, update_id: str) -> Path:
     return Path(index_dir) / f"bucket={bucket:05d}.seg-{update_id}.parquet"
 
 
+_LIST_COLS = (("doc_ids", "doc_id"), ("tfs", "tf"), ("dlens", "dlen"),
+              ("poss", "poss"))
+
+
 def _explode_postings(t: pa.Table) -> pa.Table:
-    """List-format posting rows → flat (token, doc_id, tf, dlen) rows."""
+    """List-format posting rows → flat (token, doc_id, tf, dlen[, poss])
+    rows; ``poss`` (list<list<int32>>) flattens one level to list<int32>."""
     docs = t["doc_ids"].combine_chunks()
     offs = np.asarray(docs.offsets, dtype=np.int64)
     lens = np.diff(offs)
     idx = pa.array(np.repeat(np.arange(t.num_rows), lens))
-    return pa.table({
-        "token": t["token"].combine_chunks().take(idx),
-        "doc_id": docs.flatten(),
-        "tf": t["tfs"].combine_chunks().flatten(),
-        "dlen": t["dlens"].combine_chunks().flatten(),
-    })
+    cols = {"token": t["token"].combine_chunks().take(idx)}
+    for list_name, flat_name in _LIST_COLS:
+        if list_name in t.column_names:
+            cols[flat_name] = t[list_name].combine_chunks().flatten()
+    return pa.table(cols)
 
 
 def _fold_rows(parts: list[pa.Table]) -> pa.Table:
@@ -386,13 +415,14 @@ def _rows_to_postings(t: pa.Table) -> pa.Table:
             v = v.chunk(0) if v.num_chunks else pa.array([], t[col].type)
         return v
 
-    return pa.table({
+    cols = {
         "token": t["token"].combine_chunks().take(pa.array(start_idx)),
         "df": pa.array(counts),
-        "doc_ids": pa.ListArray.from_arrays(off, _values("doc_id")),
-        "tfs": pa.ListArray.from_arrays(off, _values("tf")),
-        "dlens": pa.ListArray.from_arrays(off, _values("dlen")),
-    })
+    }
+    for list_name, flat_name in _LIST_COLS:
+        if flat_name in t.column_names:
+            cols[list_name] = pa.ListArray.from_arrays(off, _values(flat_name))
+    return pa.table(cols)
 
 
 def update_token_index(index_dir: str | Path, changes, update_id: str,
@@ -447,6 +477,7 @@ def update_token_index(index_dir: str | Path, changes, update_id: str,
             or update_id in meta.get("segments", [])):
         return {"noop": True, "update_id": update_id}
     num_buckets, pattern = meta["num_buckets"], meta["pattern"]
+    with_pos = bool(meta.get("positions"))
 
     def delta(t: pa.Table) -> pa.Table:
         op = t["op"]
@@ -457,9 +488,9 @@ def update_token_index(index_dir: str | Path, changes, update_id: str,
         new = pc.if_else(is_del, pa.nulls(t.num_rows, pa.string()),
                          t[text_col_new])
         o = _doc_token_stats(pa.table({"doc_id": t["doc_id"], "text": old}),
-                             "text", "doc_id", pattern)
+                             "text", "doc_id", pattern, positions=with_pos)
         nw = _doc_token_stats(pa.table({"doc_id": t["doc_id"], "text": new}),
-                              "text", "doc_id", pattern)
+                              "text", "doc_id", pattern, positions=with_pos)
         o = o.append_column("rank", pa.array(np.ones(o.num_rows, np.int8)))
         nw = nw.append_column("rank", pa.array(np.full(nw.num_rows, 2, np.int8)))
         both = pa.concat_tables([o, nw])
@@ -606,6 +637,70 @@ def compact_token_index(index_dir: str | Path) -> dict:
         for b in buckets:
             segment_path(index_dir, b, uid).unlink(missing_ok=True)
     return {"noop": False, "buckets": len(folded), "segments_folded": len(segs)}
+
+
+def phrase_lookup(index_dir: str | Path,
+                  phrase: tuple[str, ...] | list[str]) -> pa.Table:
+    """doc_ids containing the exact token PHRASE (terms at consecutive
+    positions, in order) — requires a ``positions=True`` index. Routed
+    point reads of the phrase terms' postings (position lists travel with
+    the posting); candidate docs = the terms' posting intersection, then
+    adjacency by positional intersection walked left-to-right (cost ∝ the
+    rarest term's postings — candidates shrink monotonically). Works
+    through committed segments via the same latest-wins fold as every
+    other reader."""
+    phrase = list(phrase)
+    if len(phrase) < 2:
+        raise ValueError("phrase_lookup: need at least 2 terms (use "
+                         "lookup_token_docs for single terms)")
+    meta = load_index_meta(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            f"index at {index_dir} was built without positions=True; "
+            "rebuild with positions to run phrase queries")
+    dropped = set(meta.get("dropped_tokens", []))
+    hit = dropped.intersection(phrase)
+    if hit:
+        raise ValueError(
+            f"terms {sorted(hit)} were dropped at build time (df > "
+            f"{meta['max_df']}); rebuild without max_df to index them")
+    uniq = list(dict.fromkeys(phrase))
+    buckets: dict[int, list[str]] = {}
+    parts = assign_partitions(pa.array(uniq, pa.string()),
+                              meta["num_buckets"])
+    for term, bk in zip(uniq, parts):
+        buckets.setdefault(int(bk), []).append(term)
+    pos: dict[str, dict] = {}
+    id_type = pa.int64()
+    for bk, bterms in sorted(buckets.items()):
+        t = _term_postings(index_dir, meta, bk, bterms)
+        if t is None:
+            continue
+        id_type = t["doc_ids"].type.value_type
+        docs_l = t["doc_ids"].combine_chunks()
+        poss_l = t["poss"].combine_chunks()
+        for i, tok in enumerate(t["token"].to_pylist()):
+            docs = docs_l[i].values.to_numpy(zero_copy_only=False)
+            plists = poss_l[i]
+            pos[tok] = {
+                int(d): np.asarray(plists[j].as_py(), dtype=np.int64)
+                for j, d in enumerate(docs)
+            }
+    if any(tok not in pos for tok in uniq):
+        return pa.table({"doc_id": pa.array([], id_type)})
+    # candidates: intersect doc sets smallest-first
+    doc_sets = sorted((set(pos[tok]) for tok in uniq), key=len)
+    cands = sorted(set.intersection(*doc_sets))
+    out = []
+    for d in cands:
+        cur = pos[phrase[0]][d]
+        for tok in phrase[1:]:
+            cur = np.intersect1d(cur + 1, pos[tok][d])
+            if not len(cur):
+                break
+        else:
+            out.append(d)
+    return pa.table({"doc_id": pa.array(out, pa.int64()).cast(id_type)})
 
 
 def bm25_topk(index_dir: str | Path, terms: tuple[str, ...] | list[str],

@@ -354,6 +354,70 @@ def test_segment_update_fold_and_compact(ray_session, tmp_path):
     assert invindex.update_token_index(inc, w2, update_id="w2")["noop"]
 
 
+def test_phrase_lookup_positbrute(ray_session, tmp_path):
+    d = tmp_path / "pidx"
+    invindex.build_token_index(_corpus_ds(ray_session), d, num_buckets=4,
+                               positions=True)
+
+    def brute(phrase):
+        out = []
+        for did, txt in DOCS:
+            toks = [w for w in (txt or "").split(" ") if w]
+            if any(toks[i:i + len(phrase)] == list(phrase)
+                   for i in range(len(toks))):
+                out.append(did)
+        return out
+
+    for phrase in [("beta", "gamma"), ("gamma", "delta"),
+                   ("beta", "gamma", "delta"), ("alpha", "alpha"),
+                   ("gamma", "beta"), ("alpha", "epsilon")]:
+        got = invindex.phrase_lookup(d, phrase)["doc_id"].to_pylist()
+        assert sorted(got) == brute(phrase), phrase
+    # validation
+    with pytest.raises(ValueError, match="at least 2"):
+        invindex.phrase_lookup(d, ("beta",))
+    # positionless index refuses
+    d2 = tmp_path / "noidx"
+    invindex.build_token_index(_corpus_ds(ray_session), d2, num_buckets=4)
+    with pytest.raises(ValueError, match="positions"):
+        invindex.phrase_lookup(d2, ("beta", "gamma"))
+
+
+def test_positional_segment_update_phrases(ray_session, tmp_path):
+    import ray.data
+
+    d = tmp_path / "pidx"
+    invindex.build_token_index(_corpus_ds(ray_session), d, num_buckets=4,
+                               positions=True)
+    changes = ray.data.from_items([
+        {"doc_id": 50, "op": "insert", "old_text": None,
+         "new_text": "beta gamma delta beta gamma"},
+        {"doc_id": 1, "op": "update", "old_text": "beta gamma delta",
+         "new_text": "delta gamma beta"},
+    ])
+    invindex.update_token_index(d, changes, update_id="w1", segment=True)
+    # doc 1 no longer matches 'beta gamma'; doc 50 does (twice)
+    got = sorted(invindex.phrase_lookup(d, ("beta", "gamma"))["doc_id"].to_pylist())
+    assert got == [0, 50]
+    assert invindex.phrase_lookup(d, ("delta", "gamma", "beta"))[
+        "doc_id"].to_pylist() == [1]
+    # post-compaction answers are identical
+    invindex.compact_token_index(d)
+    assert sorted(invindex.phrase_lookup(d, ("beta", "gamma"))[
+        "doc_id"].to_pylist()) == [0, 50]
+    # positional update equals a positional rebuild over the final corpus
+    full = tmp_path / "full"
+    v2 = {did: txt for did, txt in DOCS}
+    v2[50] = "beta gamma delta beta gamma"
+    v2[1] = "delta gamma beta"
+    invindex.build_token_index(_mk_ds(sorted(v2.items())), full,
+                               num_buckets=4, positions=True)
+    for b in range(4):
+        pi, pf = invindex.bucket_path(d, b), invindex.bucket_path(full, b)
+        if pf.exists():
+            assert pq.read_table(pi).equals(pq.read_table(pf)), f"bucket {b}"
+
+
 def test_update_refuses_max_df_index(ray_session, tmp_path):
     import ray.data
 
