@@ -2185,6 +2185,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_daily_active_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) at scale
+    (``aggregates.grouped_distinct_count``): per-batch distinct
+    (day, user) pairs → ONE pair-hash shuffle (all copies of a pair in
+    one block ⇒ block dedup is global) → per-key partial counts →
+    keyed_sums finalize. No per-key value-set materialization, no k to
+    size (contrast the KMV entry `distinct_users_per_type`)."""
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                         "user_id": b["user_id"]})
+
+    return aggregates.grouped_distinct_count(
+        ev.map_batches(add_day, batch_format="pyarrow"), "day", "user_id",
+        out_col="n_users")
+
+
+_DAU_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_doc_concentration(sf_dir: str):
+    """Simpson token-concentration quality signal (``text.
+    token_concentration``): exact-integer (1e6·Σtf²)//dlen² per doc —
+    the rational cousin of entropy (no log ⇒ bit-exact SQL mirror via
+    BIGINT floor division). One vectorized pass, no shuffle."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.token_concentration(docs)
+
+
+_DOC_CONC_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                                      x -> x <> '') AS ts
+           FROM documents),
+occ AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM occ GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2,
+               CAST(SUM(tf) AS BIGINT) AS dlen
+        FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST((1000000 * s2) // (dlen * dlen) AS BIGINT) AS conc_c6
+FROM agg WHERE dlen > 0
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """TF-IDF top-3 terms per document, integer 'ppm' scoring
     (tf·1e6 // df — order-equivalent to tf·idf for monotone idf, exact
@@ -3570,6 +3619,8 @@ _QUERY_FNS = {
         "cdc_transform_view": q_cdc_transform_view,
         "cdc_incremental_export": q_cdc_incremental_export,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "daily_active_users": q_daily_active_users,
+        "doc_concentration": q_doc_concentration,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
         "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -4138,6 +4189,8 @@ GROUP BY b.bracket
             f"AS tok_bucket, last_lsn, tok_sum FROM ({_CDC_FINAL_SQL})",
         "cdc_incremental_export": _CDC_FINAL_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
+        "daily_active_users": _DAU_SQL,
+        "doc_concentration": _DOC_CONC_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
         "cdc_live_counts_mv": _CDC_RANKED_SQL + """
 SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,

@@ -19,6 +19,50 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def grouped_distinct_count(ds, key: str, value: str,
+                           out_col: str = "n_distinct",
+                           num_partitions: int = 64):
+    """Exact ``COUNT(DISTINCT value) GROUP BY key`` at scale: per-batch
+    distinct (key, value) pairs (the map-side combiner — the shuffle ships
+    each batch's pair vocabulary once), ONE coarse hash shuffle on the
+    PAIR (all copies of a pair land in one block, so the block-level
+    dedup is global), run-boundary per-key partial counts per block, then
+    a tiny ``keyed_sums`` over O(partitions · keys) partial rows. Null
+    values are excluded (SQL semantics); null keys form their own group.
+    No per-key value-set materialization (contrast
+    ``collect_distinct_sorted``, which returns the sets themselves)."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def pairs(t: pa.Table) -> pa.Table:
+        p = pa.table({key: t[key], value: t[value]})
+        p = p.filter(pc.is_valid(p[value]))
+        p = p.group_by([key, value]).aggregate([])
+        pair = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(p[key], pa.string()), "\x00N"),
+            pc.cast(p[value], pa.string()), "\x00")
+        return p.append_column("_pair", pair)
+
+    def block(g: pa.Table) -> pa.Table:
+        kt = g[key].type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             out_col: pa.array([], pa.int64())})
+        t = g.sort_by([("_pair", "ascending")])
+        u = t.filter(pa.array(_run_starts(t["_pair"])))  # global pair dedup
+        u = u.sort_by([(key, "ascending")])
+        idx = np.flatnonzero(_run_starts(u[key]))
+        counts = np.diff(np.append(idx, u.num_rows)).astype(np.int64)
+        return pa.table({
+            key: u[key].combine_chunks().take(pa.array(idx)),
+            out_col: pa.array(counts),
+        })
+
+    partials = _keyed_blocks(ds.map_batches(pairs, batch_format="pyarrow"),
+                             "_pair", block, num_partitions)
+    return keyed_sums(partials, [key], [out_col],
+                      num_partitions=min(num_partitions, 16))
+
+
 def partial_sum_count(keys: list[str], value_cols: list[str]):
     """Combiner for mean/sum aggregates: per-batch groupby emitting partial
     sums + counts; finalize with groupby(keys).aggregate(Sum(...)) over the

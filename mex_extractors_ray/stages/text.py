@@ -701,3 +701,44 @@ SELECT {id_col}, word, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM scored WHERE rank <= {m}
 """
+
+
+def token_concentration(ds, text_col: str = "text", id_col: str = "doc_id",
+                        out_col: str = "conc_c6"):
+    """Simpson token-concentration per doc — a repetition/quality signal
+    for training-data gating: conc = Σ_t tf² / dlen² in [1/dlen, 1]
+    (1 = one token repeated, 1/dlen = all distinct), emitted as the EXACT
+    integer ``(1_000_000 · Σtf²) // dlen²`` so the SQL oracle's BIGINT
+    floor-division matches bit-for-bit (no float anywhere — the rational
+    cousin of entropy, which would need a log and lose oracle parity).
+    Empty/null docs are dropped (dlen = 0 has no concentration). One
+    vectorized pass per batch, no shuffle."""
+    import pyarrow.compute as _pc
+
+    def batch(t: pa.Table) -> pa.Table:
+        words = _pc.split_pattern(_pc.fill_null(t[text_col], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        rows = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                         np.diff(offsets))
+        keep = np.asarray(_pc.greater(_pc.utf8_length(flat), 0)
+                          .to_numpy(zero_copy_only=False), dtype=bool)
+        r = rows[keep]
+        n = t.num_rows
+        occ = pa.table({"_row": pa.array(r), "token": flat.filter(pa.array(keep))})
+        g = occ.group_by(["_row", "token"]).aggregate([("token", "count")])
+        gr = np.asarray(g["_row"].combine_chunks(), dtype=np.int64)
+        tf = np.asarray(g["token_count"].combine_chunks(), dtype=np.int64)
+        s2 = np.zeros(n, dtype=np.int64)
+        np.add.at(s2, gr, tf * tf)
+        dlen = np.bincount(r, minlength=n).astype(np.int64)
+        mask = dlen > 0
+        conc = (1_000_000 * s2[mask]) // (dlen[mask] * dlen[mask])
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        return pa.table({id_col: ids.filter(pa.array(mask)),
+                         out_col: pa.array(conc)})
+
+    return ds.map_batches(batch, batch_format="pyarrow")
