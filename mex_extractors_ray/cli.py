@@ -368,6 +368,50 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build / maintain / query the persisted inverted token index."""
+    from mex_extractors_ray.stages import invindex
+
+    if args.action == "build":
+        ray = _ray()
+        from mex_extractors_ray.runtime import read_parquet_clean
+
+        docs = read_parquet_clean(args.docs, columns=[args.id_col, args.text_col])
+        rep = invindex.build_token_index(
+            docs, args.index, text_col=args.text_col, id_col=args.id_col,
+            num_buckets=args.buckets, max_df=args.max_df,
+            resume=args.resume, positions=args.positions)
+        print(json.dumps(rep))
+        ray.shutdown()
+    elif args.action == "update":
+        ray = _ray()
+        from mex_extractors_ray.runtime import read_parquet_clean
+
+        changes = read_parquet_clean(args.changes)
+        rep = invindex.update_token_index(
+            args.index, changes, update_id=args.update_id,
+            segment=args.segment)
+        print(json.dumps(rep))
+        ray.shutdown()
+    elif args.action == "compact":
+        ray = _ray()
+        print(json.dumps(invindex.compact_token_index(args.index)))
+        ray.shutdown()
+    elif args.action == "search":      # no Ray: routed point reads
+        if args.bm25:
+            t = invindex.bm25_topk(args.index, args.terms, k=args.k)
+        elif args.phrase:
+            t = invindex.phrase_lookup(args.index, args.terms)
+        else:
+            t = invindex.lookup_token_docs(args.index, args.terms,
+                                           mode=args.mode)
+        print(json.dumps({"rows": t.num_rows,
+                          "result": t.to_pylist()[:args.k]}))
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown index action {args.action!r}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mex_extractors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -546,6 +590,31 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--lake", required=True)
     rp.add_argument("-p", "--partitions", type=int, required=True)
     rp.set_defaults(fn=cmd_repartition)
+
+    ix = sub.add_parser(
+        "index", help="inverted token index: build/update/compact/search")
+    ix.add_argument("action",
+                    choices=["build", "update", "compact", "search"])
+    ix.add_argument("--index", required=True, help="index directory")
+    ix.add_argument("--docs", help="corpus parquet (build)")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--buckets", type=int, default=64)
+    ix.add_argument("--max-df", type=int, default=None)
+    ix.add_argument("--resume", action="store_true")
+    ix.add_argument("--positions", action="store_true",
+                    help="store occurrence positions (phrase queries)")
+    ix.add_argument("--changes",
+                    help="change-set parquet (doc_id, op, old_text, new_text)")
+    ix.add_argument("--update-id", help="idempotency token for update")
+    ix.add_argument("--segment", action="store_true",
+                    help="update as an LSM segment (write cost ∝ delta)")
+    ix.add_argument("--terms", nargs="+", help="query terms (search)")
+    ix.add_argument("--mode", choices=["all", "any"], default="all")
+    ix.add_argument("--bm25", action="store_true")
+    ix.add_argument("--phrase", action="store_true")
+    ix.add_argument("-k", type=int, default=10)
+    ix.set_defaults(fn=cmd_index)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -2234,6 +2234,37 @@ FROM agg WHERE dlen > 0
 """
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top-30 bigrams by exact-integer PMI
+    (``text.bigram_pmi_topk`` — (1e6·N·c_xy)//(c_x·c_y), no log so the
+    BIGINT oracle matches bit-for-bit). ONE exchange for all three count
+    streams; vocabulary-bounded unigram broadcast; min_count=5."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return text.bigram_pmi_topk(docs, min_count=5, k=30)
+
+
+_BIGRAM_PMI_SQL = """
+WITH t AS (SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+                              x -> x <> '') AS w FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || chr(1) || w[i+1])) AS b
+       FROM t),
+bc AS (SELECT string_split(b, chr(1))[1] AS x, string_split(b, chr(1))[2] AS y,
+              CAST(COUNT(*) AS BIGINT) AS n_xy
+       FROM bg GROUP BY b),
+oc AS (SELECT unnest(w) AS tok FROM t),
+uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM oc GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM oc)
+SELECT x, y, n_xy,
+       CAST((1000000 * n.total * n_xy) // (ux.c * uy.c) AS BIGINT) AS pmi_c6
+FROM bc CROSS JOIN n
+JOIN uc ux ON bc.x = ux.tok
+JOIN uc uy ON bc.y = uy.tok
+WHERE n_xy >= 5
+ORDER BY pmi_c6 DESC, x, y LIMIT 30
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """TF-IDF top-3 terms per document, integer 'ppm' scoring
     (tf·1e6 // df — order-equivalent to tf·idf for monotone idf, exact
@@ -3621,6 +3652,7 @@ _QUERY_FNS = {
         "distinct_users_per_type": q_distinct_users_per_type,
         "daily_active_users": q_daily_active_users,
         "doc_concentration": q_doc_concentration,
+        "bigram_pmi": q_bigram_pmi,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
         "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -4191,6 +4223,7 @@ GROUP BY b.bracket
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
         "daily_active_users": _DAU_SQL,
         "doc_concentration": _DOC_CONC_SQL,
+        "bigram_pmi": _BIGRAM_PMI_SQL,
         "tfidf_top_terms": text.tfidf_sql(m=3),
         "cdc_live_counts_mv": _CDC_RANKED_SQL + """
 SELECT 'src' || CAST(user_id % 6 AS VARCHAR) AS source,

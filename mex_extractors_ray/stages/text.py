@@ -742,3 +742,92 @@ def token_concentration(ds, text_col: str = "text", id_col: str = "doc_id",
                          out_col: pa.array(conc)})
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def bigram_pmi_topk(ds, text_col: str = "text", min_count: int = 5,
+                    k: int = 30, num_partitions: int = 32):
+    """Top-k collocations by pointwise mutual information, exact-integer:
+    ``pmi_c6 = (1e6 · N · c_xy) // (c_x · c_y)`` (the monotone exp-PMI —
+    no log, so the SQL oracle's BIGINT arithmetic matches bit-for-bit;
+    see ``bm25_topk`` for the float-parity rationale). Bigrams are
+    adjacent KEPT tokens within a doc.
+
+    Scale shape: ONE exchange — the per-batch combiner emits bigram,
+    unigram and total counts as one keyed stream (kind ∈ b/u/n), summed
+    by ``keyed_sums``; unigram counts are vocabulary-bounded and
+    broadcast into the vectorized PMI map (the TF-IDF df discipline);
+    the final sort is over count-filtered bigrams only. Raises if the
+    integer products could exceed int64 (N·c_xy·1e6 < 2^62) — rescale
+    per shard beyond that."""
+    import pyarrow.compute as _pc
+
+    from mex_extractors_ray.stages.aggregates import keyed_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = _pc.split_pattern(_pc.fill_null(t[text_col], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        rows = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                         np.diff(offsets))
+        keep = np.asarray(_pc.greater(_pc.utf8_length(flat), 0)
+                          .to_numpy(zero_copy_only=False), dtype=bool)
+        kept_idx = np.flatnonzero(keep)
+        r = rows[keep]
+        adj = r[1:] == r[:-1] if len(r) else np.zeros(0, bool)
+        xi, yi = kept_idx[:-1][adj], kept_idx[1:][adj]
+        bg = pa.table({
+            "x": flat.take(pa.array(xi)), "y": flat.take(pa.array(yi)),
+        }).group_by(["x", "y"]).aggregate([("y", "count")])
+        un = pa.table({"w": flat.take(pa.array(kept_idx))}).group_by(
+            ["w"]).aggregate([("w", "count")])
+        n_b, n_u = bg.num_rows, un.num_rows
+        return pa.table({
+            "kind": pa.array(["b"] * n_b + ["u"] * n_u + ["n"]),
+            "x": pa.concat_arrays([bg["x"].combine_chunks(),
+                                   un["w"].combine_chunks(),
+                                   pa.array([""], pa.string())]),
+            "y": pa.concat_arrays([bg["y"].combine_chunks(),
+                                   pa.array([""] * (n_u + 1), pa.string())]),
+            "c": pa.concat_arrays([
+                bg["y_count"].combine_chunks().cast(pa.int64()),
+                un["w_count"].combine_chunks().cast(pa.int64()),
+                pa.array([int(len(kept_idx))], pa.int64())]),
+        })
+
+    agg = keyed_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["kind", "x", "y"], ["c"],
+                     num_partitions=num_partitions)
+    # unigrams + N: vocabulary-bounded driver state (the TF-IDF broadcast
+    # discipline); bigrams stay distributed for the PMI map + top-k sort
+    small = agg.filter(expr="kind != 'b'").take_all()
+    total = sum(r["c"] for r in small if r["kind"] == "n")
+    uni = sorted((r["x"], r["c"]) for r in small if r["kind"] == "u")
+    vocab = np.array([w for w, _ in uni], dtype=object)
+    counts = np.array([c for _, c in uni], dtype=np.int64)
+    if total and 1_000_000 * total >= (1 << 62) // max(1, int(counts.max())):
+        raise ValueError("bigram_pmi_topk: int64 PMI products would "
+                         "overflow at this corpus size; compute per shard")
+
+    def pmi(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.greater_equal(t["c"], min_count))
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64()),
+                             "pmi_c6": pa.array([], pa.int64())})
+        xs = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        ys = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        c_xy = np.asarray(t["c"].combine_chunks(), dtype=np.int64)
+        c_x = counts[np.searchsorted(vocab, xs)]
+        c_y = counts[np.searchsorted(vocab, ys)]
+        pmi_c6 = (1_000_000 * total * c_xy) // (c_x * c_y)
+        return pa.table({"x": t["x"], "y": t["y"],
+                         "n_xy": pa.array(c_xy),
+                         "pmi_c6": pa.array(pmi_c6)})
+
+    scored = agg.filter(expr="kind == 'b'").map_batches(
+        pmi, batch_format="pyarrow")
+    return scored.sort(["pmi_c6", "x", "y"],
+                       descending=[True, False, False]).limit(k)
