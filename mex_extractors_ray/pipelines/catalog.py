@@ -3152,6 +3152,43 @@ ORDER BY doc_id
 """
 
 
+def q_token_proximity_lookup(sf_dir: str):
+    """WITHIN-k proximity query over the positional index
+    (``invindex.proximity_lookup``): docs where 'order' and 'fast' occur
+    within 3 token positions (either order); the per-candidate check is
+    one searchsorted nearest-distance probe. Oracle: positional list
+    algebra in DuckDB over the same tokenization."""
+    import shutil
+    import tempfile
+
+    from mex_extractors_ray.stages import invindex
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d = Path(tempfile.mkdtemp(prefix="prox-index-", dir="/tmp"))
+    try:
+        invindex.build_token_index(docs, d, num_buckets=16, positions=True)
+        out = invindex.proximity_lookup(d, "order", "fast", 3)
+        res = out.to_pandas()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_PROXIMITY_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                                      x -> x <> '') AS w FROM documents),
+p AS (SELECT doc_id,
+             list_filter(range(1, len(w) + 1), i -> w[i] = 'order') AS pa,
+             list_filter(range(1, len(w) + 1), i -> w[i] = 'fast') AS pb
+      FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM p
+WHERE len(list_filter(pa,
+          a -> len(list_filter(pb, b -> abs(a - b) <= 3)) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
 _TOKEN_INDEX_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id
 FROM documents
@@ -3630,6 +3667,7 @@ _QUERY_FNS = {
         "token_index_incremental": q_token_index_incremental,
         "token_index_segmented": q_token_index_segmented,
         "token_phrase_lookup": q_token_phrase_lookup,
+        "token_proximity_lookup": q_token_proximity_lookup,
         "token_bm25_topk": q_token_bm25_topk,
         "docs_profile": q_docs_profile,
         "nchar_quantiles": q_nchar_quantiles,
@@ -4195,6 +4233,7 @@ GROUP BY b.bracket
         "token_index_incremental": _TOKEN_INDEX_SQL,
         "token_index_segmented": _TOKEN_INDEX_SQL,
         "token_phrase_lookup": _PHRASE_SQL,
+        "token_proximity_lookup": _PROXIMITY_SQL,
         "token_bm25_topk": _BM25_SQL,
         "docs_profile": _docs_profile_oracle(),
         "nchar_quantiles": _nchar_quantiles_oracle(),

@@ -703,6 +703,65 @@ def phrase_lookup(index_dir: str | Path,
     return pa.table({"doc_id": pa.array(out, pa.int64()).cast(id_type)})
 
 
+def proximity_lookup(index_dir: str | Path, term_a: str, term_b: str,
+                     max_dist: int) -> pa.Table:
+    """doc_ids where ``term_a`` and ``term_b`` occur within ``max_dist``
+    token positions of each other (either order) — the WITHIN-k operator.
+    Same routed-read + positional machinery as :func:`phrase_lookup`;
+    the per-candidate check is a sorted-merge nearest-distance probe
+    (searchsorted), cost ∝ the rarer term's postings."""
+    if max_dist < 1:
+        raise ValueError("proximity_lookup: max_dist must be >= 1")
+    meta = load_index_meta(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            f"index at {index_dir} was built without positions=True; "
+            "rebuild with positions to run proximity queries")
+    uniq = list(dict.fromkeys([term_a, term_b]))
+    buckets: dict[int, list[str]] = {}
+    parts = assign_partitions(pa.array(uniq, pa.string()), meta["num_buckets"])
+    for term, bk in zip(uniq, parts):
+        buckets.setdefault(int(bk), []).append(term)
+    pos: dict[str, dict] = {}
+    id_type = pa.int64()
+    for bk, bterms in sorted(buckets.items()):
+        t = _term_postings(index_dir, meta, bk, bterms)
+        if t is None:
+            continue
+        id_type = t["doc_ids"].type.value_type
+        docs_l = t["doc_ids"].combine_chunks()
+        poss_l = t["poss"].combine_chunks()
+        for i, tok in enumerate(t["token"].to_pylist()):
+            docs = docs_l[i].values.to_numpy(zero_copy_only=False)
+            plists = poss_l[i]
+            pos[tok] = {
+                int(d): np.asarray(plists[j].as_py(), dtype=np.int64)
+                for j, d in enumerate(docs)
+            }
+    if term_a not in pos or term_b not in pos:
+        return pa.table({"doc_id": pa.array([], id_type)})
+    if term_a == term_b:
+        # same term: needs two occurrences within max_dist — adjacent
+        # sorted positions give the minimum gap
+        out = [d for d, p in pos[term_a].items()
+               if len(p) > 1 and int(np.min(np.diff(p))) <= max_dist]
+        return pa.table({"doc_id": pa.array(sorted(out), pa.int64()).cast(id_type)})
+    pa_, pb_ = pos[term_a], pos[term_b]
+    cands = sorted(set(pa_) & set(pb_))
+    out = []
+    for d in cands:
+        p1, p2 = pa_[d], pb_[d]
+        # nearest p2 around each p1 via one searchsorted pass
+        j = np.searchsorted(p2, p1)
+        left = np.where(j > 0, np.abs(p1 - p2[np.maximum(j - 1, 0)]),
+                        np.iinfo(np.int64).max)
+        right = np.where(j < len(p2), np.abs(p2[np.minimum(j, len(p2) - 1)] - p1),
+                         np.iinfo(np.int64).max)
+        if int(np.minimum(left, right).min()) <= max_dist:
+            out.append(d)
+    return pa.table({"doc_id": pa.array(out, pa.int64()).cast(id_type)})
+
+
 def bm25_topk(index_dir: str | Path, terms: tuple[str, ...] | list[str],
               k: int = 10, k1: float = 1.25, b: float = 0.75) -> pa.Table:
     """BM25-ranked top-k docs for a multi-term query, served ENTIRELY from

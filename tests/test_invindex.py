@@ -418,6 +418,35 @@ def test_positional_segment_update_phrases(ray_session, tmp_path):
             assert pq.read_table(pi).equals(pq.read_table(pf)), f"bucket {b}"
 
 
+def test_proximity_lookup_brute(ray_session, tmp_path):
+    d = tmp_path / "pidx"
+    invindex.build_token_index(_corpus_ds(ray_session), d, num_buckets=4,
+                               positions=True)
+
+    def brute(a, b, k):
+        out = []
+        for did, txt in DOCS:
+            toks = [w for w in (txt or "").split(" ") if w]
+            pa_ = [i for i, w in enumerate(toks) if w == a]
+            pb_ = [i for i, w in enumerate(toks) if w == b]
+            if a == b:
+                ok = any(abs(x - y) <= k for i, x in enumerate(pa_)
+                         for y in pa_[i + 1:])
+            else:
+                ok = any(abs(x - y) <= k for x in pa_ for y in pb_)
+            if ok:
+                out.append(did)
+        return out
+
+    for a, b, k in [("alpha", "gamma", 2), ("alpha", "gamma", 1),
+                    ("beta", "zeta", 1), ("alpha", "alpha", 1),
+                    ("alpha", "epsilon", 5), ("nosuch", "beta", 3)]:
+        got = sorted(invindex.proximity_lookup(d, a, b, k)["doc_id"].to_pylist())
+        assert got == brute(a, b, k), (a, b, k)
+    with pytest.raises(ValueError, match="max_dist"):
+        invindex.proximity_lookup(d, "a", "b", 0)
+
+
 def test_update_refuses_max_df_index(ray_session, tmp_path):
     import ray.data
 
