@@ -244,6 +244,12 @@ def resolve_and_partition(
         batch = (_combine_patch_batch(batch, data_cols) if prereduce
                  else _annotate_patch_rows(batch, data_cols))
         prereduce = False  # the generic last-wins combiner must not run
+    if mode == "append":
+        # every update row CONTRIBUTES to the append fold — the last-wins
+        # combiner would drop contributions. Ship all events; a
+        # (prefix, has-reset, suffix) monoid combiner is possible if the
+        # shuffle ever dominates this mode.
+        prereduce = False
     # ONE doc_id hash serves both the combiner sort key and the partition
     # assignment. Sorting by (_h, doc_id, lsn) keeps equal doc_ids adjacent
     # (exactness does NOT depend on hash collisions — the boundary mask
@@ -465,6 +471,96 @@ def _patch_winners(fresh: pa.Table, pdir: Path, old_files: list[str],
             pieces.append(_annotate_patch_rows(base, data_cols).select(sel))
     combined = pa.concat_tables(pieces, promote_options="permissive")
     return _fold_patches(combined, data_cols)
+
+
+def _append_winners(fresh: pa.Table, pdir: Path, old_files: list[str],
+                    registry: SchemaRegistry, old_tomb_ids: pa.Table,
+                    lake_cols: list[str]) -> pa.Table:
+    """Winners for the ``append`` apply mode — sequence-building CDC (the
+    SummingMergeTree / append-log analog a token-sequence lake wants:
+    conversation turns, streaming transcripts): per doc in LSN order,
+    ``insert`` RESETS the payload, ``update`` APPENDS (list columns
+    concatenate in LSN order, integer columns add, other columns
+    last-wins; an update with no live row acts as insert), ``delete``
+    clears — later updates re-create from their own base. Same
+    read-modify-write shape as :func:`_patch_winners`: the touched docs'
+    current live rows enter as ``op='live'`` barriers (their LSN ≤ the
+    watermark < every fresh LSN, so the (doc, lsn) sort places them
+    first), the fold emits FULL rows, and the delta write / tombstone /
+    scan-merge downstream is the stock path. Fully vectorized: one sort,
+    run-boundary masks, reduceat sums, one offsets rebuild for the list
+    concat."""
+    from mex_extractors_ray.stages.dedup import _run_starts
+
+    sel = ["op"] + lake_cols
+    touched = pc.unique(fresh["doc_id"].combine_chunks())
+    pieces = [fresh.select(sel)]
+    parts = []
+    for f in old_files:
+        t = _read_file_columns(pdir, f, lake_cols, registry)
+        t = t.filter(pc.is_in(t["doc_id"], value_set=touched))
+        if t.num_rows:
+            parts.append(t)
+    if parts:
+        tomb_arr = (old_tomb_ids["doc_id"].combine_chunks()
+                    if old_tomb_ids.num_rows else None)
+        base = merge_live(parts, tomb_arr)
+        if base.num_rows:
+            base = base.append_column("op", pa.array(["live"] * base.num_rows))
+            pieces.append(base.select(sel))
+    t = pa.concat_tables(pieces, promote_options="permissive").sort_by(
+        [("doc_id", "ascending"), ("lsn", "ascending")])
+    n = t.num_rows
+    ops = t["op"].combine_chunks().to_numpy(zero_copy_only=False)
+    reset = ops != "update"
+    run_start = np.flatnonzero(_run_starts(t["doc_id"]))
+    run_end = np.append(run_start[1:], n)              # exclusive
+    idx = np.arange(n, dtype=np.int64)
+    r_idx = np.where(reset, idx, -1)
+    last_reset = np.maximum.reduceat(r_idx, run_start)
+    has_reset = last_reset >= 0
+    lr = np.maximum(last_reset, 0)
+    is_del_reset = np.zeros(len(run_start), dtype=bool)
+    is_del_reset[has_reset] = ops[lr[has_reset]] == "delete"
+    start_contrib = np.where(~has_reset, run_start,
+                             np.where(is_del_reset, lr + 1, lr))
+    dead = start_contrib >= run_end                    # nothing survives
+    del_rows = t.take(pa.array((run_end - 1)[dead]))   # the delete event
+    contrib = idx >= np.repeat(start_contrib, run_end - run_start)
+    tc = t.filter(pa.array(contrib))
+    if tc.num_rows == 0:
+        return del_rows.select(sel)
+    cstart = np.flatnonzero(_run_starts(tc["doc_id"]))
+    clast = np.append(cstart[1:], tc.num_rows) - 1
+    types = dict(registry.latest.fields)
+    cols: dict = {"op": pa.array(["update"] * len(cstart))}
+    for c in lake_cols:
+        col = tc[c].combine_chunks()
+        if c == "doc_id":
+            cols[c] = col.take(pa.array(cstart))
+        elif c == "lsn":
+            cols[c] = col.take(pa.array(clast))
+        else:
+            typ = types.get(c)
+            if typ is not None and (pa.types.is_list(typ)
+                                    or pa.types.is_large_list(typ)):
+                offs = np.asarray(col.offsets, dtype=np.int64)
+                lens = np.diff(offs)
+                run_lens = np.add.reduceat(lens, cstart) if len(lens) else \
+                    np.zeros(len(cstart), np.int64)
+                new_off = np.concatenate([[0], np.cumsum(run_lens)])
+                cols[c] = pa.ListArray.from_arrays(
+                    pa.array(new_off, pa.int32()), col.flatten())
+            elif typ is not None and pa.types.is_integer(typ):
+                vals = np.asarray(pc.fill_null(col, 0).cast(pa.int64()))
+                sums = np.add.reduceat(vals, cstart)
+                cols[c] = pa.array(sums).cast(typ)
+            else:
+                cols[c] = col.take(pa.array(clast))
+    live_tbl = pa.table(cols).select(sel)
+    return (pa.concat_tables([live_tbl, del_rows.select(sel)],
+                             promote_options="permissive")
+            if del_rows.num_rows else live_tbl)
 
 
 _TOMB_SCHEMA = pa.schema([("doc_id", pa.string()), ("lsn", pa.int64())])
@@ -915,6 +1011,9 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         # (delta write, tombstones, read merge) is the stock path
         winners = _patch_winners(fresh, pdir, old_files, registry,
                                  old_tomb_ids, lake_cols)
+    elif mode == "append":
+        winners = _append_winners(fresh, pdir, old_files, registry,
+                                  old_tomb_ids, lake_cols)
     else:
         winners = _reduce_per_doc(fresh, mode)
     is_delete = pc.equal(winners["op"], "delete")

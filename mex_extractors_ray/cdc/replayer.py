@@ -88,6 +88,27 @@ def replay_reference(
                 rec["lsn"] = row["lsn"]
             state[doc_id] = rec
             tombstones.pop(doc_id, None)
+        elif mode == "append" and row["op"] == "update" and doc_id in state:
+            # sequence-building CDC: update APPENDS onto the live row —
+            # list columns concatenate, integer columns add, others
+            # last-wins; insert (and an update with no live row) RESETS
+            rec = dict(state[doc_id])
+            rec["lsn"] = row["lsn"]
+            for name, typ in latest.fields:
+                if name == "doc_id":
+                    continue
+                v = row.get(name)
+                if v is None:
+                    v = latest.defaults.get(name)
+                cur = rec.get(name)
+                if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+                    rec[name] = list(cur or []) + list(v or [])
+                elif pa.types.is_integer(typ):
+                    rec[name] = int(cur or 0) + int(v or 0)
+                else:
+                    rec[name] = v
+            state[doc_id] = rec
+            tombstones.pop(doc_id, None)
         else:
             rec = {"lsn": row["lsn"]}
             for name, _ in latest.fields:

@@ -2685,6 +2685,59 @@ def q_cdc_change_feed(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_append_state(sf_dir: str):
+    """Full-engine CDC replay in ``append`` mode — sequence-building CDC
+    (SummingMergeTree / conversation-log semantics): updates APPEND
+    (tokens concat in LSN order, n_tok adds), inserts RESET, deletes
+    clear with re-creation from later updates. The oracle folds the
+    closed-form log's contribution suffix per doc (events after the last
+    reset); token ORDER is byte-checked by the replayer tests, the hash
+    here checks the additive payload (n_tok, tok_sum) and last-wins
+    fields."""
+    lake = read_lake_arrow(build_cdc_lake(sf_dir, mode="append"))
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
+_CDC_APPEND_SQL = f"""
+WITH log AS ({_CDC_LOG_SQL}),
+resets AS (SELECT doc_id, MAX(lsn) AS rl FROM log WHERE op <> 'update'
+           GROUP BY doc_id),
+floors AS (
+  SELECT d.doc_id,
+         CASE WHEN r.rl IS NULL THEN -1
+              WHEN lr.op = 'delete' THEN r.rl
+              ELSE r.rl - 1 END AS floor_lsn
+  FROM (SELECT DISTINCT doc_id FROM log) d
+  LEFT JOIN resets r ON d.doc_id = r.doc_id
+  LEFT JOIN log lr ON lr.doc_id = r.doc_id AND lr.lsn = r.rl
+),
+contrib AS (
+  SELECT g.* FROM log g JOIN floors f ON g.doc_id = f.doc_id
+  WHERE g.lsn > f.floor_lsn
+)
+SELECT doc_id,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       arg_max(CASE WHEN lsn % 10 IN (8, 9)
+                    THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+                    ELSE 'de' END, lsn) AS lang,
+       CAST(SUM(8 + (lsn % 120)) AS BIGINT) AS n_tok,
+       MAX(lsn) AS last_lsn,
+       CAST(SUM(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+            i -> (user_id * 2654435761 + i * 40503) % 50000))) AS BIGINT)
+            AS tok_sum
+FROM contrib GROUP BY doc_id, user_id
+"""
+
+
 def q_cdc_scd2_history(sf_dir: str):
     """SCD Type-2 validity intervals over the CDC change log: one row per
     NON-DELETE version with ``[valid_from_lsn, valid_to_lsn)`` bounds — a
@@ -3679,6 +3732,7 @@ _QUERY_FNS = {
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_lake_diff": q_cdc_lake_diff,
+        "cdc_append_state": q_cdc_append_state,
         "cdc_point_lookups": q_cdc_point_lookups,
         "cdc_filtered_read": q_cdc_filtered_read,
         "cdc_filtered_range": q_cdc_filtered_range,
@@ -4245,6 +4299,7 @@ GROUP BY b.bracket
         "cdc_change_feed": _CDC_FEED_SQL,
         "cdc_scd2_history": _CDC_SCD2_SQL,
         "cdc_lake_diff": _CDC_DIFF_SQL,
+        "cdc_append_state": _CDC_APPEND_SQL,
         "cdc_point_lookups": _CDC_LOOKUP_SQL,
         "cdc_filtered_read":
             f"SELECT * FROM ({_CDC_FINAL_SQL}) WHERE source = 'src3'",
