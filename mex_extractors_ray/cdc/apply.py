@@ -1271,6 +1271,8 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
     # and this metadata together.
     import json as _json
 
+    from mex_extractors_ray.cdc.manifest import atomic_write_bytes
+
     meta_path = Path(lake_dir, "_lake_meta.json")
     splits: dict[int, int] = {}
     if meta_path.exists():
@@ -1281,14 +1283,24 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
                 f"{meta.get('num_partitions')}, got {num_partitions}; "
                 "use cdc.compact.repartition_lake to change the layout"
             )
+        # apply-mode guard: the merge semantics are part of the lake's
+        # identity — folding append windows into a last_wins lake (or any
+        # other mix) silently corrupts doc histories. Pre-guard lakes
+        # (no recorded mode) adopt this ingest's mode first-write-wins.
+        if meta.get("mode") is None:
+            meta["mode"] = mode
+            atomic_write_bytes(meta_path, _json.dumps(meta).encode())
+        elif meta["mode"] != mode:
+            raise ValueError(
+                f"lake at {lake_dir} was built with mode={meta['mode']!r}, "
+                f"got {mode!r}; apply modes cannot be mixed on one lake")
         # the depth table is part of the lake's routing identity — the
         # ingest inherits it (a caller never passes splits explicitly;
         # they change only through compact.split_partition's atomic flip)
         splits = _norm_splits(meta.get("splits"))
     else:
-        from mex_extractors_ray.cdc.manifest import atomic_write_bytes
-
-        atomic_write_bytes(meta_path, _json.dumps({"num_partitions": num_partitions}).encode())
+        atomic_write_bytes(meta_path, _json.dumps(
+            {"num_partitions": num_partitions, "mode": mode}).encode())
 
     # the apply only needs co-location by pid, not global order (it
     # re-sorts by (doc_id, lsn) inside the group) — hash shuffle skips

@@ -630,10 +630,15 @@ def _locked_repartition(old, new_num_partitions, registry, rj, force) -> dict:
 
     from mex_extractors_ray.cdc.manifest import atomic_write_bytes
 
-    atomic_write_bytes(
-        new / "_lake_meta.json",
-        json.dumps({"num_partitions": new_num_partitions}).encode(),
-    )
+    # carry the apply mode (part of the lake's merge identity) through the
+    # re-shard; splits intentionally reset (the new layout has none)
+    old_meta_p = Path(old) / "_lake_meta.json"
+    new_meta: dict = {"num_partitions": new_num_partitions}
+    if old_meta_p.exists():
+        old_mode = json.loads(old_meta_p.read_text()).get("mode")
+        if old_mode is not None:
+            new_meta["mode"] = old_mode
+    atomic_write_bytes(new / "_lake_meta.json", json.dumps(new_meta).encode())
     # every new partition carries the collapsed watermark, so that IS the
     # fully-committed level of the new layout
     atomic_write_bytes(

@@ -133,8 +133,15 @@ def tail_once(
     replica_out: str | Path | None = None,
     split_rows_over: int | None = None,
     split_bytes_over: int | None = None,
+    mode: str | None = None,
 ) -> dict:
     """One sensor-check + incremental ingest. Returns a small report.
+
+    ``mode=None`` INHERITS the apply mode recorded in the lake's meta
+    (``last_wins`` for a brand-new lake) — the tracked-column ``None``
+    discipline: an established append/patch lake keeps its semantics
+    without every caller re-stating them, and the ingest-side mode guard
+    refuses an explicit mismatch.
 
     ``export_out`` chains the downstream consumer into the same poll: after
     a non-empty ingest, ``pipelines.incremental_export`` brings the sharded
@@ -151,7 +158,15 @@ def tail_once(
     segments = discover_new_segments(log_dir, lake_dir, require_stable=require_stable)
     if not segments:
         return {"segments": 0, "applied": 0, "noop": True}
-    metrics = ingest_change_log(segments, lake_dir, num_partitions=num_partitions, registry=registry)
+    if mode is None:
+        try:
+            from mex_extractors_ray.cdc.apply import load_lake_meta
+
+            mode = load_lake_meta(lake_dir).get("mode") or "last_wins"
+        except Exception:
+            mode = "last_wins"
+    metrics = ingest_change_log(segments, lake_dir, num_partitions=num_partitions,
+                                registry=registry, mode=mode)
     state = _read_tail_state(lake_dir)
     state["applied_segments"] = sorted(set(state["applied_segments"]) | {Path(s).name for s in segments})
     _commit_tail_state(lake_dir, state)
@@ -197,6 +212,7 @@ def tail_loop(
     replica_out: str | Path | None = None,
     split_rows_over: int | None = None,
     split_bytes_over: int | None = None,
+    mode: str | None = None,
 ) -> None:
     """Poll-and-ingest loop (Ctrl-C or max_polls to stop)."""
     polls = 0
@@ -204,7 +220,7 @@ def tail_loop(
         report = tail_once(log_dir, lake_dir, num_partitions=num_partitions,
                            export_out=export_out, replica_out=replica_out,
                            split_rows_over=split_rows_over,
-                           split_bytes_over=split_bytes_over)
+                           split_bytes_over=split_bytes_over, mode=mode)
         print(json.dumps({"poll": polls, **report}), flush=True)
         polls += 1
         if max_polls is None or polls < max_polls:

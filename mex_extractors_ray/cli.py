@@ -70,6 +70,7 @@ def cmd_ingest(args) -> int:
 
     metrics = ingest_change_log(
         _log_paths(args.log), args.lake, num_partitions=args.partitions,
+        mode=args.apply_mode,
         delta=not args.no_delta, compact_threshold=args.compact_threshold,
         # empty flag = inherit the lake's established view (None), never an
         # implicit drop; `--track-counts ""` has no way to request a drop —
@@ -143,6 +144,7 @@ def cmd_tail(args) -> int:
         export_out=args.export_out, replica_out=args.replica_out,
         split_rows_over=args.split_rows_over,
         split_bytes_over=args.split_bytes_over,
+        mode=args.apply_mode,
     )
     ray.shutdown()
     return 0
@@ -440,6 +442,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated orderable lake columns to maintain "
                         "per-partition zone maps for (range-predicate "
                         "partition pruning in `read`)")
+    i.add_argument("--apply-mode", dest="apply_mode", default="last_wins",
+                   choices=["last_wins", "first_wins", "patch", "append"],
+                   help="merge semantics (recorded in the lake meta; "
+                        "mixing modes on one lake is refused)")
     i.set_defaults(fn=cmd_ingest)
 
     r = sub.add_parser("replay")
@@ -506,6 +512,10 @@ def main(argv: list[str] | None = None) -> int:
                     dest="split_bytes_over",
                     help="auto-split any base partition whose on-disk bytes "
                          "exceed this after a poll's ingest")
+    tl.add_argument("--apply-mode", dest="apply_mode", default=None,
+                    choices=["last_wins", "first_wins", "patch", "append"],
+                    help="merge semantics; default inherits the lake's "
+                         "recorded mode")
     tl.set_defaults(fn=cmd_tail)
 
     co = sub.add_parser("counts")

@@ -153,3 +153,58 @@ def test_append_small_compact_threshold_folds(ray_session, tmp_path, tmp_lake):
                           compact_threshold=3)
     expected, _ = replay_reference(log, mode="append")
     assert read_lake_arrow(tmp_lake).equals(expected)
+
+
+def test_lake_mode_guard_refuses_mixing(ray_session, tmp_path, tmp_lake):
+    import pytest
+
+    log = change_log_from_events(_tiny_events(200, 10, seed=5))
+    p = tmp_path / "g.parquet"
+    pq.write_table(log, p)
+    ingest_change_log([str(p)], tmp_lake, num_partitions=2, mode="append")
+    with pytest.raises(ValueError, match="mode"):
+        ingest_change_log([str(p)], tmp_lake, num_partitions=2,
+                          mode="last_wins")
+    # same mode replays fine (exactly-once noop)
+    m = ingest_change_log([str(p)], tmp_lake, num_partitions=2, mode="append")
+    assert pc.all(m["noop"]).as_py()
+
+
+def test_tail_inherits_lake_mode(ray_session, tmp_path, tmp_lake):
+    from mex_extractors_ray.cdc.tail import tail_once
+
+    log = change_log_from_events(_tiny_events(400, 20, seed=9))
+    cut = int(pc.max(log["lsn"]).as_py()) // 2
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    pq.write_table(log.filter(pc.less_equal(log["lsn"], cut)),
+                   seg_dir / "seg-000.parquet")
+    # first window establishes the mode explicitly
+    tail_once(seg_dir, tmp_lake, num_partitions=2, require_stable=False,
+              mode="append")
+    pq.write_table(log.filter(pc.greater(log["lsn"], cut)),
+                   seg_dir / "seg-001.parquet")
+    # second window: mode=None must INHERIT append from the lake meta
+    r = tail_once(seg_dir, tmp_lake, num_partitions=2, require_stable=False)
+    assert r["applied"] > 0
+    expected, _ = replay_reference(log, mode="append")
+    assert read_lake_arrow(tmp_lake).equals(expected)
+
+
+def test_repartition_carries_mode(ray_session, tmp_path, tmp_lake):
+    import pytest
+
+    from mex_extractors_ray.cdc.compact import repartition_lake
+
+    log = change_log_from_events(_tiny_events(300, 15, seed=13))
+    p = tmp_path / "r.parquet"
+    pq.write_table(log, p)
+    ingest_change_log([str(p)], tmp_lake, num_partitions=2, mode="append")
+    repartition_lake(tmp_lake, 4)
+    # the re-sharded lake still refuses a different mode...
+    with pytest.raises(ValueError, match="mode"):
+        ingest_change_log([str(p)], tmp_lake, num_partitions=4,
+                          mode="last_wins")
+    # ...and keeps answering in append semantics
+    expected, _ = replay_reference(log, mode="append")
+    assert read_lake_arrow(tmp_lake).equals(expected)
