@@ -3562,6 +3562,141 @@ SELECT 'vg', vg_id, activity_id, return_class, n_items FROM vg
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams
+    (``sessions.keyed_transitions``): per user in (ts, event_id) order,
+    count every (event_type → next event_type) bigram globally — the
+    next-event-prediction / behavioral-model statistic. ONE key shuffle;
+    the second exchange ships |types|²-bounded partials."""
+    from mex_extractors_ray.stages.sessions import keyed_transitions
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+    return keyed_transitions(ev, "user_id", "ts", "event_type",
+                             order_cols=("event_id",)).to_pandas()
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Retention triangle (``sessions.cohort_retention``): users bucketed
+    by first-activity day, exact distinct-user counts per (cohort day,
+    day offset). Map-side distinct (user, day) combiner → one user-hash
+    shuffle → tiny grouped count."""
+    from mex_extractors_ray.stages.sessions import cohort_retention
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts").to_pandas()
+
+
+_COHORT_RETENTION_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           FROM events),
+c AS (SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort
+      FROM d)
+SELECT strftime(to_timestamp(cohort * 86400), '%Y-%m-%d') AS cohort_day,
+       day - cohort AS offset_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_nchar_zscore_outliers(sf_dir: str):
+    """Per-source z-score outlier gate in exact integer arithmetic
+    (``aggregates.zscore_outliers``): docs whose n_chars sits more than
+    1 population-σ from their source's mean — |n·x − S| > isqrt(z²(nQ−S²))
+    over exact int sufficient statistics, so the HUGEINT oracle matches
+    bit-for-bit (no float boundary rows). Two passes: a group-bounded
+    stats fold, then a broadcast vectorized gate. z=1 because the bench
+    corpus's near-uniform n_chars has no 2σ tail (a vacuous always-empty
+    result would prove nothing)."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"])
+    return aggregates.zscore_outliers(docs, "source", "n_chars", z=1).to_pandas()
+
+
+_NCHAR_ZSCORE_SQL = """
+WITH st AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(n_chars) AS HUGEINT) AS s,
+                   SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q
+            FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN st ON d.source = st.source
+WHERE (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s)
+      > 1 * (st.n * st.q - st.s * st.s)
+"""
+
+
+def q_user_event_mode(sf_dir: str):
+    """Grouped mode (argmax) — each user's most frequent event type, ties
+    broken lexicographically: ``grouped_count`` partials then the
+    ``keyed_topk`` k=1 specialization (the reference's per-group
+    "keep the best" selections, ``SURVEY.md §2.8``, as a statistic)."""
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    counts = aggregates.grouped_count(ev, ["user_id", "event_type"], alias="n")
+    top = aggregates.keyed_topk(
+        counts, "user_id",
+        [("n", "descending"), ("event_type", "ascending")], k=1)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "mode_type": b["event_type"],
+                         "n": b["n"]})
+
+    return top.map_batches(finalize, batch_format="pyarrow").to_pandas()
+
+
+_USER_EVENT_MODE_SQL = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type ASC) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1
+"""
+
+
+def q_events_customers_fulljoin(sf_dir: str):
+    """FULL OUTER large-large join (``joins.bucketed_join`` how='outer'):
+    per-user event counts ⟗ customer balances on the shared key domain —
+    unmatched rows survive from BOTH sides with typed nulls (the ArrowDtype
+    round-trip keeps int64 nullable, no float widening). Same two-shuffle
+    co-partition shape as the inner/left variants."""
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ne = aggregates.grouped_count(ev, "user_id", alias="n_events")
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_acctbal"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["c_custkey"],
+                         "acctbal_c100": _cents(b["c_acctbal"])})
+
+    cust = cust.map_batches(rename, batch_format="pyarrow")
+    joined = joins.bucketed_join(ne, cust, on="user_id", num_buckets=32,
+                                 how="outer")
+    return joined.select_columns(["user_id", "n_events", "acctbal_c100"]).to_pandas()
+
+
+_FULLJOIN_SQL = """
+WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1),
+c AS (SELECT c_custkey AS user_id,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c100
+      FROM customer)
+SELECT COALESCE(e.user_id, c.user_id) AS user_id, e.n_events, c.acctbal_c100
+FROM e FULL OUTER JOIN c ON e.user_id = c.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -3751,6 +3886,11 @@ _QUERY_FNS = {
         "multi_entity_etl": q_multi_entity_etl,
         "minhash_near_dups_exact": q_minhash_near_dups_exact,
         "simhash_near_dups_exact": q_simhash_near_dups_exact,
+        "event_transitions": q_event_transitions,
+        "cohort_retention": q_cohort_retention,
+        "nchar_zscore_outliers": q_nchar_zscore_outliers,
+        "user_event_mode": q_user_event_mode,
+        "events_customers_fulljoin": q_events_customers_fulljoin,
     }
 
 
@@ -4328,6 +4468,11 @@ GROUP BY 1
 """,
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
         "multi_entity_etl": _multi_entity_sql(),
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "nchar_zscore_outliers": _NCHAR_ZSCORE_SQL,
+        "user_event_mode": _USER_EVENT_MODE_SQL,
+        "events_customers_fulljoin": _FULLJOIN_SQL,
     }
 
 

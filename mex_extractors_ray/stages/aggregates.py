@@ -709,3 +709,82 @@ def percentile_gate(ds, col: str, q: float = 0.25, mode: str = "above",
         return t.filter(pc.fill_null(cmp, False))
 
     return ds.map_batches(gate, batch_format="pyarrow"), thr
+
+
+def zscore_outliers(ds, group_col: str, value_col: str, z: int = 2,
+                    num_partitions: int = 8):
+    """Per-group z-score outlier gate in EXACT integer arithmetic: keep
+    rows where ``|x − μ_g| > z·σ_g`` (population σ), with the float-free
+    equivalent test ``|n·x − S| > isqrt(z²·(n·Q − S²))`` over the group's
+    exact int64 sufficient statistics (n, S=Σx, Q=Σx²) — so a BIGINT/
+    HUGEINT SQL oracle matches bit-for-bit and no boundary row can flip on
+    float rounding (the ``*_c100`` catalog discipline applied to second
+    moments).
+
+    Scale shape: pass 1 ships one (group, n, S, Q) partial per batch into
+    a tiny groupby (group cardinality–bounded — sources, languages);
+    the driver folds them with unbounded Python ints (n·Q − S² overflows
+    int64 long before the data stops fitting a cluster) and broadcasts
+    {group: (n, S, K)} where K = isqrt(z²(nQ−S²)); pass 2 is one
+    vectorized ``index_in`` probe + int64 compare per batch. Per-row
+    arithmetic stays in int64 — safe while n·max(x) < 2⁶³ (~10¹³ rows per
+    group at x≈10⁵), documented here rather than silently truncated.
+
+    Reference analog: the historical drift checks
+    (``mex/extractors/pipeline/checks/main.py:120-218``) promoted from
+    per-asset counts to per-row statistical gating."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    if z < 0:
+        raise ValueError("zscore_outliers: z must be non-negative")
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col]
+        if not pa.types.is_integer(v.type):
+            raise TypeError(
+                f"zscore_outliers: {value_col} is {v.type}; integer columns "
+                "only (scale floats to a fixed point first)")
+        if v.null_count:
+            raise ValueError(f"zscore_outliers: null {value_col} values — filter first")
+        v64 = pc.cast(v, pa.int64())
+        t = pa.table({
+            group_col: b[group_col],
+            "_n": pa.array(np.ones(b.num_rows, np.int64)),
+            "_s": v64,
+            "_q": pc.multiply_checked(v64, v64),
+        })
+        return (t.group_by(group_col)
+                 .aggregate([("_n", "sum"), ("_s", "sum"), ("_q", "sum")])
+                 .rename_columns([group_col, "_n", "_s", "_q"]))
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(group_col)
+               .aggregate(Sum("_n", alias_name="n"), Sum("_s", alias_name="s"),
+                          Sum("_q", alias_name="q"))
+               .take_all())  # one row per group — bounded by nature
+
+    groups, n_arr, s_arr, k_arr = [], [], [], []
+    for row in stats:
+        n, s, q = int(row["n"]), int(row["s"]), int(row["q"])
+        groups.append(row[group_col])
+        n_arr.append(n)
+        s_arr.append(s)
+        # exact: d² > z²·var_num  ⇔  |d| > isqrt(z²·var_num)  (int math)
+        k_arr.append(math.isqrt(z * z * (n * q - s * s)))
+    group_keys = pa.array(groups)
+    n_np = np.array(n_arr, np.int64)
+    s_np = np.array(s_arr, np.int64)
+    k_np = np.array(k_arr, np.int64)
+
+    def gate(b: pa.Table) -> pa.Table:
+        idx_a = pc.index_in(b[group_col], value_set=group_keys).combine_chunks()
+        if idx_a.null_count:
+            raise ValueError("zscore_outliers: group value unseen in pass 1")
+        idx = np.asarray(idx_a.cast(pa.int64()))
+        x = np.asarray(pc.cast(b[value_col], pa.int64()).combine_chunks())
+        d = np.abs(n_np[idx] * x - s_np[idx])
+        return b.filter(pa.array(d > k_np[idx]))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

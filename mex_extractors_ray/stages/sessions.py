@@ -167,6 +167,116 @@ def keyed_cumsum(ds, key: str, order_col: str, value_col: str,
     return _keyed_blocks(ds, key, block, num_partitions)
 
 
+def keyed_transitions(ds, key: str, ts_col: str, type_col: str,
+                      order_cols: tuple[str, ...] = (),
+                      from_col: str = "from_type", to_col: str = "to_type",
+                      num_partitions: int = 64):
+    """Markov transition counts over per-key ordered event streams: for
+    every consecutive pair of a key's events (time order, ties broken by
+    ``order_cols``), count the global ``(type, next type)`` bigram — the
+    building block of behavioral Markov models / next-event prediction.
+
+    SQL equivalent: ``LEAD(type) OVER (PARTITION BY key ORDER BY ts, …)``
+    then ``GROUP BY (type, next)``. Scale shape: ONE coarse key-hash
+    shuffle (all of a key's rows in one block), per block one Arrow sort +
+    one shifted-equality mask + a local Arrow group_by — the exchange to
+    the final sum ships (|types|² × blocks) partial rows, never raw
+    events. Reference analog: the per-asset count checks promoted to a
+    sequence statistic."""
+    from mex_extractors_ray.stages.aggregates import keyed_sums
+
+    sort_keys = [(key, "ascending"), (ts_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def block(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            from_col: pa.array([], pa.string()),
+            to_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        n = g.num_rows
+        if n < 2:
+            return empty
+        t = g.sort_by(sort_keys)
+        new_key = _run_starts(t[key])
+        same = ~new_key[1:]  # row i+1 continues row i's key
+        if not same.any():
+            return empty
+        ty = t[type_col].combine_chunks()
+        mask = pa.array(same)
+        pairs = pa.table({
+            from_col: ty.slice(0, n - 1).filter(mask),
+            to_col: ty.slice(1, n - 1).filter(mask),
+        })
+        counted = pairs.group_by([from_col, to_col]).aggregate([([], "count_all")])
+        return counted.rename_columns([from_col, to_col, "n"])
+
+    partials = _keyed_blocks(ds, key, block, num_partitions)
+    # transition matrix is |types|²-bounded — the final sum is tiny
+    return keyed_sums(partials, [from_col, to_col], ["n"],
+                      num_partitions=min(num_partitions, 8))
+
+
+def cohort_retention(ds, key: str, ts_col: str, num_partitions: int = 64):
+    """Cohort retention: users grouped by their first-activity day, counted
+    per (cohort day, day offset) — the classic product-analytics retention
+    triangle, exact.
+
+    Scale shape: (1) map-side distinct (key, day) pairs per batch (the
+    combiner discipline — the exchange ships at most one row per user-day,
+    never raw events); (2) ONE coarse key-hash shuffle so each user's full
+    day set is in one block, where a sort + run-boundary kernel dedups
+    pairs and rebases each day against the user's min (cohort) day; (3) a
+    tiny grouped count — after step 2 each user contributes exactly one
+    row per (cohort, offset), so a plain count IS the distinct-user count.
+    Output: ``cohort_day`` ("%Y-%m-%d"), ``offset_days``, ``n_users``."""
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.stages.aggregates import grouped_count
+
+    us_per_day = 86_400_000_000
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        day = pa.array(_epoch_us(b[ts_col]) // us_per_day)
+        t = pa.table({key: b[key], "_day": day})
+        return t.group_by([key, "_day"]).aggregate([])
+
+    def block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"_cohort": pa.array([], pa.int64()),
+                             "offset_days": pa.array([], pa.int64())})
+        t = g.sort_by([(key, "ascending"), ("_day", "ascending")])
+        karr = np.asarray(t[key].combine_chunks().cast(pa.int64()))
+        darr = np.asarray(t["_day"].combine_chunks())
+        keep = np.empty(len(karr), dtype=bool)  # dedup pairs across batches
+        keep[0] = True
+        keep[1:] = (karr[1:] != karr[:-1]) | (darr[1:] != darr[:-1])
+        karr, darr = karr[keep], darr[keep]
+        starts = np.empty(len(karr), dtype=bool)
+        starts[0] = True
+        starts[1:] = karr[1:] != karr[:-1]
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, len(karr)))
+        cohort = np.repeat(darr[idx], counts)  # block sorted ⇒ min = first
+        return pa.table({"_cohort": pa.array(cohort),
+                         "offset_days": pa.array(darr - cohort)})
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow")
+    rebased = _keyed_blocks(pairs, key, block, num_partitions)
+    counted = grouped_count(rebased, ["_cohort", "offset_days"], alias="n_users")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.multiply(b["_cohort"], us_per_day), pa.timestamp("us"))
+        return pa.table({
+            "cohort_day": pc.strftime(ts, format="%Y-%m-%d"),
+            "offset_days": b["offset_days"],
+            "n_users": b["n_users"],
+        })
+
+    return counted.map_batches(finalize, batch_format="pyarrow")
+
+
 def keyed_lag_gaps(ds, key: str, ts_col: str, order_cols: tuple[str, ...] = (),
                    out_col: str = "prev_gap_us", num_partitions: int = 64):
     """``lag()``-family window function re-expressed Ray-Data-first: per
