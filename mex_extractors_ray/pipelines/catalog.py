@@ -3697,6 +3697,104 @@ FROM e FULL OUTER JOIN c ON e.user_id = c.user_id
 """
 
 
+def q_doc_triangles(sf_dir: str):
+    """Triangle enumeration over the near-dup n-gram graph
+    (``components.triangles``): degree-oriented wedge join — each triangle
+    found exactly once at its min-(degree, id) vertex, per-vertex wedge
+    work bounded by O(√m) so hubs never explode. Third graph primitive
+    after connected components and PageRank. Its own edge set (doc_id <
+    500, min_common=4): the dup_clusters bound (200, 5) is triangle-free
+    at sf0.01 and a guaranteed-empty result would prove nothing. Oracle:
+    the canonical three-way self-join."""
+    from mex_extractors_ray.stages import components
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]).filter(expr="doc_id < 500")
+    edges = dedup.ngram_overlap_pairs(docs, "text", "doc_id", k=3, min_common=4)
+    out = components.triangles(edges, a="a", b="b", num_partitions=16).to_pandas()
+    return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
+_TRIANGLE_EDGES_SQL = """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM d
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.s, y.s)) >= 4
+"""
+
+
+def _doc_triangles_oracle() -> str:
+    return f"""
+WITH e AS ({_TRIANGLE_EDGES_SQL})
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_price_qty_covariance(sf_dir: str):
+    """Exact grouped covariance in integer sufficient statistics: per
+    return flag, cov(qty, price) in (cent×cent) units — partials ship
+    (n, Σx, Σy, Σxy) per batch through ``keyed_sums``; the 3-row driver
+    finalize divides with unbounded Python ints (n·Σxy − ΣxΣy overflows
+    int64 at cluster scale; the per-batch int64 partials don't until
+    ~10¹⁸ cent²·rows per batch). Division truncates toward zero to match
+    DuckDB's ``//`` (NOT Python floor — they differ on negatives)."""
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _cents(b["l_quantity"])
+        y = _cents(b["l_extendedprice"])
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "_n": pa.array(np.ones(b.num_rows, np.int64)),
+            "_sx": x,
+            "_sy": y,
+            "_sxy": pc.multiply_checked(x, y),
+        })
+        return (t.group_by("l_returnflag")
+                 .aggregate([("_n", "sum"), ("_sx", "sum"),
+                             ("_sy", "sum"), ("_sxy", "sum")])
+                 .rename_columns(["l_returnflag", "_n", "_sx", "_sy", "_sxy"]))
+
+    stats = aggregates.keyed_sums(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], ["_n", "_sx", "_sy", "_sxy"], num_partitions=4
+    ).to_pandas()  # one row per flag — bounded by nature
+
+    rows = []
+    for _, r in stats.iterrows():
+        n, sx, sy, sxy = (int(r["_n"]), int(r["_sx"]), int(r["_sy"]),
+                          int(r["_sxy"]))
+        num = n * sxy - sx * sy
+        den = n * n
+        q = abs(num) // den
+        rows.append({"l_returnflag": r["l_returnflag"], "n": n,
+                     "cov_c4": q if num >= 0 else -q})
+    return pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+
+
+_PRICE_QTY_COV_SQL = """
+WITH st AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS sxy
+            FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST((n * sxy - sx * sy) // (n * n) AS BIGINT) AS cov_c4
+FROM st
+"""
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -3715,6 +3813,7 @@ FROM e FULL OUTER JOIN c ON e.user_id = c.user_id
 # pipelines are immune: their shuffle keys are minted on never-empty read
 # batches.
 _SORT_STRATEGY_ONLY = {
+    "doc_triangles",
     "minhash_near_dups",
     "minhash_near_dups_exact",
     "simhash_near_dups_exact",
@@ -3891,6 +3990,8 @@ _QUERY_FNS = {
         "nchar_zscore_outliers": q_nchar_zscore_outliers,
         "user_event_mode": q_user_event_mode,
         "events_customers_fulljoin": q_events_customers_fulljoin,
+        "doc_triangles": q_doc_triangles,
+        "price_qty_covariance": q_price_qty_covariance,
     }
 
 
@@ -4473,6 +4574,8 @@ GROUP BY 1
         "nchar_zscore_outliers": _NCHAR_ZSCORE_SQL,
         "user_event_mode": _USER_EVENT_MODE_SQL,
         "events_customers_fulljoin": _FULLJOIN_SQL,
+        "doc_triangles": _doc_triangles_oracle(),
+        "price_qty_covariance": _PRICE_QTY_COV_SQL,
     }
 
 

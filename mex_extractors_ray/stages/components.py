@@ -294,3 +294,135 @@ def update_components(labels, new_edges, a: str = "a", b: str = "b",
     singles = labels.map_batches(_self_label("node"), batch_format="pyarrow")
     return _keyed_blocks(merged.union(singles), "node", _min_label_block,
                          num_partitions)
+
+
+def triangles(edges, a: str = "a", b: str = "b", num_partitions: int = 16):
+    """Distributed triangle enumeration over an undirected edge list —
+    one row per triangle, canonical ``a < b < c``.
+
+    Degree-oriented wedge join (the standard shared-nothing algorithm,
+    e.g. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient every edge from its lower-(degree, id)
+    endpoint, emit the C(d_out, 2) wedges at each vertex, and keep the
+    wedges whose closing pair exists in the edge set.  Each triangle is
+    found exactly once — at its unique min-(degree, id) vertex.  Degree
+    orientation bounds per-vertex wedge work by O(√m) out-degree, so hub
+    nodes never explode (the skew story; id orientation alone would emit
+    deg² wedges at every hub).
+
+    Exchanges: edge dedup (1), degree sum (1), two degree-attach
+    co-partition joins (2 × 2), wedge generation (1), wedge↔edge pair
+    match (1) — all ``_keyed_blocks``-shaped, all over the EDGE list,
+    never a corpus.  Every per-block kernel is one Arrow sort plus numpy
+    run-boundary arithmetic (the fully-vectorized intra-run pair
+    emission below), no per-key dispatch."""
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.stages.aggregates import keyed_sums
+    from mex_extractors_ray.stages.joins import bucketed_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[a], pa.int64())
+        v = pc.cast(t[b], pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t2 = pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
+        return t2.group_by(["u", "v"]).aggregate([])  # local distinct
+
+    def dedup_block(g: pa.Table) -> pa.Table:
+        return _entry_dedup(g.sort_by([("u", "ascending"), ("v", "ascending")]))
+
+    e = _keyed_blocks(edges.map_batches(canon, batch_format="pyarrow"),
+                      "u", dedup_block, num_partitions).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t["u"].combine_chunks(),
+                                  t["v"].combine_chunks()])
+        vc = pc.value_counts(nodes)
+        return pa.table({"node": vc.field("values"),
+                         "deg": vc.field("counts").cast(pa.int64())})
+
+    degs = keyed_sums(e.map_batches(deg_partial, batch_format="pyarrow"),
+                      ["node"], ["deg"], num_partitions=num_partitions)
+
+    du = degs.map_batches(
+        lambda t: pa.table({"u": t["node"], "deg_u": t["deg"]}),
+        batch_format="pyarrow")
+    dv = degs.map_batches(
+        lambda t: pa.table({"v": t["node"], "deg_v": t["deg"]}),
+        batch_format="pyarrow")
+    ed = bucketed_join(e, du, on="u", num_buckets=num_partitions)
+    ed = bucketed_join(ed, dv, on="v", num_buckets=num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        un = np.asarray(t["u"].combine_chunks().cast(pa.int64()))
+        vn = np.asarray(t["v"].combine_chunks().cast(pa.int64()))
+        dun = np.asarray(t["deg_u"].combine_chunks().cast(pa.int64()))
+        dvn = np.asarray(t["deg_v"].combine_chunks().cast(pa.int64()))
+        u_first = (dun < dvn) | ((dun == dvn) & (un < vn))
+        return pa.table({"src": pa.array(np.where(u_first, un, vn)),
+                         "dst": pa.array(np.where(u_first, vn, un))})
+
+    oriented = ed.map_batches(orient, batch_format="pyarrow")
+
+    def _pair_key(x, y) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(x, pa.string()), pc.cast(y, pa.string()), pa.scalar("-"))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "apex": pa.array([], pa.int64()),
+                          "_pk": pa.array([], pa.string())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        t = g.sort_by([("src", "ascending"), ("dst", "ascending")])
+        srcn = np.asarray(t["src"].combine_chunks())
+        dstn = np.asarray(t["dst"].combine_chunks())
+        starts = np.flatnonzero(_run_starts(t["src"]))
+        counts = np.diff(np.append(starts, n))
+        ordinal = np.arange(n) - np.repeat(starts, counts)
+        seg = np.repeat(counts, counts) - 1 - ordinal  # pairs led by each row
+        total = int(seg.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(n), seg)
+        cs = np.concatenate([[0], np.cumsum(seg)])
+        pos = np.arange(total) - np.repeat(cs[:-1], seg)
+        right = left + 1 + pos
+        x, y = dstn[left], dstn[right]  # dst ascending within run ⇒ x < y
+        xa, ya = pa.array(x), pa.array(y)
+        return pa.table({"x": xa, "y": ya, "apex": pa.array(srcn[left]),
+                         "_pk": _pair_key(xa, ya)})
+
+    w = _keyed_blocks(oriented, "src", wedges, num_partitions)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"x": t["u"], "y": t["v"],
+                         "apex": pa.nulls(t.num_rows, pa.int64()),
+                         "_pk": _pair_key(t["u"], t["v"])})
+
+    both = w.union(e.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def close(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        is_e = pc.is_null(g["apex"])
+        ek = g.filter(is_e)["_pk"].combine_chunks()
+        wt = g.filter(pc.invert(is_e))
+        if len(ek) == 0 or wt.num_rows == 0:
+            return empty
+        hit = wt.filter(pc.is_in(wt["_pk"], value_set=ek))
+        if hit.num_rows == 0:
+            return empty
+        tri = np.sort(np.column_stack([
+            np.asarray(hit["apex"].combine_chunks().cast(pa.int64())),
+            np.asarray(hit["x"].combine_chunks()),
+            np.asarray(hit["y"].combine_chunks()),
+        ]), axis=1)
+        return pa.table({"a": pa.array(tri[:, 0]), "b": pa.array(tri[:, 1]),
+                         "c": pa.array(tri[:, 2])})
+
+    return _keyed_blocks(both, "_pk", close, num_partitions)

@@ -225,3 +225,80 @@ def test_bucketed_join_full_outer_both_sides_survive(ray_session):
     assert got["k"].tolist() == [1, 2, 3]
     assert got["a"].tolist()[1] == 20 and got["b"].tolist()[1] == 200
     assert pd.isna(got["b"][0]) and pd.isna(got["a"][2])
+
+
+# ----------------------------------------------------------------- triangles
+
+
+def _brute_triangles(edges):
+    es = set()
+    for e in edges:
+        u, v = e["a"], e["b"]
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    nodes = sorted({x for e in es for x in e})
+    out = []
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) not in es:
+                continue
+            for w in nodes:
+                if w > v and (u, w) in es and (v, w) in es:
+                    out.append((u, v, w))
+    return sorted(out)
+
+
+def test_triangles_vs_brute_force(ray_session):
+    from mex_extractors_ray.stages.components import triangles
+
+    rng = np.random.default_rng(3)
+    edges = [
+        {"a": int(rng.integers(0, 30)), "b": int(rng.integers(0, 30))}
+        for _ in range(160)
+    ]
+    got = triangles(_ds(edges), num_partitions=4).to_pandas()
+    got_t = sorted(zip(got["a"], got["b"], got["c"])) if len(got) else []
+    expect = _brute_triangles(edges)
+    assert got_t == expect
+    assert len(expect) > 0  # non-vacuous at this density
+
+
+def test_triangles_counts_each_once_on_clique(ray_session):
+    from mex_extractors_ray.stages.components import triangles
+
+    # K5 has exactly C(5,3) = 10 triangles; duplicated + reversed edges
+    # must not inflate the count
+    edges = []
+    for u in range(5):
+        for v in range(u + 1, 5):
+            edges.append({"a": u, "b": v})
+            edges.append({"a": v, "b": u})  # reversed duplicate
+    got = triangles(_ds(edges), num_partitions=3).to_pandas()
+    assert len(got) == 10
+    assert sorted(zip(got["a"], got["b"], got["c"])) == _brute_triangles(edges)
+
+
+def test_triangles_hub_star_is_triangle_free(ray_session):
+    from mex_extractors_ray.stages.components import triangles
+
+    # star around a hub: zero triangles, and the degree orientation points
+    # every edge AWAY from the leaves (hub has max degree), so the hub
+    # emits no wedges — the skew guarantee in action
+    edges = [{"a": 0, "b": i} for i in range(1, 40)]
+    got = triangles(_ds(edges), num_partitions=4).to_pandas()
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------- covariance
+
+
+def test_price_qty_covariance_truncating_division_matches_duckdb():
+    import duckdb
+
+    # the kernel divides |num| // den with the sign re-applied (truncation
+    # toward zero); DuckDB's // on HUGEINT must agree on negatives
+    for num in (-7, -8, 7, 8, 0):
+        q = abs(num) // 2
+        mine = q if num >= 0 else -q
+        theirs = duckdb.sql(f"SELECT CAST({num} AS HUGEINT) // 2").fetchone()[0]
+        assert mine == theirs
