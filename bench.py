@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "customer_running_spend",
     "token_bm25_topk",
     "docs_profile",
+    "event_transitions",
+    "cohort_retention",
 ]
 
 

@@ -37,6 +37,73 @@ from mex_extractors_ray.cdc.manifest import (
 from mex_extractors_ray.schema import SchemaRegistry, sequence_registry
 
 
+_Z_PREFIX = "z:"
+
+
+def zorder_cols(cluster_by: str | None) -> list[str] | None:
+    """Parse the manifest/CLI cluster spec: ``"z:colA,colB"`` → two-column
+    Z-order (Morton-interleaved ranks); any other string = single-column
+    sort; None = unclustered."""
+    if cluster_by and cluster_by.startswith(_Z_PREFIX):
+        cols = [c for c in cluster_by[len(_Z_PREFIX):].split(",") if c]
+        if len(cols) != 2:
+            raise ValueError(
+                f"z-order clustering takes exactly 2 columns, got {cluster_by!r}")
+        return cols
+    return None
+
+
+def _spread2(x: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits of each value into every other bit position
+    (the classic 2-D Morton magic-number ladder)."""
+    x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _dense_rank(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Dense rank of each value within the table (0-based, value order);
+    nulls rank last. Deterministic from the column content alone, so the
+    verify audit can recompute the exact key the compactor sorted by."""
+    arr = col if isinstance(col, pa.Array) else col.combine_chunks()
+    uniq = pc.unique(arr).drop_null()
+    uniq = pc.take(uniq, pc.array_sort_indices(uniq))
+    idx = pc.index_in(arr, value_set=uniq)
+    idx = pc.fill_null(idx, len(uniq))
+    return np.asarray(idx.cast(pa.int64()))
+
+
+def zorder_key(t: pa.Table, cols: list[str]) -> pa.Array:
+    """Z-order (Morton) key over two columns: dense-rank each column,
+    SCALE each rank range onto the full 21-bit width (a 6-value source
+    column must occupy the same bit ladder as a 10⁶-value numeric one, or
+    the interleave degenerates to whichever column has more distinct
+    values), and interleave the bits (cols[0] takes the higher bit of
+    each pair).
+
+    Sorting one partition's base file by this key makes its parquet
+    row-group min/max statistics selective for conjunctive predicates on
+    BOTH columns at once — the two-column generalization of single-column
+    clustering (a lakehouse Z-ORDER): a (source = x AND n_tok range) read
+    prunes row groups on both legs instead of one. Rank-based (not raw
+    values) so skewed value domains still split evenly across groups;
+    beyond 2²¹ distinct values per column the scaling merges neighboring
+    ranks (stated, not silent — order inside a merged rank falls to the
+    doc_id tie-break)."""
+    cap = np.uint64(0x1FFFFF)
+    parts = []
+    for c in cols:
+        r = _dense_rank(t[c]).astype(np.uint64)
+        d = np.uint64(max(int(r.max()) if len(r) else 0, 1))
+        parts.append((r * cap) // d)
+    z = (_spread2(parts[0]) << np.uint64(1)) | _spread2(parts[1])
+    return pa.array(z.astype(np.int64))
+
+
 def _all_partition_dirs(lake_dir: str | Path) -> list[int]:
     """Every on-disk partition id, INCLUDING split orphans (vacuum's view)."""
     return sorted(
@@ -93,7 +160,15 @@ def compact_partition(lake_dir: str, pid: int, registry_json: str,
     )
 
     merged = _read_partition_live(pdir, m, registry, cols)
-    if cluster_by is not None:
+    zc = zorder_cols(cluster_by)
+    if zc is not None:
+        missing = [c for c in zc if c not in merged.column_names]
+        if missing:
+            raise ValueError(f"z-order columns {missing!r} not in lake schema")
+        merged = merged.append_column("_z", zorder_key(merged, zc))
+        merged = merged.sort_by(
+            [("_z", "ascending"), ("doc_id", "ascending")]).drop_columns(["_z"])
+    elif cluster_by is not None:
         if cluster_by not in merged.column_names:
             raise ValueError(f"cluster_by column {cluster_by!r} not in lake schema")
         merged = merged.sort_by(
@@ -219,12 +294,23 @@ def verify_partition(lake_dir: str, pid: int, registry_json: str) -> dict:
         # objects cost ~10× the Arrow memory inside the audit task).
         # A clustered base (files[0] under manifest cluster_by) is sorted
         # by the cluster column instead of doc_id — audit what was written.
-        sort_col = (m.cluster_by if i == 0 and m.cluster_by
+        # A z-ordered base is sorted by a COMPUTED key: recompute it from
+        # the file content (dense ranks are deterministic per file) and
+        # audit that instead.
+        zc = zorder_cols(m.cluster_by) if i == 0 else None
+        sort_col = (m.cluster_by if i == 0 and m.cluster_by and zc is None
                     and m.cluster_by in t.column_names else "doc_id")
         ids = t["doc_id"].combine_chunks()
         n = len(ids)
         if n > 1:
-            sc = t[sort_col].combine_chunks()
+            if zc is not None:
+                if not all(c in t.column_names for c in zc):
+                    errors.append(f"{f}: z-order columns {zc} missing")
+                    continue
+                sc = zorder_key(t, zc)
+                sort_col = m.cluster_by
+            else:
+                sc = t[sort_col].combine_chunks()
             nxt, prv = sc.slice(1), sc.slice(0, n - 1)
             # null comparisons are skipped (nullable cluster columns sort
             # nulls last; `is False` keeps an all-null file passing)

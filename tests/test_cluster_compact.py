@@ -84,3 +84,111 @@ def test_delta_window_carries_cluster_flag_and_fold_resets(ray_session,
     m = read_manifest(tmp_lake, 0)
     assert m.cluster_by is None
     assert all(r["ok"] for r in verify_lake(tmp_lake))
+
+
+# ------------------------------------------------------------------- z-order
+
+
+def test_zorder_key_interleaves_scaled_ranks():
+    """Known tiny case: both columns scale onto the full 21-bit width, so
+    the z order groups by the (lo/hi, lo/hi) quadrant, never by one
+    column alone."""
+    from mex_extractors_ray.cdc.compact import zorder_key
+
+    t = pa.table({
+        "s": ["a", "a", "b", "b"],
+        "v": [0, 100, 0, 100],
+    })
+    z = zorder_key(t, ["s", "v"]).to_pylist()
+    # (a,0) is the global minimum, (b,100) the global maximum
+    assert z[0] == min(z) and z[3] == max(z)
+    # quadrant keys are all distinct
+    assert len(set(z)) == 4
+
+
+def test_zorder_compact_preserves_state_and_audit(ray_session, tmp_path,
+                                                  tmp_lake):
+    _build(tmp_path, tmp_lake)
+    before = read_lake_arrow(tmp_lake)
+    out = compact(tmp_lake, cluster_by="z:source,n_tok", row_group_rows=48)
+    assert all(r["action"] in ("rewritten", "noop") for r in out)
+    assert read_lake_arrow(tmp_lake).equals(before)
+    # the audit recomputes the z key from file content and checks order
+    assert all(r["ok"] for r in verify_lake(tmp_lake))
+    m = read_manifest(tmp_lake, 0)
+    assert m.cluster_by == "z:source,n_tok" and len(m.files) == 1
+    # re-compact with the same spec is a noop
+    out2 = compact(tmp_lake, cluster_by="z:source,n_tok", row_group_rows=48)
+    assert all(r["action"] == "noop" for r in out2)
+
+
+def test_zorder_prunes_both_predicate_legs(ray_session, tmp_path, tmp_lake):
+    """The point of z-order: a conjunctive (source = x AND n_tok range)
+    predicate prunes row groups on BOTH legs, strictly better than
+    clustering on n_tok alone."""
+    _build(tmp_path, tmp_lake, n=8000)
+
+    def overlapping(pred_src, lo, hi):
+        m = read_manifest(tmp_lake, 0)
+        pf = pq.ParquetFile(f"{tmp_lake}/partition=00000/{m.files[0]}")
+        si = next(i for i, f in enumerate(pf.schema_arrow) if f.name == "source")
+        ni = next(i for i, f in enumerate(pf.schema_arrow) if f.name == "n_tok")
+        hits = 0
+        for i in range(pf.metadata.num_row_groups):
+            ss = pf.metadata.row_group(i).column(si).statistics
+            ns = pf.metadata.row_group(i).column(ni).statistics
+            if ss.max < pred_src or ss.min > pred_src:
+                continue
+            if ns.max < lo or ns.min > hi:
+                continue
+            hits += 1
+        return hits, pf.metadata.num_row_groups
+
+    pred = [("source", "==", "src2"), ("n_tok", ">=", 60), ("n_tok", "<", 90)]
+
+    compact(tmp_lake, cluster_by="n_tok", row_group_rows=16)
+    single_hits, total_single = overlapping("src2", 60, 89)
+    expected = read_lake_filtered_arrow(tmp_lake, pred)
+
+    compact(tmp_lake, cluster_by="z:source,n_tok", row_group_rows=16)
+    z_hits, total_z = overlapping("src2", 60, 89)
+    # filtered reads stay exact under z-order
+    assert read_lake_filtered_arrow(tmp_lake, pred).equals(expected)
+
+    assert total_z == total_single
+    # z-order touches strictly fewer row groups than single-column
+    # clustering for the two-legged predicate (source adds no pruning
+    # under n_tok-only clustering: every group spans all sources)
+    assert z_hits < single_hits
+
+
+def test_zorder_flag_rides_delta_and_fold_resets(ray_session, tmp_path,
+                                                 tmp_lake):
+    _build(tmp_path, tmp_lake)
+    compact(tmp_lake, cluster_by="z:source,n_tok", row_group_rows=48)
+    last = int(pc.max(read_lake_arrow(tmp_lake)["lsn"]).as_py())
+    more = synth_change_log(tmp_path / "log2", n_events=2000, n_docs=750,
+                            seed=14, lsn_start=last + 1)
+    ingest_change_log(more, tmp_lake, num_partitions=4)
+    m = read_manifest(tmp_lake, 0)
+    assert m.cluster_by == "z:source,n_tok" and len(m.files) > 1
+    assert all(r["ok"] for r in verify_lake(tmp_lake))
+    compact(tmp_lake)
+    assert read_manifest(tmp_lake, 0).cluster_by is None
+    assert all(r["ok"] for r in verify_lake(tmp_lake))
+
+
+def test_zorder_rejects_bad_specs(ray_session, tmp_path, tmp_lake):
+    import pytest
+
+    from mex_extractors_ray.cdc.compact import zorder_cols
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        zorder_cols("z:one")
+    with pytest.raises(ValueError, match="exactly 2"):
+        zorder_cols("z:a,b,c")
+    _build(tmp_path, tmp_lake, n=1000)
+    # the per-partition rewrite runs as a Ray task: the ValueError arrives
+    # wrapped in RayTaskError — match the message, not the type
+    with pytest.raises(Exception, match="not in lake schema"):
+        compact(tmp_lake, cluster_by="z:source,nope")
