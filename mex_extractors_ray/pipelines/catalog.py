@@ -398,6 +398,40 @@ def q_cdc_split_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_zorder_state(sf_dir: str) -> pa.Table:
+    """Final state across a Z-ORDER clustered compaction — hash-checked
+    against the SAME oracle as cdc_final_state: the physical re-layout
+    (Morton sort over scaled (source, n_tok) ranks, bounded row groups,
+    audit-recomputed sort key) must be invisible in the data, exactly as
+    the split re-layout is. Runs on a COPY of the two-window lake so the
+    time-travel/change-feed entries keep their delta layout; the verify
+    audit is asserted green before the read."""
+    from mex_extractors_ray.cdc.compact import compact, verify_lake
+
+    src = build_cdc_lake(sf_dir, windows=2)
+    dst = WORK_ROOT / f"{src.parent.name}-zorder"
+    marker = dst / "_zorder_done"
+    if not marker.exists():
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        compact(dst, cluster_by="z:source,n_tok", row_group_rows=4096)
+        bad = [r for r in verify_lake(dst) if not r["ok"]]
+        if bad:
+            raise RuntimeError(f"z-order audit failed: {bad}")
+        marker.touch()
+    lake = read_lake_arrow(dst)
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 _CDC_LOG_SQL = """
   SELECT event_id AS lsn,
          'doc-' || CAST(user_id AS VARCHAR) AS doc_id,
@@ -3992,6 +4026,7 @@ _QUERY_FNS = {
         "events_customers_fulljoin": q_events_customers_fulljoin,
         "doc_triangles": q_doc_triangles,
         "price_qty_covariance": q_price_qty_covariance,
+        "cdc_zorder_state": q_cdc_zorder_state,
     }
 
 
@@ -4576,6 +4611,7 @@ GROUP BY 1
         "events_customers_fulljoin": _FULLJOIN_SQL,
         "doc_triangles": _doc_triangles_oracle(),
         "price_qty_covariance": _PRICE_QTY_COV_SQL,
+        "cdc_zorder_state": _CDC_FINAL_SQL,
     }
 
 
