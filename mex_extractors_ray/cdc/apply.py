@@ -633,7 +633,9 @@ def _read_file_columns(pdir: Path, fname: str, cols: list[str],
     default (mirroring resolve_table's fill, so incremental and recompute
     agree)."""
     present = set(pq.read_schema(pdir / fname).names)
-    want = ["doc_id", "lsn"] + [c for c in cols if c in present and c not in ("doc_id", "lsn")]
+    src = {c: registry.source_name(c, present)
+           for c in cols if c not in ("doc_id", "lsn")}
+    want = ["doc_id", "lsn"] + [s for s in src.values() if s is not None]
     t = pq.read_table(pdir / fname, columns=want)
     types = dict(registry.latest.fields)
     out: dict[str, pa.ChunkedArray | pa.Array] = {"doc_id": t["doc_id"], "lsn": t["lsn"]}
@@ -641,8 +643,8 @@ def _read_file_columns(pdir: Path, fname: str, cols: list[str],
         if c in out:
             continue
         typ = types.get(c, pa.string())
-        if c in present:
-            col = t[c]
+        if src.get(c) is not None:
+            col = t[src[c]]
             out[c] = col.cast(typ) if col.type != typ else col
         else:
             # missing column: fill with the DECLARED type + default (an
@@ -812,7 +814,10 @@ def _read_partition_live(pdir: Path, manifest: PartitionManifest,
     # restored from registry defaults by the column-restricted resolve
     tables = []
     for f in manifest.files:
-        fcols = [c for c in cols if c in pq.read_schema(pdir / f).names]
+        present = set(pq.read_schema(pdir / f).names)
+        # renamed columns: fetch the old spelling from pre-rename files
+        fcols = [s for s in (registry.source_name(c, present) for c in cols)
+                 if s is not None]
         t = pq.read_table(pdir / f, columns=fcols)
         tables.append(registry.resolve_table(t, columns=cols, fill_null_defaults=False).select(cols))
     if not tables:

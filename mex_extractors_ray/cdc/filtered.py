@@ -260,11 +260,16 @@ def _read_partition_filtered(pdir: Path, manifest: PartitionManifest,
         path = pdir / f
         key_tabs.append(pq.read_table(path, columns=["doc_id", "lsn"]))
         fnames = set(pq.read_schema(path).names)
-        push = [(c, o, list(v) if o == "in" else v)
-                for c, o, v in preds if c == "lsn" or c in fnames]
-        residual = [(c, o, v) for c, o, v in preds
-                    if not (c == "lsn" or c in fnames)]
-        fcols = [c for c in need if c == "lsn" or c in fnames]
+
+        def _src(c: str) -> str | None:
+            # lsn is a system column outside the registry; renamed data
+            # columns resolve to their old spelling in pre-rename files
+            return c if c == "lsn" else registry.source_name(c, fnames)
+
+        push = [(_src(c), o, list(v) if o == "in" else v)
+                for c, o, v in preds if _src(c) is not None]
+        residual = [(c, o, v) for c, o, v in preds if _src(c) is None]
+        fcols = [s for s in (_src(c) for c in need) if s is not None]
         mt = pq.read_table(path, columns=fcols, filters=push or None)
         mt = registry.resolve_table(mt, columns=need, fill_null_defaults=False)
         for c, o, v in residual:

@@ -15,7 +15,12 @@ upgraded to the registry's latest version before the keyed apply —
   ``mex/extractors/synopse/transform.py:190``),
 - **type widening** casts up (v3 widens ``n_tok`` int32 → int64); data
   written under an older version is up-cast at scan time and rewritten on
-  compaction.
+  compaction,
+- **renames** re-title a column without touching its data (the runtime
+  form of the reference's column *aliases* — ``alias="StudienID"`` on raw
+  models is exactly "this data is called something else upstream"); a
+  version declares ``renames={"old": "new"}`` and reads of files written
+  under any older version resolve the old name transparently.
 
 The registry itself is a JSON document (the runtime analog of the mapping
 YAMLs) so deployments can ship new versions without code changes.
@@ -61,6 +66,7 @@ class SchemaVersion:
     version: int
     fields: tuple[tuple[str, pa.DataType], ...]  # ordered (name, type)
     defaults: dict[str, object] = field(default_factory=dict)  # name -> fill value (None = null)
+    renames: dict[str, str] = field(default_factory=dict)  # old name -> new name, at this version
 
     def to_arrow(self) -> pa.Schema:
         return pa.schema([pa.field(n, t) for n, t in self.fields])
@@ -75,23 +81,62 @@ class SchemaRegistry:
         self._by_version = {v.version: v for v in sorted(versions, key=lambda v: v.version)}
         self.latest_version = max(self._by_version)
         self._validate()
+        self._aliases = self._build_aliases()
 
     def _validate(self) -> None:
         prev: SchemaVersion | None = None
         for v in self._by_version.values():
             if prev is not None:
                 prev_types = dict(prev.fields)
+                v_names = {n for n, _ in v.fields}
+                for old, new in v.renames.items():
+                    if old not in prev_types:
+                        raise ValueError(
+                            f"v{v.version} renames unknown column {old!r} "
+                            f"(not in v{prev.version})")
+                    if new not in v_names:
+                        raise ValueError(
+                            f"v{v.version} renames {old!r} -> {new!r} but "
+                            f"{new!r} is not a v{v.version} field")
+                    if old in v_names:
+                        raise ValueError(
+                            f"v{v.version} renames {old!r} -> {new!r} but keeps "
+                            f"a field named {old!r} too — ambiguous")
                 for name, typ in v.fields:
-                    if name in prev_types and prev_types[name] != typ:
-                        if (prev_types[name], typ) not in _WIDENINGS:
+                    prev_name = next(
+                        (o for o, nw in v.renames.items() if nw == name), name)
+                    if prev_name in prev_types and prev_types[prev_name] != typ:
+                        if (prev_types[prev_name], typ) not in _WIDENINGS:
                             raise ValueError(
-                                f"illegal type change {name}: {prev_types[name]} -> {typ} "
+                                f"illegal type change {name}: {prev_types[prev_name]} -> {typ} "
                                 f"(v{prev.version} -> v{v.version}); only widening is allowed"
                             )
-                dropped = set(prev_types) - {n for n, _ in v.fields}
+                dropped = set(prev_types) - v_names - set(v.renames)
                 if dropped:
                     raise ValueError(f"columns may not be dropped (v{v.version} drops {dropped})")
             prev = v
+
+    def _build_aliases(self, upto: int | None = None) -> dict[str, tuple[str, ...]]:
+        """field name AT version ``upto`` (default latest) -> every
+        historical name it has carried, NEWEST alias first (resolution
+        prefers the most recent spelling when a file somehow carries
+        several)."""
+        upto = self.latest_version if upto is None else upto
+        # walk versions oldest -> newest, tracking each column's name history
+        history: dict[str, list[str]] = {}  # current name -> past names, newest first
+        first = True
+        for v in self._by_version.values():
+            if v.version > upto:
+                break
+            if first:
+                history = {n: [] for n, _ in v.fields}
+                first = False
+                continue
+            for old, new in v.renames.items():
+                history[new] = [old] + history.pop(old, [])
+            for n, _ in v.fields:
+                history.setdefault(n, [])
+        return {n: tuple(past) for n, past in history.items()}
 
     def __getitem__(self, version: int) -> SchemaVersion:
         return self._by_version[version]
@@ -99,6 +144,22 @@ class SchemaRegistry:
     @property
     def latest(self) -> SchemaVersion:
         return self._by_version[self.latest_version]
+
+    def source_name(self, name: str, present, to_version: int | None = None) -> str | None:
+        """The spelling under which current-version column ``name`` appears
+        in a file whose columns are ``present``: the name itself if there,
+        else its newest alias that is there, else None (the file predates
+        the column entirely). Read paths use this so projection pushdown
+        still fetches a renamed column's DATA from pre-rename files instead
+        of silently filling defaults."""
+        if name in present:
+            return name
+        aliases = (self._aliases if to_version in (None, self.latest_version)
+                   else self._build_aliases(to_version))
+        for old in aliases.get(name, ()):
+            if old in present:
+                return old
+        return None
 
     def resolve_table(self, table: pa.Table, to_version: int | None = None,
                       columns=None, fill_null_defaults: bool = True) -> pa.Table:
@@ -123,14 +184,25 @@ class SchemaRegistry:
         written before the column existed still gets the default).
         """
         target = self[to_version if to_version is not None else self.latest_version]
+        aliases = (self._aliases if target.version == self.latest_version
+                   else self._build_aliases(target.version))
         n = table.num_rows
         cols: list[pa.ChunkedArray | pa.Array] = []
         names: list[str] = []
         have = {name: i for i, name in enumerate(table.column_names)}
+        consumed: set[str] = set()
         wanted = None if columns is None else set(columns)
         for name, typ in target.fields:
             if wanted is not None and name not in wanted:
                 continue
+            if name not in have:
+                # a file written before a rename carries the OLD name:
+                # resolve through the alias chain, newest spelling first
+                for old in aliases.get(name, ()):
+                    if old in have:
+                        have[name] = have[old]
+                        consumed.add(old)
+                        break
             if name in have:
                 col = table.column(have[name])
                 if col.type != typ:
@@ -152,8 +224,9 @@ class SchemaRegistry:
             names.append(name)
         target_names = {n for n, _ in target.fields}
         for name in table.column_names:
-            if name not in target_names and (wanted is None or name in wanted):
-                cols.append(table.column(have[name]))
+            if (name not in target_names and name not in consumed
+                    and (wanted is None or name in wanted)):
+                cols.append(table.column(name))
                 names.append(name)
         return pa.table(dict(zip(names, cols)))
 
@@ -165,6 +238,7 @@ class SchemaRegistry:
                 "version": v.version,
                 "fields": [[n, _NAME_OF_TYPE[t]] for n, t in v.fields],
                 "defaults": {k: val for k, val in v.defaults.items()},
+                **({"renames": dict(v.renames)} if v.renames else {}),
             }
             for v in self._by_version.values()
         ]
@@ -181,6 +255,7 @@ class SchemaRegistry:
                 version=e["version"],
                 fields=tuple((n, _TYPE_NAMES[t]) for n, t in e["fields"]),
                 defaults=dict(e.get("defaults", {})),
+                renames=dict(e.get("renames", {})),
             )
             for e in doc
         ]
