@@ -432,6 +432,38 @@ def q_cdc_zorder_state(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_rename_state(sf_dir: str) -> pa.Table:
+    """Final state read under a registry v4 that RENAMES source → origin
+    (schema-evolution rename, the reference's column-alias discipline at
+    runtime): files written pre-rename resolve the old spelling
+    transparently — data, not defaults. Same oracle rows as
+    cdc_final_state with the column re-titled in the SQL, so a silent
+    default-fill (all-'de'-style bug) would hash-mismatch."""
+    from mex_extractors_ray.schema import (SchemaRegistry, SchemaVersion,
+                                           sequence_registry)
+
+    stock = sequence_registry()
+    v4 = SchemaVersion(
+        4,
+        (("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+         ("n_tok", pa.int64()), ("origin", pa.string()), ("lang", pa.string())),
+        defaults={"lang": "de"},
+        renames={"source": "origin"},
+    )
+    reg4 = SchemaRegistry([stock[1], stock[2], stock[3], v4])
+    lake = read_lake_arrow(build_cdc_lake(sf_dir, windows=2), registry=reg4)
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "origin": lake["origin"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 _CDC_LOG_SQL = """
   SELECT event_id AS lsn,
          'doc-' || CAST(user_id AS VARCHAR) AS doc_id,
@@ -4027,6 +4059,7 @@ _QUERY_FNS = {
         "doc_triangles": q_doc_triangles,
         "price_qty_covariance": q_price_qty_covariance,
         "cdc_zorder_state": q_cdc_zorder_state,
+        "cdc_rename_state": q_cdc_rename_state,
     }
 
 
@@ -4612,6 +4645,9 @@ GROUP BY 1
         "doc_triangles": _doc_triangles_oracle(),
         "price_qty_covariance": _PRICE_QTY_COV_SQL,
         "cdc_zorder_state": _CDC_FINAL_SQL,
+        "cdc_rename_state":
+            f"SELECT doc_id, source AS origin, lang, n_tok, last_lsn, tok_sum "
+            f"FROM ({_CDC_FINAL_SQL})",
     }
 
 
