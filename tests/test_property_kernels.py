@@ -110,3 +110,51 @@ def test_pagerank_sql_matches_reference_loop(n_nodes, n_edges, iters, seed):
     got = con.execute(sql + " ORDER BY node").df()
     want = _brute_pagerank(edges, list(range(n_nodes)), iters)
     assert got["rank"].tolist() == [want[n] for n in range(n_nodes)]
+
+
+@st.composite
+def _two_col_table(draw):
+    n = draw(st.integers(1, 80))
+    a = [draw(st.integers(0, 20)) for _ in range(n)]
+    b = [draw(st.sampled_from(["p", "q", "r", "s"])) for _ in range(n)]
+    return a, b
+
+
+@settings(max_examples=60, deadline=None)
+@given(_two_col_table())
+def test_zorder_key_monotone_per_axis_and_bounded(case):
+    """The Morton key is (1) bounded to 43 bits, (2) deterministic, and
+    (3) MONOTONE along each axis: with the other coordinate fixed, a
+    larger rank never gets a smaller key — the property row-group
+    min/max pruning relies on."""
+    from mex_extractors_ray.cdc.compact import zorder_key
+
+    a, b = case
+    t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b)})
+    z = np.asarray(zorder_key(t, ["a", "b"]))
+    assert (z >= 0).all() and (z < (1 << 43)).all()
+    assert np.array_equal(z, np.asarray(zorder_key(t, ["a", "b"])))  # deterministic
+    # per-axis monotonicity via the pairwise check on equal other-coord
+    av, bv = np.array(a), np.array(b)
+    for i in range(len(a)):
+        same_b = bv == bv[i]
+        assert not ((av[same_b] > av[i]) & (z[same_b] < z[i])).any()
+        same_a = av == av[i]
+        bi = bv[same_a]
+        assert not ((bi > bv[i]) & (z[same_a] < z[i])).any()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 0x1FFFFF))
+def test_spread2_roundtrip_bits(x):
+    """_spread2 places bit i of the input at bit 2i of the output,
+    exactly."""
+    from mex_extractors_ray.cdc.compact import _spread2
+
+    out = int(_spread2(np.array([x], dtype=np.uint64))[0])
+    back = 0
+    for i in range(21):
+        back |= ((out >> (2 * i)) & 1) << i
+    assert back == x
+    # odd bit positions are all zero
+    assert out & 0xAAAAAAAAAAAAAAAA == 0
