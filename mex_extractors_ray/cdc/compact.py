@@ -1065,6 +1065,7 @@ def lake_stats(lake_dir: str | Path) -> dict:
     meta = load_lake_meta(lake_dir)
     loads = partition_loads(lake_dir)
     marks, floors, tombs = [], [], 0
+    cluster_specs: dict[str, int] = {}
     for pid in _partition_ids(lake_dir):
         m = read_manifest(lake_dir, pid)
         if m is None:
@@ -1072,8 +1073,14 @@ def lake_stats(lake_dir: str | Path) -> dict:
         marks.append(m.last_lsn)
         floors.append(m.last_lsn if m.history_floor == -2 else m.history_floor)
         tombs += m.tombstone_count
+        spec = m.cluster_by or "(doc_id)"
+        cluster_specs[spec] = cluster_specs.get(spec, 0) + 1
     rows = [l["rows"] for l in loads]
     return {
+        # partitions per clustering spec — "(doc_id)" = unclustered base,
+        # "n_tok" = single-column, "z:a,b" = Morton; a mixed lake means a
+        # clustered compact is in flight or a fold reset part of it
+        "clustering": cluster_specs,
         "num_partitions": meta["num_partitions"],
         "splits": {str(k): v for k, v in sorted(meta["splits"].items())},
         "live_physical_partitions": len(loads),

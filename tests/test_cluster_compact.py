@@ -117,6 +117,10 @@ def test_zorder_compact_preserves_state_and_audit(ray_session, tmp_path,
     assert all(r["ok"] for r in verify_lake(tmp_lake))
     m = read_manifest(tmp_lake, 0)
     assert m.cluster_by == "z:source,n_tok" and len(m.files) == 1
+    # operator surface: lake_stats reports the clustering state per spec
+    from mex_extractors_ray.cdc.compact import lake_stats
+
+    assert lake_stats(tmp_lake)["clustering"] == {"z:source,n_tok": 4}
     # re-compact with the same spec is a noop
     out2 = compact(tmp_lake, cluster_by="z:source,n_tok", row_group_rows=48)
     assert all(r["action"] == "noop" for r in out2)
