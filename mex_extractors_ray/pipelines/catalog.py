@@ -3878,6 +3878,100 @@ FROM st
 # the stale empty schema (round-2 proven, hash-green). Single-shuffle
 # pipelines are immune: their shuffle keys are minted on never-empty read
 # batches.
+VOCAB_REMAP_K = 1200     # top-k kept ids; UNK id = VOCAB_REMAP_K
+
+
+def q_cdc_vocab_remap(sf_dir: str):
+    """Frequency-rank vocabulary remap over the live lake's token payload
+    (tokens:list<int32> — the BASELINE.json column): keep the 1200 most
+    frequent ids (ties → smaller id), fold the tail into UNK. The
+    position-weighted checksum verifies every token's remapped VALUE and
+    POSITION per doc against the closed-form oracle; n_unk the fold.
+    Two streaming passes — O(|V|) histogram exchange, then a broadcast
+    LUT map — the shape that holds when the corpus grows 10^6× while the
+    tokenizer vocab stays fixed."""
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.stages.tokens import vocab_remap
+
+    ds = read_lake(build_cdc_lake(sf_dir), columns=["doc_id", "tokens"])
+    return vocab_remap(ds, vocab_size=VOCAB_SIZE, top_k=VOCAB_REMAP_K,
+                       num_partitions=16).to_pandas()
+
+
+MIXTURE_FACTORS = {"src0": (5, 2), "src1": (3, 1), "src2": (0, 1),
+                   "src3": (1, 2)}
+MIXTURE_DEFAULT = (1, 1)
+MIXTURE_SEED = 7
+
+
+def q_mixture_upsampled_docs(sf_dir: str):
+    """Training-mix repeat-upsampling (epoch composition): src1 tripled,
+    src0 2.5× in expectation via a deterministic per-doc fmix64 coin,
+    src2 dropped, src3 halved, everything else kept once. One streaming
+    pass, no shuffle, no RNG state — re-runs and the SQL oracle emit the
+    identical multiset with identical 1-based copy indices."""
+    from mex_extractors_ray.stages.sampling import mixture_upsample
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source"])
+    return mixture_upsample(docs, "doc_id", "source", MIXTURE_FACTORS,
+                            default=MIXTURE_DEFAULT,
+                            seed=MIXTURE_SEED).to_pandas()
+
+
+def q_customer_median_order(sf_dir: str):
+    """EXACT grouped PERCENTILE_DISC(0.5 / 0.9) of order value per
+    customer over an unbounded value space (price cents) — one coarse
+    hash shuffle on the customer key, per-block sort + run-boundary rank
+    picks; per-group state never leaves its block."""
+    from mex_extractors_ray.stages.aggregates import keyed_quantile_disc
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "price_c100": _cents(t["o_totalprice"])})
+
+    ds = orders.map_batches(cents, batch_format="pyarrow")
+    return keyed_quantile_disc(ds, "o_custkey", "price_c100",
+                               qs=(0.5, 0.9), num_partitions=32).to_pandas()
+
+
+def q_cdc_repaired_replica(sf_dir: str) -> pa.Table:
+    """Anti-entropy REPAIR end to end: a stale prefix replica (the lake as
+    of cut = max(lsn)//2) is converged to the full lake by diff → read-back
+    of only the differing docs' payloads → ordinary CDC apply with
+    preserved source lsns. The repaired replica's live state must equal
+    the closed-form FINAL state — same oracle as cdc_final_state, which
+    also proves repair cost ∝ divergence preserves last-wins, deletes and
+    byte-exact token payloads."""
+    from mex_extractors_ray.cdc.repair import repair_replica
+
+    key = (sf_dir, "repaired_replica")
+    if key not in _LAKE_CACHE:
+        src = build_cdc_lake(sf_dir)
+        stale = build_cdc_lake(sf_dir, upto_cut=True)
+        tag = hashlib.sha1(f"{sf_dir}|repair".encode()).hexdigest()[:10]
+        dst = WORK_ROOT / f"cdc-{tag}" / "replica"
+        shutil.rmtree(dst.parent, ignore_errors=True)
+        dst.parent.mkdir(parents=True)
+        shutil.copytree(stale, dst)
+        repair_replica(src, dst)
+        _LAKE_CACHE[key] = dst
+    lake = read_lake_arrow(_LAKE_CACHE[key])
+    return pa.table(
+        {
+            "doc_id": lake["doc_id"],
+            "source": lake["source"],
+            "lang": lake["lang"],
+            "n_tok": lake["n_tok"].cast(pa.int64()),
+            "last_lsn": lake["lsn"],
+            "tok_sum": _tok_sums(lake["tokens"]),
+        }
+    )
+
+
 _SORT_STRATEGY_ONLY = {
     "doc_triangles",
     "minhash_near_dups",
@@ -4049,6 +4143,10 @@ _QUERY_FNS = {
         "cdc_live_counts_mv": q_cdc_live_counts_mv,
         "chunk_dedup_docs": q_chunk_dedup_docs,
         "multi_entity_etl": q_multi_entity_etl,
+        "cdc_vocab_remap": q_cdc_vocab_remap,
+        "mixture_upsampled_docs": q_mixture_upsampled_docs,
+        "customer_median_order": q_customer_median_order,
+        "cdc_repaired_replica": q_cdc_repaired_replica,
         "minhash_near_dups_exact": q_minhash_near_dups_exact,
         "simhash_near_dups_exact": q_simhash_near_dups_exact,
         "event_transitions": q_event_transitions,
@@ -4121,6 +4219,14 @@ def _negative_samples_oracle() -> str:
 
     return negative_samples_sql("documents", "doc_id",
                                 k=NEG_SAMPLES_K, seed=NEG_SAMPLES_SEED)
+
+
+def _mixture_oracle() -> str:
+    from mex_extractors_ray.stages.sampling import mixture_upsample_sql
+
+    return mixture_upsample_sql("(SELECT doc_id, source FROM documents)",
+                                "doc_id", "source", MIXTURE_FACTORS,
+                                default=MIXTURE_DEFAULT, seed=MIXTURE_SEED)
 
 
 def oracle_sql():
@@ -4637,6 +4743,38 @@ GROUP BY 1
 """,
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
         "multi_entity_etl": _multi_entity_sql(),
+        "cdc_vocab_remap": _CDC_RANKED_SQL + f"""
+, live AS (SELECT doc_id, user_id, lsn FROM ranked
+           WHERE rn = 1 AND op <> 'delete'),
+occ AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+               (user_id * 2654435761 + t.i * 40503) % 50000 AS tok
+        FROM live, UNNEST(range(0, CAST(8 + (lsn % 120) AS INT))) AS t(i)),
+hist AS (SELECT tok, COUNT(*) AS n FROM occ GROUP BY tok),
+vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS new_id
+          FROM hist QUALIFY new_id < {VOCAB_REMAP_K})
+SELECT occ.doc_id,
+       CAST(SUM((occ.i + 1) * COALESCE(v.new_id, {VOCAB_REMAP_K})) AS BIGINT)
+           AS remap_wsum,
+       CAST(SUM(CASE WHEN v.new_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk
+FROM occ LEFT JOIN vocab v ON occ.tok = v.tok
+GROUP BY occ.doc_id
+""",
+        "mixture_upsampled_docs": _mixture_oracle(),
+        "customer_median_order": """
+WITH o AS (SELECT o_custkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+           FROM orders)
+SELECT o_custkey, CAST(50 AS BIGINT) AS q_c100,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS price_c100
+FROM o GROUP BY o_custkey
+UNION ALL
+SELECT o_custkey, CAST(90 AS BIGINT) AS q_c100,
+       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY c) AS price_c100
+FROM o GROUP BY o_custkey
+""",
+        # repair must reproduce the FULL lake's closed-form final state
+        "cdc_repaired_replica": _CDC_FINAL_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "nchar_zscore_outliers": _NCHAR_ZSCORE_SQL,

@@ -788,3 +788,52 @@ def zscore_outliers(ds, group_col: str, value_col: str, z: int = 2,
         return b.filter(pa.array(d > k_np[idx]))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def keyed_quantile_disc(ds, key: str, value_col: str,
+                        qs: tuple[float, ...] = (0.5,),
+                        num_partitions: int = 64):
+    """EXACT grouped discrete quantiles (``PERCENTILE_DISC(q) WITHIN GROUP``)
+    over an UNBOUNDED-cardinality value column — the gap left between
+    :func:`grouped_bounded_quantiles` (exact, but bounded value space) and
+    :func:`mex_extractors_ray.stages.shuffle.hash_sample_quantiles`
+    (unbounded, but sampled): here every group's quantile is the actual
+    element at rank ``ceil(q·n)``, whatever the value space.
+
+    Scale shape: ONE coarse hash shuffle on the GROUP key (all rows of a
+    group land in one block — the ``_keyed_blocks`` contract), then per
+    block one Arrow sort + run-boundary rank picks; per-group state never
+    exists outside its block, so memory is bounded by the largest group,
+    not the corpus. Nulls are excluded (SQL semantics). Output:
+    ``(key, q_c100:int64, value_col)`` with the value's original type."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    qs = tuple(qs)
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"keyed_quantile_disc: q={q} outside (0, 1]")
+
+    def block(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g[value_col]))
+        n = g.num_rows
+        empty = pa.table({key: pa.array([], g[key].type),
+                          "q_c100": pa.array([], pa.int64()),
+                          value_col: pa.array([], g[value_col].type)})
+        if n == 0:
+            return empty
+        t = g.sort_by([(key, "ascending"), (value_col, "ascending")])
+        starts = np.flatnonzero(_run_starts(t[key]))
+        counts = np.diff(np.append(starts, n))
+        outs = []
+        for q in qs:
+            pick = starts + np.ceil(q * counts).astype(np.int64) - 1
+            taken = pa.array(pick)
+            outs.append(pa.table({
+                key: t[key].take(taken),
+                "q_c100": pa.array(np.full(len(pick),
+                                           int(round(q * 100)), np.int64)),
+                value_col: t[value_col].take(taken),
+            }))
+        return pa.concat_tables(outs)
+
+    return _keyed_blocks(ds, key, block, num_partitions)

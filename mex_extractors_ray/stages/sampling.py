@@ -159,3 +159,87 @@ def weighted_bernoulli_sample_sql(table: str, id_col: str, weight_expr: str,
 SELECT * EXCLUDE (_wbkey) FROM {keyed}
 WHERE CAST(_wbkey % {den} AS BIGINT) < LEAST(CAST(({weight_expr}) AS BIGINT), {den})
 """
+
+
+def mixture_upsample(ds, id_col: str, group_col: str,
+                     factors: dict[str, tuple[int, int]],
+                     default: tuple[int, int] = (1, 1), seed: int = 0,
+                     out_col: str = "repeat_idx"):
+    """Training-mix repeat-upsampling: each row is emitted ``num/den`` times
+    in expectation for its group's rational factor — the data-mixing step
+    of weighting high-quality sources up (factor > 1) or down (< 1, 0
+    drops) when composing an LM training epoch.
+
+    The integer part of the factor repeats every row; the fractional part
+    is a deterministic fmix64 coin per row id (the
+    :func:`weighted_bernoulli_sample` discipline), so re-runs, resumed
+    shards and the SQL oracle emit exactly the same multiset. One
+    streaming ``map_batches`` — no shuffle, no RNG state; output rows
+    carry ``out_col`` (1-based copy index) so downstream epoch shuffles
+    can key on ``(id, repeat_idx)``."""
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+    for g, (num, den) in factors.items():
+        if den <= 0 or num < 0:
+            raise ValueError(f"mixture_upsample: bad factor {g}: {num}/{den}")
+    if default[1] <= 0 or default[0] < 0:
+        raise ValueError(f"mixture_upsample: bad default {default}")
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+            dtype=np.int64,
+        )
+        groups = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        base = np.full(n, default[0] // default[1], dtype=np.int64)
+        rem = np.full(n, default[0] % default[1], dtype=np.int64)
+        den = np.full(n, default[1], dtype=np.int64)
+        # bounded loop over the batch's DISTINCT groups, not its rows
+        for g in np.unique(groups):
+            if g in factors:
+                m = groups == g
+                num_g, den_g = factors[g]
+                base[m], rem[m], den[m] = num_g // den_g, num_g % den_g, den_g
+        coin = (shuffle_keys(ids, seed, 0)
+                % den.astype(np.uint64)).astype(np.int64)
+        reps = base + (coin < rem)
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        out = t.take(pa.array(idx))
+        starts = np.cumsum(reps) - reps
+        ridx = (np.arange(len(idx), dtype=np.int64)
+                - np.repeat(starts, reps) + 1)
+        return out.append_column(out_col, pa.array(ridx))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def mixture_upsample_sql(table: str, id_col: str, group_col: str,
+                         factors: dict[str, tuple[int, int]],
+                         default: tuple[int, int] = (1, 1), seed: int = 0,
+                         out_col: str = "repeat_idx") -> str:
+    """DuckDB mirror of :func:`mixture_upsample`: identical fmix64 coin,
+    identical repeat rule, copies via ``unnest(generate_series(...))``."""
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    keyed = epoch_shuffle_sql(table, id_col, seed, 0, out_col="_mxkey")
+    cases_base = " ".join(
+        f"WHEN '{g}' THEN {num // den}" for g, (num, den) in factors.items())
+    cases_rem = " ".join(
+        f"WHEN '{g}' THEN {num % den}" for g, (num, den) in factors.items())
+    cases_den = " ".join(
+        f"WHEN '{g}' THEN {den}" for g, (num, den) in factors.items())
+    d_base, d_rem, d_den = (default[0] // default[1], default[0] % default[1],
+                            default[1])
+    return f"""
+SELECT * EXCLUDE (_mxkey, _reps),
+       CAST(unnest(generate_series(1, _reps)) AS BIGINT) AS {out_col}
+FROM (
+  SELECT *,
+         (CASE {group_col} {cases_base} ELSE {d_base} END)
+         + (CASE WHEN CAST(_mxkey % (CASE {group_col} {cases_den} ELSE {d_den} END) AS BIGINT)
+                      < (CASE {group_col} {cases_rem} ELSE {d_rem} END)
+                 THEN 1 ELSE 0 END) AS _reps
+  FROM {keyed})
+"""

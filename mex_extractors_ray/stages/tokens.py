@@ -60,3 +60,99 @@ def token_bigram_topk(ds, list_col: str = "tokens", vocab_size: int = 50_000,
         rows, schema=pa.schema([("bg", pa.int64()), ("n", pa.int64())])
     ).sort_by([("n", "descending"), ("bg", "ascending")])
     return small.slice(0, k).select(["bg", "n"])
+
+
+def token_histogram(ds, list_col: str = "tokens", vocab_size: int = 50_000,
+                    num_partitions: int = 32) -> pa.Table:
+    """Exact unigram frequency over a ``list<int>`` token column, returned
+    as a SMALL pa.Table (token:int64, n:int64) — the driver only ever sees
+    ≤ ``vocab_size`` rows because every batch collapses to a ``bincount``
+    partial before the exchange. Tokenizer vocabularies are fixed while
+    the corpus grows, so this stays O(|V|) at 10^10 rows. Tokens outside
+    ``[0, vocab_size)`` raise (loudly) rather than aliasing."""
+    from mex_extractors_ray.stages.aggregates import keyed_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        if len(vals) and (vals.min() < 0 or vals.max() >= vocab_size):
+            raise ValueError(
+                f"token_histogram: token ids outside [0, {vocab_size})")
+        counts = np.bincount(vals, minlength=vocab_size)
+        nz = np.flatnonzero(counts)
+        return pa.table({"token": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    sums = keyed_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["token"], ["n"], num_partitions=num_partitions)
+    rows = sums.take_all()  # bounded by |V|, never the corpus
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("token", pa.int64()), ("n", pa.int64())])
+    ).sort_by([("n", "descending"), ("token", "ascending")])
+
+
+def remap_lut(hist: pa.Table, vocab_size: int, top_k: int) -> np.ndarray:
+    """Frequency-rank remap table: the ``top_k`` most frequent tokens (ties
+    broken by smaller token id — ``row_number() OVER (ORDER BY n DESC,
+    token)`` semantics) get new ids ``0..top_k-1`` in rank order; every
+    other id maps to the UNK id ``top_k``. O(|V|) memory — broadcastable."""
+    tok = np.asarray(hist["token"].combine_chunks(), dtype=np.int64)
+    n = np.asarray(hist["n"].combine_chunks(), dtype=np.int64)
+    order = np.lexsort((tok, -n))[:top_k]
+    lut = np.full(vocab_size, top_k, dtype=np.int64)
+    lut[tok[order]] = np.arange(len(order), dtype=np.int64)
+    return lut
+
+
+def vocab_remap(ds, list_col: str = "tokens", key_col: str = "doc_id",
+                vocab_size: int = 50_000, top_k: int = 1000,
+                num_partitions: int = 32):
+    """Frequency-based vocabulary remap over the tokenized-sequence payload
+    (the BASELINE.json ``tokens:list<int32>`` column) — the LM-data op of
+    shrinking a tokenizer vocabulary to its ``top_k`` most frequent ids
+    and folding the tail into one UNK id (= ``top_k``).
+
+    Two passes, both streaming: (1) :func:`token_histogram` — per-batch
+    ``bincount`` partials, one O(|V|) exchange, O(|V|) driver finalize;
+    (2) the remap LUT (|V| int64s, ~400 KB at 50k — ``ray.put`` once,
+    zero-copy plasma read per task) applied per batch over the raw list
+    offsets: gather + position-weighted ``np.add.reduceat``, no row loop.
+
+    Returns a Dataset of ``(key_col, remap_wsum:int64, n_unk:int64)`` —
+    ``remap_wsum = Σ (i+1)·new_id(tok_i)`` is ORDER-SENSITIVE, so it
+    checks every token's remapped value AND position; ``n_unk`` counts
+    tokens folded into UNK. (Emitting the remapped lists themselves is
+    the same kernel with ``pa.ListArray.from_arrays(offsets, new)``; the
+    checksum form keeps the oracle exact and the exchange small.)"""
+    import ray
+
+    lut_ref = ray.put(remap_lut(token_histogram(
+        ds, list_col, vocab_size, num_partitions), vocab_size, top_k))
+    unk = np.int64(top_k)
+
+    def remap(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)  # zero-copy from the local object store
+        col = t[list_col].combine_chunks()
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        new = lut[vals]
+        lens = np.diff(offs)
+        n = len(lens)
+        pos = (np.arange(offs[-1], dtype=np.int64)
+               - np.repeat(offs[:-1], lens) + 1)
+        wsum = np.zeros(n, dtype=np.int64)
+        unk_n = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if len(vals):
+            starts = offs[:-1][nonempty]
+            wsum[nonempty] = np.add.reduceat(new * pos, starts)
+            unk_n[nonempty] = np.add.reduceat(
+                (new == unk).astype(np.int64), starts)
+        return pa.table({
+            key_col: t[key_col],
+            "remap_wsum": pa.array(wsum),
+            "n_unk": pa.array(unk_n),
+        })
+
+    return ds.map_batches(remap, batch_format="pyarrow")
