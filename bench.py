@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "docs_profile",
     "event_transitions",
     "cohort_retention",
+    "cdc_vocab_remap",
+    "customer_median_order",
+    "mixture_upsampled_docs",
 ]
 
 

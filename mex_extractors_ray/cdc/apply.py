@@ -1213,8 +1213,18 @@ def ingest_change_log(
     track_value_counts: tuple | None = None,
     track_group_sums: tuple | None = None,
     track_bounds: tuple | None = None,
+    constraints: list[dict] | None = None,
+    rejects_out=None,
 ) -> pa.Table:
     """Run one ingest over a change log; returns per-partition metrics.
+
+    ``constraints`` is a reject-rule list (``stages.filters`` shape, or
+    ``config.filter_yaml_to_rules`` output): violating events are gated
+    out BEFORE the shuffle — as if never sent, so last-wins is computed
+    over valid events only — and, with ``rejects_out``, side-written to a
+    dead-letter parquet dir with ``_reject_reason`` lineage in the same
+    pass (see ``cdc.gate`` for why the DLQ is a rebuildable view rather
+    than a committed table).
 
     ``track_value_counts=(col, ...)`` maintains per-partition live
     value→count aggregates in the manifests (bounded-cardinality lake
@@ -1253,6 +1263,14 @@ def ingest_change_log(
     Path(lake_dir).mkdir(parents=True, exist_ok=True)
     from mex_extractors_ray.cdc.manifest import writer_lock
 
+    if constraints:
+        from mex_extractors_ray.cdc.gate import gate_change_log
+
+        # gate outside the lock: it only reads the log (and rebuilds the
+        # caller-owned DLQ dir); the lake is untouched until the apply
+        log_paths = gate_change_log(log_paths, constraints, rejects_out)
+    elif rejects_out is not None:
+        raise ValueError("rejects_out given without constraints")
     with writer_lock(lake_dir, "ingest"):
         return _locked_ingest(
             log_paths, lake_dir, num_partitions, registry, registry_json,

@@ -68,9 +68,20 @@ def cmd_ingest(args) -> int:
 
     import pyarrow.compute as pc
 
+    constraints = None
+    if args.constraints:
+        p = Path(args.constraints)
+        if p.suffix in (".yaml", ".yml"):
+            from mex_extractors_ray.config import filter_yaml_to_rules, load_yaml
+
+            constraints = filter_yaml_to_rules(load_yaml(p))
+        else:
+            constraints = json.loads(p.read_text())
     metrics = ingest_change_log(
         _log_paths(args.log), args.lake, num_partitions=args.partitions,
         mode=args.apply_mode,
+        constraints=constraints,
+        rejects_out=args.rejects_out or None,
         delta=not args.no_delta, compact_threshold=args.compact_threshold,
         # empty flag = inherit the lake's established view (None), never an
         # implicit drop; `--track-counts ""` has no way to request a drop —
@@ -442,6 +453,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated orderable lake columns to maintain "
                         "per-partition zone maps for (range-predicate "
                         "partition pruning in `read`)")
+    i.add_argument("--constraints", default="",
+                   help="write-time constraint gate: path to a JSON rule "
+                        "list (stages.filters shape) or a filter YAML "
+                        "(the reference's activity_filter.yaml shape); "
+                        "violating events never reach the merge")
+    i.add_argument("--rejects-out", dest="rejects_out", default="",
+                   help="dead-letter parquet dir for gated events "
+                        "(rebuilt per run — a recomputable view of the log)")
     i.add_argument("--apply-mode", dest="apply_mode", default="last_wins",
                    choices=["last_wins", "first_wins", "patch", "append"],
                    help="merge semantics (recorded in the lake meta; "

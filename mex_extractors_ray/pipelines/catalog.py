@@ -3972,6 +3972,67 @@ def q_cdc_repaired_replica(sf_dir: str) -> pa.Table:
     )
 
 
+GATE_NTOK_MAX = 96
+GATE_RULES = [{"name": "toolong", "column": "n_tok", "op": ">",
+               "value": GATE_NTOK_MAX}]
+
+
+def _build_gated_lake(sf_dir: str) -> tuple[Path, Path]:
+    """Ingest the events-derived log through the WRITE-TIME CONSTRAINT
+    GATE (reject n_tok > 96 before the shuffle, dead-letter side table
+    with lineage). Returns (lake_dir, rejects_dir); cached per sf_dir."""
+    key = (sf_dir, "gated")
+    if key not in _LAKE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}|gated".encode()).hexdigest()[:10]
+        base = WORK_ROOT / f"cdc-{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir, lake_dir = base / "log", base / "lake"
+        log_dir.mkdir(parents=True)
+        log = change_log_from_events(pq.read_table(f"{sf_dir}/events.parquet"))
+        paths = []
+        for i, start in enumerate(range(0, log.num_rows, 100_000)):
+            p = log_dir / f"log-{i:05d}.parquet"
+            pq.write_table(log.slice(start, 100_000), p, compression="snappy")
+            paths.append(str(p))
+        ingest_change_log(paths, lake_dir, num_partitions=CDC_PARTITIONS,
+                          constraints=GATE_RULES,
+                          rejects_out=base / "rejects")
+        _LAKE_CACHE[key] = (lake_dir, base / "rejects")
+    return _LAKE_CACHE[key]
+
+
+def q_cdc_gated_state(sf_dir: str) -> pa.Table:
+    """Final state under the write-time gate: rejected events are AS IF
+    NEVER SENT (last-wins over the valid stream only) — a doc whose
+    latest update violates the rule keeps its previous valid version."""
+    lake, _ = _build_gated_lake(sf_dir)
+    t = read_lake_arrow(lake)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "source": t["source"],
+        "lang": t["lang"],
+        "n_tok": t["n_tok"].cast(pa.int64()),
+        "last_lsn": t["lsn"],
+        "tok_sum": _tok_sums(t["tokens"]),
+    })
+
+
+def q_cdc_gate_rejects(sf_dir: str):
+    """The dead-letter side table the gated ingest wrote in the same pass:
+    every rejected event with its firing rule — the reference's
+    reject-logging discipline at the CDC boundary."""
+    from mex_extractors_ray.cdc.gate import read_rejects
+
+    _, rejects = _build_gated_lake(sf_dir)
+    ds = read_rejects(rejects)
+
+    def view(t: pa.Table) -> pa.Table:
+        return pa.table({"lsn": t["lsn"], "doc_id": t["doc_id"],
+                         "reason": t["_reject_reason"]})
+
+    return ds.map_batches(view, batch_format="pyarrow").to_pandas()
+
+
 _SORT_STRATEGY_ONLY = {
     "doc_triangles",
     "minhash_near_dups",
@@ -4144,6 +4205,8 @@ _QUERY_FNS = {
         "chunk_dedup_docs": q_chunk_dedup_docs,
         "multi_entity_etl": q_multi_entity_etl,
         "cdc_vocab_remap": q_cdc_vocab_remap,
+        "cdc_gated_state": q_cdc_gated_state,
+        "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
         "customer_median_order": q_customer_median_order,
         "cdc_repaired_replica": q_cdc_repaired_replica,
@@ -4219,6 +4282,30 @@ def _negative_samples_oracle() -> str:
 
     return negative_samples_sql("documents", "doc_id",
                                 k=NEG_SAMPLES_K, seed=NEG_SAMPLES_SEED)
+
+
+def _gated_final_sql() -> str:
+    """Final-state oracle over the GATED log: rejected events excluded
+    before ranking (as if never sent), then the usual last-wins winners."""
+    return f"""
+WITH log AS ({_CDC_LOG_SQL}),
+glog AS (SELECT * FROM log
+         WHERE op = 'delete' OR 8 + (lsn % 120) <= {GATE_NTOK_MAX}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM glog
+)
+SELECT doc_id,
+       'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+       CASE WHEN lsn % 10 IN (8, 9)
+            THEN (['de','en','fr','es'])[CAST(user_id % 4 AS INT) + 1]
+            ELSE 'de' END AS lang,
+       8 + (lsn % 120) AS n_tok,
+       lsn AS last_lsn,
+       CAST(list_sum(list_transform(range(0, CAST(8 + (lsn % 120) AS INT)),
+            i -> (user_id * 2654435761 + i * 40503) % 50000)) AS BIGINT) AS tok_sum
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def _mixture_oracle() -> str:
@@ -4761,6 +4848,12 @@ FROM occ LEFT JOIN vocab v ON occ.tok = v.tok
 GROUP BY occ.doc_id
 """,
         "mixture_upsampled_docs": _mixture_oracle(),
+        "cdc_gated_state": _gated_final_sql(),
+        "cdc_gate_rejects": f"""
+WITH log AS ({_CDC_LOG_SQL})
+SELECT lsn, doc_id, 'toolong' AS reason FROM log
+WHERE op <> 'delete' AND 8 + (lsn % 120) > {GATE_NTOK_MAX}
+""",
         "customer_median_order": """
 WITH o AS (SELECT o_custkey,
                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c

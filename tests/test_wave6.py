@@ -229,3 +229,56 @@ def test_repair_ceiling(ray_session, small_log, tmp_path):
     src, dst = _split_lakes(small_log, tmp_path)
     with pytest.raises(ValueError, match="ceiling"):
         repair_replica(src, dst, broadcast_ceiling=1)
+
+
+# ----------------------------------------------------------------------- gate
+
+GATE = [{"name": "big", "column": "n_tok", "op": ">", "value": 64}]
+
+
+def test_gated_ingest_matches_filtered_replayer(ray_session, small_log,
+                                                tmp_path):
+    import pyarrow.compute as pc
+
+    from mex_extractors_ray.cdc import replay_reference
+
+    paths, table = small_log
+    lake = tmp_path / "lake"
+    ingest_change_log(list(paths), lake, num_partitions=4, constraints=GATE,
+                      rejects_out=tmp_path / "dlq")
+    # rejected events are AS IF NEVER SENT: the replayer runs on the
+    # manually filtered log (deletes pass — null n_tok never fires ">")
+    keep = pc.or_kleene(pc.equal(table["op"], "delete"),
+                        pc.less_equal(table["n_tok"], 64))
+    expected, _ = replay_reference(table.filter(pc.fill_null(keep, False)))
+    assert read_lake_arrow(lake).equals(expected)
+    # the DLQ is the exact complement, with lineage
+    import pyarrow.dataset as pads
+    rej = pads.dataset(str(tmp_path / "dlq")).to_table()
+    n_bad = table.filter(pc.and_kleene(
+        pc.not_equal(table["op"], "delete"),
+        pc.greater(table["n_tok"], 64))).num_rows
+    assert rej.num_rows == n_bad
+    assert set(rej["_reject_reason"].to_pylist()) == {"big"}
+
+
+def test_gate_dlq_rebuilt_not_accumulated(ray_session, small_log, tmp_path):
+    import pyarrow.dataset as pads
+
+    paths, _ = small_log
+    l1, l2 = tmp_path / "l1", tmp_path / "l2"
+    ingest_change_log(list(paths), l1, num_partitions=4, constraints=GATE,
+                      rejects_out=tmp_path / "dlq")
+    n1 = pads.dataset(str(tmp_path / "dlq")).count_rows()
+    # same window gated again (fresh lake): the DLQ dir is a recomputable
+    # view — rebuilt, not appended
+    ingest_change_log(list(paths), l2, num_partitions=4, constraints=GATE,
+                      rejects_out=tmp_path / "dlq")
+    assert pads.dataset(str(tmp_path / "dlq")).count_rows() == n1
+
+
+def test_rejects_out_requires_constraints(ray_session, small_log, tmp_path):
+    paths, _ = small_log
+    with pytest.raises(ValueError, match="constraints"):
+        ingest_change_log(list(paths), tmp_path / "l", num_partitions=4,
+                          rejects_out=tmp_path / "dlq")
