@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "cdc_vocab_remap",
     "customer_median_order",
     "mixture_upsampled_docs",
+    "cdc_token_chunks",
 ]
 
 

@@ -3972,6 +3972,28 @@ def q_cdc_repaired_replica(sf_dir: str) -> pa.Table:
     )
 
 
+CHUNK_SEQ_LEN = 512
+
+
+def q_cdc_token_chunks(sf_dir: str):
+    """GPT-style packing of the LIVE lake's token payload: per source, docs
+    in doc_id order concatenated into one stream and cut every 512 tokens
+    (docs SPLIT across boundaries — the actual LM dataloader layout, vs
+    packed_sequences' whole-doc assignment). The position-weighted wsum
+    pins every token's value AND position inside its training sequence to
+    the closed-form oracle. Two-pass scale shape: keys-only offsets
+    shuffle, bucketed doc co-partition for the payload, (source, chunk)
+    partials through keyed_sums — the token stream never concentrates."""
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.stages.packing import chunk_token_stream
+
+    ds = read_lake(build_cdc_lake(sf_dir),
+                   columns=["doc_id", "source", "tokens"])
+    return chunk_token_stream(ds, "source", "doc_id", "tokens",
+                              seq_len=CHUNK_SEQ_LEN, num_partitions=16,
+                              num_buckets=16).to_pandas()
+
+
 GATE_NTOK_MAX = 96
 GATE_RULES = [{"name": "toolong", "column": "n_tok", "op": ">",
                "value": GATE_NTOK_MAX}]
@@ -4205,6 +4227,7 @@ _QUERY_FNS = {
         "chunk_dedup_docs": q_chunk_dedup_docs,
         "multi_entity_etl": q_multi_entity_etl,
         "cdc_vocab_remap": q_cdc_vocab_remap,
+        "cdc_token_chunks": q_cdc_token_chunks,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -4849,6 +4872,23 @@ GROUP BY occ.doc_id
 """,
         "mixture_upsampled_docs": _mixture_oracle(),
         "cdc_gated_state": _gated_final_sql(),
+        "cdc_token_chunks": _CDC_RANKED_SQL + f"""
+, live AS (SELECT doc_id, user_id, lsn,
+                  'src' || CAST(user_id % 6 AS VARCHAR) AS source,
+                  8 + (lsn % 120) AS n_tok
+           FROM ranked WHERE rn = 1 AND op <> 'delete'),
+st AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+       FROM live),
+occ AS (SELECT source, strt + CAST(t.i AS BIGINT) AS gp,
+               (user_id * 2654435761 + t.i * 40503) % 50000 AS tok
+        FROM st, UNNEST(range(0, CAST(n_tok AS INT))) AS t(i))
+SELECT source, CAST(gp // {CHUNK_SEQ_LEN} AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_in_chunk,
+       CAST(SUM((gp % {CHUNK_SEQ_LEN} + 1) * tok) AS BIGINT) AS wsum
+FROM occ GROUP BY 1, 2
+""",
         "cdc_gate_rejects": f"""
 WITH log AS ({_CDC_LOG_SQL})
 SELECT lsn, doc_id, 'toolong' AS reason FROM log

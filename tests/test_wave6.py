@@ -282,3 +282,52 @@ def test_rejects_out_requires_constraints(ray_session, small_log, tmp_path):
     with pytest.raises(ValueError, match="constraints"):
         ingest_change_log(list(paths), tmp_path / "l", num_partitions=4,
                           rejects_out=tmp_path / "dlq")
+
+
+# ------------------------------------------------------------- token chunking
+
+def test_chunk_token_stream_matches_pure_python(ray_session):
+    from mex_extractors_ray.stages.packing import chunk_token_stream
+
+    rng = np.random.default_rng(11)
+    n, L = 120, 7
+    lens = rng.integers(0, 12, size=n)
+    toks = [rng.integers(0, 1000, size=m).astype(np.int32) for m in lens]
+    shards = [["s0", "s1", "s2"][i % 3] for i in range(n)]
+    t = pa.table({
+        "src": pa.array(shards),
+        "doc": pa.array([f"d{i:03d}" for i in range(n)]),
+        "tokens": pa.array([list(x) for x in toks], pa.list_(pa.int32())),
+    })
+    got = chunk_token_stream(ray.data.from_arrow(t), "src", "doc", "tokens",
+                             seq_len=L, num_partitions=4,
+                             num_buckets=4).to_pandas()
+    # pure python: concat per shard in doc order, cut every L
+    exp = {}
+    for s in ("s0", "s1", "s2"):
+        stream = []
+        for i in sorted(range(n), key=lambda i: f"d{i:03d}"):
+            if shards[i] == s:
+                stream.extend(int(x) for x in toks[i])
+        for c in range(0, len(stream), L):
+            seg = stream[c:c + L]
+            exp[(s, c // L)] = (len(seg),
+                                sum((j + 1) * v for j, v in enumerate(seg)))
+    got_d = {(r.src, r.chunk_id): (r.n_in_chunk, r.wsum)
+             for r in got.itertuples()}
+    assert got_d == exp
+    # every non-tail chunk is exactly full
+    tails = {s: max(c for (s2, c) in exp if s2 == s) for s in ("s0", "s1", "s2")}
+    for (s, c), (n_in, _) in got_d.items():
+        if c < tails[s]:
+            assert n_in == L
+
+
+def test_chunk_token_stream_guards(ray_session):
+    from mex_extractors_ray.stages.packing import chunk_token_stream
+
+    t = pa.table({"src": pa.array(["a"]), "doc": pa.array(["d"]),
+                  "tokens": pa.array([[1, 2]], pa.list_(pa.int32()))})
+    with pytest.raises(ValueError):
+        chunk_token_stream(ray.data.from_arrow(t), "src", "doc", "tokens",
+                           seq_len=0)
