@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "customer_median_order",
     "mixture_upsampled_docs",
     "cdc_token_chunks",
+    "events_unpivot",
+    "finished_never_open_custs",
 ]
 
 

@@ -3972,6 +3972,65 @@ def q_cdc_repaired_replica(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_unpivot(sf_dir: str):
+    """melt(pivot(x)) — the wide→long inverse of events_pivot_daily:
+    the per-day count matrix back to (day, measure, n) long rows, zeros
+    for absent (day, type) combinations PRESERVED (the reshape is
+    lossless; a plain GROUP BY would drop them). Melt is one streaming
+    pass — each long row is a pure function of one wide row."""
+    from mex_extractors_ray.stages.reshape import melt
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "event_type": t["event_type"],
+        })
+
+    wide = aggregates.pivot_counts(
+        ev.map_batches(prep, batch_format="pyarrow"), "day", "event_type",
+        PIVOT_EVENT_TYPES,
+    )
+    return melt(wide, ["day"], [f"n_{v}" for v in PIVOT_EVENT_TYPES],
+                var_col="measure", val_col="n").to_pandas()
+
+
+def _status_custs(sf_dir: str, status: str):
+    o = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderstatus"])
+    return o.map_batches(
+        lambda t, s=status: t.filter(pc.equal(t["o_orderstatus"], s))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+
+
+def q_finished_and_open_custs(sf_dir: str):
+    """Row-level SQL INTERSECT: distinct customers with BOTH a finished
+    ('F') and an open ('O') order — one composite-key shuffle,
+    run-boundary presence test (``joins.intersect_distinct``)."""
+    from mex_extractors_ray.stages.joins import intersect_distinct
+
+    return intersect_distinct(_status_custs(sf_dir, "F"),
+                              _status_custs(sf_dir, "O"),
+                              ["o_custkey"], num_partitions=16).to_pandas()
+
+
+def q_finished_never_open_custs(sf_dir: str):
+    """Row-level SQL EXCEPT: distinct customers with a finished order and
+    no open order — the row-level generalization of the keyed anti join."""
+    from mex_extractors_ray.stages.joins import except_distinct
+
+    df = except_distinct(_status_custs(sf_dir, "F"),
+                         _status_custs(sf_dir, "O"),
+                         ["o_custkey"], num_partitions=16).to_pandas()
+    if df.empty and "o_custkey" not in df.columns:
+        # map_groups drops all-empty output blocks, losing the schema —
+        # keep the column typed when the difference is empty
+        df = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64")})
+    return df
+
+
 CHUNK_SEQ_LEN = 512
 
 
@@ -4228,6 +4287,9 @@ _QUERY_FNS = {
         "multi_entity_etl": q_multi_entity_etl,
         "cdc_vocab_remap": q_cdc_vocab_remap,
         "cdc_token_chunks": q_cdc_token_chunks,
+        "events_unpivot": q_events_unpivot,
+        "finished_and_open_custs": q_finished_and_open_custs,
+        "finished_never_open_custs": q_finished_never_open_custs,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -4908,6 +4970,27 @@ FROM o GROUP BY o_custkey
 """,
         # repair must reproduce the FULL lake's closed-form final state
         "cdc_repaired_replica": _CDC_FINAL_SQL,
+        "events_unpivot": """
+WITH d AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+           FROM events),
+c AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT d.day, 'n_' || t.v AS measure, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM d CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                          ('view')) t(v)
+LEFT JOIN c ON c.day = d.day AND c.event_type = t.v
+""",
+        "finished_and_open_custs": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+        "finished_never_open_custs": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "nchar_zscore_outliers": _NCHAR_ZSCORE_SQL,

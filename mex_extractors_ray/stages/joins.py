@@ -374,3 +374,66 @@ def interval_join_broadcast(ds, intervals: pa.Table, value_col: str,
 
     return ds.map_batches(Match, batch_format="pyarrow",
                           concurrency=_rt.auto_pool())
+
+
+def _distinct_setop(left, right, cols: list[str], keep: str,
+                    num_partitions: int = 64):
+    """Row-level DISTINCT set op over ``cols``: one coarse composite-key
+    shuffle, then a run-boundary presence test per distinct row — SQL
+    INTERSECT / EXCEPT semantics (duplicates collapse; NULLs compare
+    equal, forming their own group). Both inputs must agree on the
+    ``cols`` types."""
+    import numpy as np
+
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    cols = list(cols)
+
+    def project(side: int):
+        def _p(t: pa.Table) -> pa.Table:
+            parts = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00N")
+                     for c in cols]
+            gkey = parts[0]
+            for p in parts[1:]:
+                gkey = pc.binary_join_element_wise(gkey, p, pa.scalar("\x1f"))
+            out = t.select(cols).append_column("_gkey", gkey)
+            return out.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return _p
+
+    both = left.map_batches(project(0), batch_format="pyarrow").union(
+        right.map_batches(project(1), batch_format="pyarrow"))
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns(["_gkey", "_side"])
+        t = g.sort_by([("_gkey", "ascending"), ("_side", "ascending")])
+        starts = np.flatnonzero(_run_starts(t["_gkey"]))
+        counts = np.diff(np.append(starts, n))
+        side = np.asarray(t["_side"].combine_chunks(), dtype=np.int8)
+        # sorted by _side within the run: first row says "has left",
+        # last row says "has right"
+        has_l = side[starts] == 0
+        has_r = side[starts + counts - 1] == 1
+        if keep == "intersect":
+            m = has_l & has_r
+        else:  # except: left rows with no right match
+            m = has_l & ~has_r
+        return t.take(pa.array(starts[m])).drop_columns(["_gkey", "_side"])
+
+    return _keyed_blocks(both, "_gkey", block, num_partitions)
+
+
+def intersect_distinct(left, right, cols: list[str],
+                       num_partitions: int = 64):
+    """SQL ``INTERSECT`` (distinct rows present in BOTH inputs) over the
+    given columns."""
+    return _distinct_setop(left, right, cols, "intersect", num_partitions)
+
+
+def except_distinct(left, right, cols: list[str], num_partitions: int = 64):
+    """SQL ``EXCEPT`` (distinct left rows absent from the right) over the
+    given columns — the row-level generalization of the keyed anti join
+    (``customers_without_orders``)."""
+    return _distinct_setop(left, right, cols, "except", num_partitions)

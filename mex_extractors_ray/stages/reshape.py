@@ -1,0 +1,54 @@
+"""Wide-to-long reshaping (UNPIVOT / melt) — the inverse of
+``aggregates.pivot_counts``.
+
+The reference reshapes per-record dicts freely in Python (every
+``transform_*`` builds a different record shape); a columnar engine needs
+the reshape as an explicit vectorized operator. Melt is embarrassingly
+parallel — one streaming ``map_batches``, no shuffle: each output long
+row is a pure function of one input wide row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_col: str = "variable", val_col: str = "value"):
+    """UNPIVOT: one output row per (input row, value column). ``value_cols``
+    must share an Arrow type (the long column has one type — cast first if
+    they don't). Output: ``id_cols`` + ``var_col`` (the source column's
+    name) + ``val_col``. Column order within a row is preserved
+    (``value_cols`` order), so a deterministic sort key exists."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+    if not value_cols:
+        raise ValueError("melt: value_cols must be non-empty")
+
+    def wide_to_long(t: pa.Table) -> pa.Table:
+        vtypes = {str(t[c].type) for c in value_cols}
+        if len(vtypes) > 1:
+            raise TypeError(f"melt: value_cols mix types {sorted(vtypes)}; "
+                            "cast to a common type first")
+        n = t.num_rows
+        k = len(value_cols)
+        # row i repeats k times; variable cycles in value_cols order
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        cols = {c: t[c].take(idx) for c in id_cols}
+        cols[var_col] = pa.array(np.tile(np.array(value_cols, dtype=object), n))
+        def one_chunk(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+            if isinstance(col, pa.ChunkedArray):
+                c = col.combine_chunks()
+                if isinstance(c, pa.ChunkedArray):
+                    return c.chunk(0) if c.num_chunks else pa.array([], c.type)
+                return c
+            return col
+
+        # interleave: output position i*k + j takes vals[j][i]
+        stacked = pa.concat_arrays([one_chunk(t[c]) for c in value_cols])
+        take = pa.array((np.tile(np.arange(k, dtype=np.int64) * n, n)
+                         + np.repeat(np.arange(n, dtype=np.int64), k)))
+        cols[val_col] = stacked.take(take)
+        return pa.table(cols)
+
+    return ds.map_batches(wide_to_long, batch_format="pyarrow")
