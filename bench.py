@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "cdc_token_chunks",
     "events_unpivot",
     "finished_never_open_custs",
+    "props_value_stats",
+    "orders_above_cust_avg",
+    "cust_order_quartiles_cont",
 ]
 
 

@@ -4031,6 +4031,132 @@ def q_finished_never_open_custs(sf_dir: str):
     return df
 
 
+def q_cust_status_intersect_all(sf_dir: str):
+    """SQL INTERSECT ALL (bag semantics): each custkey appears
+    min(#finished orders, #open orders) times — the multiplicity-aware
+    sibling of ``finished_and_open_custs``."""
+    from mex_extractors_ray.stages.joins import intersect_all
+
+    return intersect_all(_status_custs(sf_dir, "F"),
+                         _status_custs(sf_dir, "O"),
+                         ["o_custkey"], num_partitions=16).to_pandas()
+
+
+def q_cust_status_except_all(sf_dir: str):
+    """SQL EXCEPT ALL (bag semantics): each custkey survives
+    max(#finished − #open, 0) times."""
+    from mex_extractors_ray.stages.joins import except_all
+
+    df = except_all(_status_custs(sf_dir, "F"),
+                    _status_custs(sf_dir, "O"),
+                    ["o_custkey"], num_partitions=16).to_pandas()
+    if df.empty and "o_custkey" not in df.columns:
+        df = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64")})
+    return df
+
+
+def q_props_value_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column with the VECTORIZED regex kernel
+    (``jsonx.json_scalar_field`` — one ``extract_regex`` per batch, zero
+    Python rows), then grouped integer sums per event type. The
+    reference walks parsed API payload dicts per record
+    (``mex/extractors/blueant/transform.py`` et al.); here the payload
+    field is a first-class columnar extraction."""
+    from mex_extractors_ray.stages.jsonx import json_scalar_field
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ev = ev.map_batches(lambda t: t.filter(pc.is_valid(t["props"])),
+                        batch_format="pyarrow")
+    ex = json_scalar_field(ev, "props", "k", "k", out_type="int64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: per-batch (event_type) partials so the
+        # exchange ships one row per type per batch, not raw events
+        g = t.group_by("event_type").aggregate([("k", "sum"),
+                                                ("k", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "sum_k": pc.cast(g["k_sum"], pa.int64()),
+                         "n": pc.cast(g["k_count"], pa.int64())})
+
+    parts = ex.map_batches(partial, batch_format="pyarrow")
+    out = aggregates.keyed_sums(parts, ["event_type"], ["sum_k", "n"],
+                                num_partitions=8)
+    return out.to_pandas()
+
+
+def q_union_streams_by_name(sf_dir: str):
+    """Schema-evolution union (UNION ALL BY NAME): an old event stream
+    without the ``value`` column unions with the new stream that has it;
+    the missing column becomes typed nulls (``reshape.union_by_name``)."""
+    from mex_extractors_ray.stages.reshape import union_by_name
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "event_type", "value"])
+    old = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0))
+        .select(["user_id", "event_type"]),
+        batch_format="pyarrow")
+    new = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1))
+        .select(["user_id", "event_type", "value"]),
+        batch_format="pyarrow")
+    return union_by_name([old, new]).to_pandas()
+
+
+def q_cust_order_quartiles_cont(sf_dir: str):
+    """PERCENTILE_CONT quartiles of order value per customer — the
+    interpolated sibling of ``customer_median_order``
+    (``aggregates.keyed_quantile_cont``; ANSI rank formula q·(n−1) +
+    linear interpolation, bit-matching the SQL oracle)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_totalprice"])
+    out = aggregates.keyed_quantile_cont(o, "o_custkey", "o_totalprice",
+                                         qs=(0.25, 0.5, 0.75),
+                                         num_partitions=16)
+    return out.to_pandas()
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-scalar-subquery pattern: orders strictly above their
+    customer's average order value. Decided in EXACT integer cents
+    (price_c·n > sum_c), so the boundary is deterministic across
+    summation orders — no float-avg ulp flips between engine and oracle.
+    Scale shape: per-batch (custkey → cents,count) partials →
+    ``keyed_sums`` (one small exchange) → bucketed co-partition join
+    back to the orders stream (both sides grow with the data; no
+    driver-side dim)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return t.append_column("price_c", cents)
+
+    cents_ds = o.map_batches(with_cents, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("price_c", "sum"),
+                                               ("price_c", "count")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "sum_c": pc.cast(g["price_c_sum"], pa.int64()),
+                         "n_ord": pc.cast(g["price_c_count"], pa.int64())})
+
+    agg = aggregates.keyed_sums(
+        cents_ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], ["sum_c", "n_ord"], num_partitions=16)
+    joined = joins.bucketed_join(cents_ds, agg, on="o_custkey",
+                                 num_buckets=16)
+
+    def keep_above(t: pa.Table) -> pa.Table:
+        m = pc.greater(pc.multiply(t["price_c"], t["n_ord"]), t["sum_c"])
+        return t.filter(m).select(["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+
+    return joined.map_batches(keep_above, batch_format="pyarrow").to_pandas()
+
+
 CHUNK_SEQ_LEN = 512
 
 
@@ -4290,6 +4416,12 @@ _QUERY_FNS = {
         "events_unpivot": q_events_unpivot,
         "finished_and_open_custs": q_finished_and_open_custs,
         "finished_never_open_custs": q_finished_never_open_custs,
+        "cust_status_intersect_all": q_cust_status_intersect_all,
+        "cust_status_except_all": q_cust_status_except_all,
+        "props_value_stats": q_props_value_stats,
+        "union_streams_by_name": q_union_streams_by_name,
+        "cust_order_quartiles_cont": q_cust_order_quartiles_cont,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -4990,6 +5122,53 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+        "cust_status_intersect_all": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+        "cust_status_except_all": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+        "props_value_stats": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events WHERE props IS NOT NULL GROUP BY event_type
+""",
+        "union_streams_by_name": """
+SELECT user_id, event_type, CAST(NULL AS DOUBLE) AS value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT user_id, event_type, value FROM events WHERE event_id % 2 = 1
+""",
+        "cust_order_quartiles_cont": """
+SELECT o_custkey, CAST(25 AS BIGINT) AS q_c100,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+           AS o_totalprice
+FROM orders GROUP BY o_custkey
+UNION ALL
+SELECT o_custkey, 50,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+FROM orders GROUP BY o_custkey
+UNION ALL
+SELECT o_custkey, 75,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+FROM orders GROUP BY o_custkey
+""",
+        "orders_above_cust_avg": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc_,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders)
+WHERE pc_ * n > s
 """,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,

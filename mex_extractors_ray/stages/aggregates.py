@@ -837,3 +837,57 @@ def keyed_quantile_disc(ds, key: str, value_col: str,
         return pa.concat_tables(outs)
 
     return _keyed_blocks(ds, key, block, num_partitions)
+
+
+def keyed_quantile_cont(ds, key: str, value_col: str,
+                        qs: tuple[float, ...] = (0.5,),
+                        num_partitions: int = 64):
+    """EXACT grouped INTERPOLATED quantiles (``PERCENTILE_CONT(q) WITHIN
+    GROUP``) — :func:`keyed_quantile_disc`'s continuous sibling. Rank
+    position is ``q·(n−1)`` (0-indexed); the value is the linear
+    interpolation ``lo·(1−frac) + hi·frac`` between the bracketing sorted
+    elements — the exact float expression DuckDB evaluates (measured; the
+    algebraically-equal ``lo + frac·(hi−lo)`` differs in the last ulp),
+    so the result hash-matches the SQL oracle bit-for-bit on float64.
+
+    Same scale shape as the discrete variant: ONE coarse hash shuffle on
+    the group key, per-block sort + run-boundary rank arithmetic; memory
+    bounded by the largest group. Nulls excluded (SQL semantics). Output:
+    ``(key, q_c100:int64, value_col:float64)``."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    qs = tuple(qs)
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"keyed_quantile_cont: q={q} outside [0, 1]")
+
+    def block(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g[value_col]))
+        n = g.num_rows
+        empty = pa.table({key: pa.array([], g[key].type),
+                          "q_c100": pa.array([], pa.int64()),
+                          value_col: pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        t = g.sort_by([(key, "ascending"), (value_col, "ascending")])
+        starts = np.flatnonzero(_run_starts(t[key]))
+        counts = np.diff(np.append(starts, n))
+        vals = np.asarray(pc.cast(t[value_col].combine_chunks(),
+                                  pa.float64()), dtype=np.float64)
+        outs = []
+        for q in qs:
+            pos = q * (counts - 1)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            v_lo = vals[starts + lo]
+            v_hi = vals[starts + np.minimum(lo + 1, counts - 1)]
+            v = v_lo * (1.0 - frac) + v_hi * frac
+            outs.append(pa.table({
+                key: t[key].take(pa.array(starts)),
+                "q_c100": pa.array(np.full(len(starts),
+                                           int(round(q * 100)), np.int64)),
+                value_col: pa.array(v),
+            }))
+        return pa.concat_tables(outs)
+
+    return _keyed_blocks(ds, key, block, num_partitions)

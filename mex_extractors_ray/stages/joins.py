@@ -377,12 +377,13 @@ def interval_join_broadcast(ds, intervals: pa.Table, value_col: str,
 
 
 def _distinct_setop(left, right, cols: list[str], keep: str,
-                    num_partitions: int = 64):
-    """Row-level DISTINCT set op over ``cols``: one coarse composite-key
-    shuffle, then a run-boundary presence test per distinct row — SQL
-    INTERSECT / EXCEPT semantics (duplicates collapse; NULLs compare
-    equal, forming their own group). Both inputs must agree on the
-    ``cols`` types."""
+                    num_partitions: int = 64, bag: bool = False):
+    """Row-level set op over ``cols``: one coarse composite-key shuffle,
+    then a run-boundary test per distinct row. ``bag=False`` is SQL
+    INTERSECT / EXCEPT (duplicates collapse); ``bag=True`` is INTERSECT
+    ALL / EXCEPT ALL (per distinct row emit min(#left, #right) resp.
+    max(#left − #right, 0) copies). NULLs compare equal, forming their
+    own group. Both inputs must agree on the ``cols`` types."""
     import numpy as np
 
     from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
@@ -416,11 +417,27 @@ def _distinct_setop(left, right, cols: list[str], keep: str,
         # last row says "has right"
         has_l = side[starts] == 0
         has_r = side[starts + counts - 1] == 1
-        if keep == "intersect":
-            m = has_l & has_r
-        else:  # except: left rows with no right match
-            m = has_l & ~has_r
-        return t.take(pa.array(starts[m])).drop_columns(["_gkey", "_side"])
+        if not bag:
+            if keep == "intersect":
+                m = has_l & has_r
+            else:  # except: left rows with no right match
+                m = has_l & ~has_r
+            reps = None
+        else:
+            # per-run left multiplicity via a prefix sum over side==0
+            cum0 = np.concatenate(([0], np.cumsum(side == 0)))
+            nl = cum0[starts + counts] - cum0[starts]
+            nr = counts - nl
+            reps = (np.minimum(nl, nr) if keep == "intersect"
+                    else np.maximum(nl - nr, 0))
+            m = reps > 0
+            reps = reps[m]
+        idx = starts[m]
+        if reps is not None:
+            # a kept run has nl >= 1, so its first row (side-sorted) is a
+            # left row — the representative the copies duplicate
+            idx = np.repeat(idx, reps)
+        return t.take(pa.array(idx)).drop_columns(["_gkey", "_side"])
 
     return _keyed_blocks(both, "_gkey", block, num_partitions)
 
@@ -437,3 +454,17 @@ def except_distinct(left, right, cols: list[str], num_partitions: int = 64):
     given columns — the row-level generalization of the keyed anti join
     (``customers_without_orders``)."""
     return _distinct_setop(left, right, cols, "except", num_partitions)
+
+
+def intersect_all(left, right, cols: list[str], num_partitions: int = 64):
+    """SQL ``INTERSECT ALL`` (bag semantics): each distinct row appears
+    min(#left, #right) times."""
+    return _distinct_setop(left, right, cols, "intersect", num_partitions,
+                           bag=True)
+
+
+def except_all(left, right, cols: list[str], num_partitions: int = 64):
+    """SQL ``EXCEPT ALL`` (bag semantics): each distinct left row survives
+    max(#left − #right, 0) times."""
+    return _distinct_setop(left, right, cols, "except", num_partitions,
+                           bag=True)

@@ -52,3 +52,41 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(wide_to_long, batch_format="pyarrow")
+
+
+def union_by_name(datasets: list):
+    """Schema-evolution union (``UNION ALL BY NAME``): align every input
+    to the UNION of all column names — missing columns become typed nulls
+    — then a plain streaming union. Column order: first appearance across
+    inputs. A name present in several inputs must carry one type (cast
+    upstream otherwise; silent coercion hides schema drift). The alignment
+    is per-batch metadata work (null-column append), so the union stays
+    zero-copy streaming."""
+    if not datasets:
+        raise ValueError("union_by_name: no inputs")
+    unified: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if name in unified and unified[name] != typ:
+                raise TypeError(
+                    f"union_by_name: column {name!r} has conflicting types "
+                    f"{unified[name]} vs {typ}; cast before unioning")
+            unified.setdefault(name, typ)
+    names = list(unified)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names:
+            if name in t.column_names:
+                cols[name] = t[name]
+            else:
+                cols[name] = pa.nulls(t.num_rows, unified[name])
+        return pa.table(cols)
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in datasets]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out
