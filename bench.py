@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "props_value_stats",
     "orders_above_cust_avg",
     "cust_order_quartiles_cont",
+    "user_value_moving_sum3",
+    "user_daily_value_filled",
 ]
 
 

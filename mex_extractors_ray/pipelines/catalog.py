@@ -4157,6 +4157,73 @@ def q_orders_above_cust_avg(sf_dir: str):
     return joined.map_batches(keep_above, batch_format="pyarrow").to_pandas()
 
 
+def q_user_value_moving_sum3(sf_dir: str):
+    """ROWS-frame moving window: per user, the sum of the last 3 event
+    values (exact integer cents) in (ts, event_id) order —
+    ``sessions.keyed_moving_sum``; one key shuffle, in-block cumsum
+    difference, no per-row loop."""
+    from mex_extractors_ray.stages.sessions import keyed_moving_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("v_c", c)
+
+    out = keyed_moving_sum(ev.map_batches(cents, batch_format="pyarrow"),
+                           "user_id", ("ts", "event_id"), "v_c", k=3,
+                           out_col="moving_sum", num_partitions=16)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "moving_sum"]),
+        batch_format="pyarrow").to_pandas()
+
+
+def q_user_daily_value_filled(sf_dir: str):
+    """Date-spine gap filling (``temporal.fill_daily_gaps``): per user one
+    row per calendar day between their first and last event, daily value
+    sums in exact cents, 0 on silent days — the resample a per-entity
+    time series needs before any windowed model."""
+    from mex_extractors_ray.stages.temporal import fill_daily_gaps
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("v_c", c)
+
+    out = fill_daily_gaps(ev.map_batches(cents, batch_format="pyarrow"),
+                          "user_id", "ts", "v_c", out_day="day",
+                          out_val="v", num_partitions=16)
+    return out.to_pandas()
+
+
+def q_cust_status_string(sf_dir: str):
+    """Ordered string aggregation (``aggregates.collect_concat_sorted``):
+    per customer, ALL order statuses sorted and comma-joined — SQL
+    ``string_agg(v, ',' ORDER BY v)``; bag semantics (duplicates kept),
+    unlike the distinct ``event_type_sets``."""
+    o = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderstatus"])
+    out = aggregates.collect_concat_sorted(o, "o_custkey", "o_orderstatus",
+                                           out="value_list",
+                                           num_partitions=16)
+    return out.to_pandas()
+
+
+def q_order_percent_rank(sf_dir: str):
+    """``PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY
+    o_totalprice)`` — tie-aware rank arithmetic on exact integers, one
+    float division at the end (``aggregates.keyed_percent_rank``)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = aggregates.keyed_percent_rank(o, "o_custkey", "o_totalprice",
+                                        out_col="pct_rank",
+                                        num_partitions=16)
+    return out.to_pandas()
+
+
 CHUNK_SEQ_LEN = 512
 
 
@@ -4422,6 +4489,10 @@ _QUERY_FNS = {
         "union_streams_by_name": q_union_streams_by_name,
         "cust_order_quartiles_cont": q_cust_order_quartiles_cont,
         "orders_above_cust_avg": q_orders_above_cust_avg,
+        "user_value_moving_sum3": q_user_value_moving_sum3,
+        "user_daily_value_filled": q_user_daily_value_filled,
+        "cust_status_string": q_cust_status_string,
+        "order_percent_rank": q_order_percent_rank,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -5169,6 +5240,39 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM (
          COUNT(*) OVER (PARTITION BY o_custkey) AS n
   FROM orders)
 WHERE pc_ * n > s
+""",
+        "user_value_moving_sum3": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS moving_sum
+FROM events
+""",
+        "user_daily_value_filled": """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS dday,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, MIN(dday) AS lo, MAX(dday) AS hi FROM d GROUP BY 1),
+s AS (SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS dday
+      FROM r)
+SELECT s.user_id, strftime(s.dday, '%Y-%m-%d') AS day,
+       COALESCE(d.v, 0) AS v
+FROM s LEFT JOIN d ON d.user_id = s.user_id AND d.dday = s.dday
+""",
+        "cust_status_string": """
+SELECT o_custkey,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS value_list
+FROM orders GROUP BY o_custkey
+""",
+        "order_percent_rank": """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+           AS pct_rank
+FROM orders
 """,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,

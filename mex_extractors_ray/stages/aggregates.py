@@ -121,6 +121,74 @@ def collect_distinct_sorted(ds, key: str, value: str, out: str = "value_set",
     return _keyed_blocks(combined, key, finalize, num_partitions)
 
 
+def collect_concat_sorted(ds, key: str, value: str, out: str = "value_list",
+                          sep: str = ",", num_partitions: int = 64):
+    """Per key: ALL values (duplicates kept) sorted ascending, joined by
+    ``sep`` — SQL ``string_agg(value, sep ORDER BY value)``. Ordering by
+    the value itself makes the output string deterministic even under
+    ties (equal values are interchangeable inside the concat).
+
+    Unlike :func:`collect_distinct_sorted` there is no distinct combiner
+    — bag semantics means the exchange ships every (key, value) pair; the
+    per-key result string is itself Ω(occurrences), so the shuffle is
+    proportional to the OUTPUT, not avoidable. Nulls are excluded (SQL
+    ``string_agg`` semantics)."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def finalize(g: pa.Table) -> pa.Table:
+        t = g.filter(pc.is_valid(g[value])) if g[value].null_count else g
+        n = t.num_rows
+        kt = g[key].type
+        if n == 0:
+            return pa.table({key: pa.array([], kt),
+                             out: pa.array([], pa.string())})
+        t = t.sort_by([(key, "ascending"), (value, "ascending")])
+        keys_arr = t[key].combine_chunks()
+        vals = pc.cast(t[value].combine_chunks(), pa.string())
+        idx = np.flatnonzero(_run_starts(keys_arr))
+        offsets = np.append(idx, n).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                              vals)
+        return pa.table({key: keys_arr.take(pa.array(idx)),
+                         out: pc.binary_join(lists, sep)})
+
+    proj = ds.map_batches(lambda b: b.select([key, value]),
+                          batch_format="pyarrow")
+    return _keyed_blocks(proj, key, finalize, num_partitions)
+
+
+def keyed_percent_rank(ds, key: str, value_col: str,
+                       out_col: str = "pct_rank", num_partitions: int = 64):
+    """``percent_rank()`` window function per key over ``value_col``
+    ascending: ``(rank − 1) / (n − 1)``, 0 for single-row keys — SQL
+    ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY value_col)``. Rank
+    is tie-aware (equal values share a rank), so the output is
+    deterministic without a tiebreaker; the division is one float op on
+    exact integers, identical in any engine. Same one-shuffle
+    run-boundary shape as :func:`keyed_rank_ntile`."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        t = g.sort_by([(key, "ascending"), (value_col, "ascending")])
+        new_key = _run_starts(t[key])
+        key_starts = np.flatnonzero(new_key)
+        key_counts = np.diff(np.append(key_starts, n))
+        ordinal = np.arange(n, dtype=np.int64) - np.repeat(key_starts,
+                                                           key_counts)
+        new_val = new_key | _run_starts(t[value_col])
+        val_starts = np.flatnonzero(new_val)
+        val_counts = np.diff(np.append(val_starts, n))
+        rnk = np.repeat(ordinal[val_starts], val_counts)  # 0-based
+        denom = np.repeat(key_counts, key_counts) - 1
+        pr = np.where(denom > 0, rnk / np.maximum(denom, 1), 0.0)
+        return t.append_column(out_col, pa.array(pr))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def grouped_count(ds, keys: list[str] | str, alias: str = "n"):
     """Count per key with per-batch partials (never ships raw rows)."""
     from ray.data.aggregate import Sum

@@ -167,6 +167,55 @@ def keyed_cumsum(ds, key: str, order_col: str, value_col: str,
     return _keyed_blocks(ds, key, block, num_partitions)
 
 
+def keyed_moving_sum(ds, key: str, order_cols: tuple[str, ...],
+                     value_col: str, k: int,
+                     out_col: str = "moving_sum", num_partitions: int = 64):
+    """ROWS-frame moving window: per row, the sum of ``value_col`` over
+    the SAME key's last ``k`` rows (this one and ``k−1`` preceding) in
+    ``order_cols`` order — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS BETWEEN k−1 PRECEDING AND CURRENT ROW)``.
+    ``order_cols`` must be a TOTAL order within the key (add a tiebreaker
+    id) or the frame membership is nondeterministic. Integer values only
+    (the reduceat-kernel discipline; scale floats to cents first).
+
+    Scale shape == ``keyed_cumsum``: ONE coarse key-hash shuffle, per
+    block one Arrow sort + one global cumsum; the frame sum is
+    ``cs[i] − cs[i−k]`` clamped at the key-run start — no per-key
+    dispatch, no per-row loop."""
+    if k < 1:
+        raise ValueError(f"keyed_moving_sum: k={k} must be >= 1")
+    order_cols = tuple(order_cols)
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        t = g.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        col = t[value_col].combine_chunks()
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"keyed_moving_sum: {value_col} is {col.type}; integer "
+                "columns only (scale floats to cents first)")
+        if col.null_count:
+            raise ValueError(
+                f"keyed_moving_sum: null {value_col} values — fill first")
+        vals = np.asarray(col.cast(pa.int64()))
+        cs = np.cumsum(vals)
+        new_key = _run_starts(t[key])
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, counts)
+        i = np.arange(n, dtype=np.int64)
+        # frame floor: max(i − k, run_start − 1); cs[-1-equivalent] = 0
+        j = np.maximum(i - k, run_start - 1)
+        prev = np.where(j >= 0, cs[np.maximum(j, 0)], 0)
+        return t.append_column(out_col,
+                               pa.array((cs - prev).astype(np.int64)))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def keyed_transitions(ds, key: str, ts_col: str, type_col: str,
                       order_cols: tuple[str, ...] = (),
                       from_col: str = "from_type", to_col: str = "to_type",

@@ -1,0 +1,74 @@
+"""Unit tests for the session-7 window/reshape additions: ROWS-frame
+moving sum, date-spine gap filling, ordered string_agg, percent_rank."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mex_extractors_ray.stages.aggregates import (collect_concat_sorted,
+                                                  keyed_percent_rank)
+from mex_extractors_ray.stages.sessions import keyed_moving_sum
+from mex_extractors_ray.stages.temporal import fill_daily_gaps
+
+
+def test_keyed_moving_sum_frame(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b"],
+        "o": [1, 2, 3, 4, 1],
+        "v": [10, 20, 30, 40, 7],
+    })
+    out = keyed_moving_sum(ray.data.from_arrow(t), "k", ("o",), "v", k=3,
+                           num_partitions=2).to_pandas()
+    out = out.sort_values(["k", "o"])
+    # frames: [10], [10,20], [10,20,30], [20,30,40], b:[7]
+    assert out["moving_sum"].tolist() == [10, 30, 60, 90, 7]
+
+    with pytest.raises(Exception):  # float values refused
+        keyed_moving_sum(
+            ray.data.from_arrow(pa.table({"k": ["a"], "o": [1], "v": [1.5]})),
+            "k", ("o",), "v", k=2).to_pandas()
+
+
+def test_fill_daily_gaps_spine(ray_session):
+    import ray.data
+
+    day = 86_400_000_000  # us
+    ts = pa.array(np.array([0, 2 * day, 2 * day, 5 * day, day],
+                           dtype=np.int64)).cast(pa.timestamp("us"))
+    t = pa.table({"k": ["u1", "u1", "u1", "u1", "u2"], "ts": ts,
+                  "v": [5, 1, 2, 9, 4]})
+    out = fill_daily_gaps(ray.data.from_arrow(t), "k", "ts", "v",
+                          num_partitions=2).to_pandas()
+    u1 = out[out["k"] == "u1"].sort_values("day")
+    # u1 spans day 0..5 inclusive: 6 rows, gaps zero-filled, day 2 summed
+    assert u1["v"].tolist() == [5, 0, 3, 0, 0, 9]
+    assert u1["day"].tolist() == [
+        "1970-01-01", "1970-01-02", "1970-01-03",
+        "1970-01-04", "1970-01-05", "1970-01-06"]
+    u2 = out[out["k"] == "u2"]
+    assert u2["v"].tolist() == [4] and u2["day"].tolist() == ["1970-01-02"]
+
+
+def test_collect_concat_sorted_keeps_dups(ray_session):
+    import ray.data
+
+    t = pa.table({"k": [1, 1, 1, 2, 2], "v": ["b", "a", "b", "x", None]})
+    out = collect_concat_sorted(ray.data.from_arrow(t), "k", "v",
+                                num_partitions=2).to_pandas()
+    m = dict(zip(out["k"], out["value_list"]))
+    assert m == {1: "a,b,b", 2: "x"}
+
+
+def test_keyed_percent_rank_ties(ray_session):
+    import ray.data
+
+    t = pa.table({"k": ["a"] * 4 + ["b"], "v": [10, 20, 20, 30, 5]})
+    out = keyed_percent_rank(ray.data.from_arrow(t), "k", "v",
+                             num_partitions=2).to_pandas()
+    a = sorted(out[out["k"] == "a"]["pct_rank"].tolist())
+    # ranks over n=4: 1,2,2,4 -> (r-1)/3 = 0, 1/3, 1/3, 1
+    assert a == [0.0, 1 / 3, 1 / 3, 1.0]
+    assert out[out["k"] == "b"]["pct_rank"].tolist() == [0.0]
