@@ -4212,6 +4212,37 @@ def q_cust_status_string(sf_dir: str):
     return out.to_pandas()
 
 
+def q_doc_word_positions(sf_dir: str):
+    """LATERAL unnest WITH ORDINALITY: split each doc's text on spaces
+    and explode to (doc_id, idx, word) rows — ``reshape.split_explode``,
+    one vectorized split kernel + offsets arithmetic, no shuffle. Bounded
+    to doc_id < 200 (the result is row-per-word; the operator itself
+    streams at any scale)."""
+    from mex_extractors_ray.stages.reshape import split_explode
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 200)),
+        batch_format="pyarrow")
+    out = split_explode(docs, "text", " ", ["doc_id"],
+                        out_part="word", out_idx="idx")
+    return out.to_pandas()
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width histogram per event type (``profile.
+    width_bucket_counts``): 10 buckets over [0, 500), the float bucket
+    expression written identically in the SQL mirror."""
+    from mex_extractors_ray.stages.profile import width_bucket_counts
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "value"])
+    return width_bucket_counts(ev, "event_type", "value",
+                               lo=0.0, hi=500.0, n_buckets=10,
+                               num_partitions=8).to_pandas()
+
+
 def q_order_percent_rank(sf_dir: str):
     """``PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY
     o_totalprice)`` — tie-aware rank arithmetic on exact integers, one
@@ -4493,6 +4524,8 @@ _QUERY_FNS = {
         "user_daily_value_filled": q_user_daily_value_filled,
         "cust_status_string": q_cust_status_string,
         "order_percent_rank": q_order_percent_rank,
+        "doc_word_positions": q_doc_word_positions,
+        "value_histogram": q_value_histogram,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -5273,6 +5306,20 @@ SELECT o_orderkey, o_custkey, o_totalprice,
        PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
            AS pct_rank
 FROM orders
+""",
+        "doc_word_positions": """
+SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx, parts[u.i] AS word
+FROM (SELECT doc_id, str_split(text, ' ') AS parts
+      FROM documents WHERE doc_id < 200),
+LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) u
+""",
+        "value_histogram": """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 50.0),
+                           0.0), 9.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
 """,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,

@@ -133,3 +133,38 @@ SELECT '{c}' AS col,
        CAST(MAX({c}) AS VARCHAR) AS max_v
 FROM {table_sql}""")
     return "\nUNION ALL\n".join(legs)
+
+
+def width_bucket_counts(ds, group_col: str, value_col: str,
+                        lo: float, hi: float, n_buckets: int,
+                        num_partitions: int = 16):
+    """Equi-width histogram per group: ``bucket = floor((v − lo) /
+    step)`` clamped to ``[0, n_buckets−1]`` with ``step = (hi − lo) /
+    n_buckets`` — one float expression, written identically in the SQL
+    mirror so the bucket boundary can't drift between engines. Rows with
+    null values are dropped (SQL GROUP BY semantics on the CASTed
+    bucket).
+
+    Scale shape: per-batch (group, bucket) counts (combiner — the
+    exchange ships ≤ groups·buckets rows per batch) → ``keyed_sums``.
+    Output: ``(group_col, bucket:int64, n:int64)``."""
+    from mex_extractors_ray.stages.aggregates import keyed_sums
+
+    step = (hi - lo) / n_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t[value_col].null_count:
+            t = t.filter(pc.is_valid(t[value_col]))
+        b = pc.floor(pc.divide(pc.subtract(
+            pc.cast(t[value_col], pa.float64()), lo), step))
+        b = pc.min_element_wise(
+            pc.max_element_wise(b, 0.0), float(n_buckets - 1))
+        g = (t.select([group_col])
+             .append_column("bucket", pc.cast(b, pa.int64()))
+             .group_by([group_col, "bucket"]).aggregate([([], "count_all")]))
+        return g.rename_columns([group_col, "bucket", "n"]).set_column(
+            2, "n", pc.cast(g.column(2), pa.int64()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_sums(parts, [group_col, "bucket"], ["n"],
+                      num_partitions=num_partitions)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def melt(ds, id_cols: list[str], value_cols: list[str],
@@ -52,6 +53,39 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(wide_to_long, batch_format="pyarrow")
+
+
+def split_explode(ds, col: str, pattern: str, keep_cols: list[str],
+                  out_part: str = "part", out_idx: str = "idx"):
+    """Split a string column by ``pattern`` and explode to one row per
+    part WITH ORDINALITY (0-based ``out_idx``) — LATERAL
+    ``unnest(str_split(...)) WITH ORDINALITY``. Fully vectorized: one
+    ``pc.split_pattern`` kernel, then offsets arithmetic (``np.repeat``
+    of the kept columns, ``arange − repeated list starts`` for the
+    position) — no per-row Python. Null input rows produce no output
+    rows (SQL unnest semantics). Embarrassingly parallel: one streaming
+    ``map_batches``, no shuffle."""
+    keep_cols = list(keep_cols)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t[col].null_count:
+            t = t.filter(pc.is_valid(t[col]))
+        lists = pc.split_pattern(t[col], pattern)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = np.asarray(lists.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        ridx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                  counts))
+        total = int(counts.sum())
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        cols = {c: t[c].take(ridx) for c in keep_cols}
+        cols[out_idx] = pa.array(pos)
+        cols[out_part] = lists.flatten()
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def union_by_name(datasets: list):

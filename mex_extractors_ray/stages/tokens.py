@@ -156,3 +156,64 @@ def vocab_remap(ds, list_col: str = "tokens", key_col: str = "doc_id",
         })
 
     return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def apply_bpe_merge(ds, pair: tuple[int, int], new_id: int,
+                    list_col: str = "tokens"):
+    """One BPE MERGE application: replace every greedy left-to-right
+    non-overlapping occurrence of the adjacent pair ``(a, b)`` inside
+    each row's token list with ``new_id`` — the second half of a BPE
+    training round (:func:`token_bigram_topk` counts, this merges).
+    Greedy-left matters only when ``a == b`` ("aaa" → "(aa)a"): runs of
+    consecutive matches keep alternate members starting at the run head,
+    exactly the sequential tokenizer's behavior.
+
+    Fully vectorized over the flattened list values: one boolean match
+    mask, one run-alternation pass (cumulative position within match
+    runs), one filtered rebuild of the offsets — no per-row Python. One
+    streaming ``map_batches``; each output row is a pure function of one
+    input row, so the merge pipelines with the recount at any scale."""
+    a, b = int(pair[0]), int(pair[1])
+
+    def merge(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        values = np.asarray(col.flatten(), dtype=np.int64)
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+        n = len(values)
+        if n < 2:
+            return t
+        match = (values[:-1] == a) & (values[1:] == b)
+        # pairs that straddle a row boundary don't exist
+        interior = offsets[1:-1]
+        interior = interior[(interior > 0) & (interior < n)]
+        match[interior - 1] = False
+        if a == b and match.any():
+            # greedy left-to-right: within each run of consecutive
+            # matches keep alternate members starting at the run head
+            m = match.astype(np.int64)
+            starts = np.flatnonzero(np.diff(np.concatenate(([0], m))) == 1)
+            idx = np.arange(len(m), dtype=np.int64)
+            run_id = np.cumsum(np.isin(idx, starts))
+            run_base = starts[run_id - 1] if len(starts) else idx
+            keep_alt = ((idx - run_base) % 2 == 0)
+            match &= keep_alt
+        kept = np.flatnonzero(match)
+        if len(kept) == 0:
+            return t
+        out_vals = values.copy()
+        out_vals[kept] = new_id
+        drop = np.zeros(n, dtype=bool)
+        drop[kept + 1] = True
+        # rebuild offsets: each list loses one slot per kept match in it
+        # (kept match j belongs to the list whose offset range contains j)
+        owner = np.searchsorted(offsets, kept, side="right") - 1
+        removed = np.bincount(owner, minlength=len(offsets) - 1)
+        new_counts = np.diff(offsets) - removed
+        new_offsets = np.concatenate(([0], np.cumsum(new_counts)))
+        merged = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            pa.array(out_vals[~drop], col.type.value_type))
+        return t.set_column(t.schema.get_field_index(list_col), list_col,
+                            merged)
+
+    return ds.map_batches(merge, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""Unit tests for split_explode, width_bucket_counts, apply_bpe_merge."""
+
+import numpy as np
+import pyarrow as pa
+
+from mex_extractors_ray.stages.profile import width_bucket_counts
+from mex_extractors_ray.stages.reshape import split_explode
+from mex_extractors_ray.stages.tokens import apply_bpe_merge
+
+
+def test_split_explode_ordinality_and_nulls(ray_session):
+    import ray.data
+
+    t = pa.table({"id": [1, 2, 3], "s": ["a b c", "x", None]})
+    df = split_explode(ray.data.from_arrow(t), "s", " ", ["id"],
+                       out_part="w", out_idx="i").to_pandas()
+    got = sorted(map(tuple, df[["id", "i", "w"]].itertuples(index=False)))
+    assert got == [(1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (2, 0, "x")]
+
+
+def test_width_bucket_counts_clamps(ray_session):
+    import ray.data
+
+    t = pa.table({"g": ["a"] * 5 + ["b"],
+                  "v": [-10.0, 0.0, 49.9, 50.0, 1000.0, None]})
+    df = width_bucket_counts(ray.data.from_arrow(t), "g", "v",
+                             lo=0.0, hi=100.0, n_buckets=2,
+                             num_partitions=2).to_pandas()
+    m = {(r.g, r.bucket): r.n for r in df.itertuples(index=False)}
+    # -10 clamps to 0; 0 and 49.9 in bucket 0; 50 in bucket 1; 1000 clamps
+    assert m == {("a", 0): 3, ("a", 1): 2}
+
+
+def _bpe_merge_ref(seq, a, b, new_id):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(new_id)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def test_apply_bpe_merge_basic(ray_session):
+    import ray.data
+
+    t = pa.table({"tokens": pa.array(
+        [[1, 2, 3, 1, 2], [2, 1], [], [1, 2]],
+        type=pa.list_(pa.int32()))})
+    df = apply_bpe_merge(ray.data.from_arrow(t), (1, 2), 99).to_pandas()
+    assert [list(x) for x in df["tokens"]] == [[99, 3, 99], [2, 1], [], [99]]
+
+
+def test_apply_bpe_merge_overlapping_same_token(ray_session):
+    import ray.data
+
+    # greedy left-to-right on (7,7): "7 7 7" -> "(77) 7"; "7 7 7 7" -> two
+    t = pa.table({"tokens": pa.array(
+        [[7, 7, 7], [7, 7, 7, 7], [7], [7, 7, 7, 7, 7]],
+        type=pa.list_(pa.int32()))})
+    df = apply_bpe_merge(ray.data.from_arrow(t), (7, 7), 50).to_pandas()
+    assert [list(x) for x in df["tokens"]] == [
+        [50, 7], [50, 50], [7], [50, 50, 7]]
+
+
+def test_apply_bpe_merge_random_equivalence(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    seqs = [rng.integers(0, 4, rng.integers(0, 12)).tolist()
+            for _ in range(200)]
+    t = pa.table({"tokens": pa.array(seqs, type=pa.list_(pa.int32()))})
+    for (a, b) in [(0, 1), (2, 2), (3, 0)]:
+        df = apply_bpe_merge(ray.data.from_arrow(t), (a, b), 90).to_pandas()
+        got = [list(x) for x in df["tokens"]]
+        want = [_bpe_merge_ref(s, a, b, 90) for s in seqs]
+        assert got == want, (a, b)
