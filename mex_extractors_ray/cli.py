@@ -425,6 +425,24 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """BPE tokenizer training over a lake's token payload: iterate
+    pair-count → merge for --merges rounds, print the merge table."""
+    ray = _ray()
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.stages.tokens import bpe_train
+
+    ds = read_lake(args.lake, columns=["doc_id", "tokens"])
+    if args.sample_docs:
+        # tokenizer training runs on a bounded corpus sample
+        ds = ds.limit(args.sample_docs)
+    merges, _ = bpe_train(ds, n_merges=args.merges,
+                          vocab_size=args.vocab_size)
+    print(json.dumps({"merges": merges.to_pylist()}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mex_extractors_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -644,6 +662,15 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--phrase", action="store_true")
     ix.add_argument("-k", type=int, default=10)
     ix.set_defaults(fn=cmd_index)
+
+    bp = sub.add_parser(
+        "bpe", help="BPE tokenizer training rounds over the lake tokens")
+    bp.add_argument("--lake", required=True)
+    bp.add_argument("--merges", type=int, default=10)
+    bp.add_argument("--vocab-size", type=int, default=50_000)
+    bp.add_argument("--sample-docs", type=int, default=0,
+                    help="bound the training corpus (0 = all docs)")
+    bp.set_defaults(fn=cmd_bpe)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -4117,17 +4117,23 @@ def q_cust_order_quartiles_cont(sf_dir: str):
     return out.to_pandas()
 
 
-def q_orders_above_cust_avg(sf_dir: str):
+def q_orders_above_cust_avg(sf_dir: str, force: str | None = None):
     """Correlated-scalar-subquery pattern: orders strictly above their
     customer's average order value. Decided in EXACT integer cents
     (price_c·n > sum_c), so the boundary is deterministic across
     summation orders — no float-avg ulp flips between engine and oracle.
     Scale shape: per-batch (custkey → cents,count) partials →
-    ``keyed_sums`` (one small exchange) → bucketed co-partition join
-    back to the orders stream (both sides grow with the data; no
-    driver-side dim)."""
+    ``keyed_sums`` (one small exchange), then the join back to the
+    orders stream AUTO-SELECTED by the build side's measured bound (the
+    ``revenue_by_nation`` discipline): the per-customer aggregate has ≤
+    one row per customer, so under ``DIM_BROADCAST_MAX_ROWS`` it ships
+    as two ``index_in`` broadcast probes (zero second shuffle); above it,
+    the bucketed co-partition join streams both sides."""
     o = _read_pq(f"{sf_dir}/orders.parquet",
                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    mode = force or ("broadcast" if n_cust <= DIM_BROADCAST_MAX_ROWS
+                     else "bucketed")
 
     def with_cents(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
@@ -4146,8 +4152,21 @@ def q_orders_above_cust_avg(sf_dir: str):
     agg = aggregates.keyed_sums(
         cents_ds.map_batches(partial, batch_format="pyarrow"),
         ["o_custkey"], ["sum_c", "n_ord"], num_partitions=16)
-    joined = joins.bucketed_join(cents_ds, agg, on="o_custkey",
-                                 num_buckets=16)
+
+    if mode == "broadcast":
+        at = agg.to_pandas()  # bounded by the broadcast ceiling above
+        keys = at["o_custkey"].to_numpy()
+        joined = joins.broadcast_lookup(cents_ds, keys,
+                                        at["sum_c"].to_numpy(),
+                                        key_col="o_custkey",
+                                        out_col="sum_c")
+        joined = joins.broadcast_lookup(joined, keys,
+                                        at["n_ord"].to_numpy(),
+                                        key_col="o_custkey",
+                                        out_col="n_ord")
+    else:
+        joined = joins.bucketed_join(cents_ds, agg, on="o_custkey",
+                                     num_buckets=16)
 
     def keep_above(t: pa.Table) -> pa.Table:
         m = pc.greater(pc.multiply(t["price_c"], t["n_ord"]), t["sum_c"])
@@ -4155,6 +4174,12 @@ def q_orders_above_cust_avg(sf_dir: str):
                                    "o_totalprice"])
 
     return joined.map_batches(keep_above, batch_format="pyarrow").to_pandas()
+
+
+def q_orders_above_cust_avg_bucketed(sf_dir: str):
+    """The scale path of :func:`q_orders_above_cust_avg`, pinned on — its
+    own hash-checked entry so the auto-select's cold branch never rots."""
+    return q_orders_above_cust_avg(sf_dir, force="bucketed")
 
 
 def q_user_value_moving_sum3(sf_dir: str):
@@ -4520,6 +4545,7 @@ _QUERY_FNS = {
         "union_streams_by_name": q_union_streams_by_name,
         "cust_order_quartiles_cont": q_cust_order_quartiles_cont,
         "orders_above_cust_avg": q_orders_above_cust_avg,
+        "orders_above_cust_avg_bucketed": q_orders_above_cust_avg_bucketed,
         "user_value_moving_sum3": q_user_value_moving_sum3,
         "user_daily_value_filled": q_user_daily_value_filled,
         "cust_status_string": q_cust_status_string,
@@ -5265,6 +5291,16 @@ SELECT o_custkey, 75,
 FROM orders GROUP BY o_custkey
 """,
         "orders_above_cust_avg": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc_,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders)
+WHERE pc_ * n > s
+""",
+        "orders_above_cust_avg_bucketed": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM (
   SELECT o_orderkey, o_custkey, o_totalprice,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc_,

@@ -217,3 +217,45 @@ def apply_bpe_merge(ds, pair: tuple[int, int], new_id: int,
                             merged)
 
     return ds.map_batches(merge, batch_format="pyarrow")
+
+
+def bpe_train(ds, n_merges: int, vocab_size: int,
+              list_col: str = "tokens", num_partitions: int = 32):
+    """Iterative BPE TRAINING over a tokenized corpus: each round counts
+    adjacent pairs (:func:`token_bigram_topk`, k=1, ties → smaller packed
+    key), mints ``new_id = vocab_size + round`` and applies the merge
+    (:func:`apply_bpe_merge`), stopping early when no pair repeats.
+    Returns ``(merges: pa.Table(round, a, b, new_id, n), final_ds)``.
+
+    Scale shape per round: the count is the engine's combiner →
+    ``keyed_sums`` → per-block top-k path (driver sees O(partitions)
+    rows); the merge is one streaming ``map_batches``; a
+    ``materialize()`` per round cuts lineage (the pagerank loop
+    discipline — without it every round re-executes all prior merges).
+    Real tokenizer training runs on a bounded corpus SAMPLE (the
+    ``kmeans_train`` discipline) — pass a sampled dataset in, the loop
+    doesn't sample for you."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_train: n_merges={n_merges} must be >= 1")
+    # packed keys must stay collision-free as minted ids enter the streams
+    V = vocab_size + n_merges
+    rounds, cur = [], ds
+    for r in range(n_merges):
+        top = token_bigram_topk(cur, list_col, vocab_size=V, k=1,
+                                num_partitions=num_partitions)
+        if top.num_rows == 0:
+            break
+        bg = top["bg"][0].as_py()
+        n = top["n"][0].as_py()
+        if n < 2:
+            break  # nothing repeats; further merges are noise
+        a, b = bg // V, bg % V
+        new_id = vocab_size + r
+        cur = apply_bpe_merge(cur, (a, b), new_id,
+                              list_col=list_col).materialize()
+        rounds.append({"round": r, "a": a, "b": b,
+                       "new_id": new_id, "n": n})
+    merges = pa.Table.from_pylist(rounds, schema=pa.schema([
+        ("round", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("new_id", pa.int64()), ("n", pa.int64())]))
+    return merges, cur

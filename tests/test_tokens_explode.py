@@ -77,3 +77,48 @@ def test_apply_bpe_merge_random_equivalence(ray_session):
         got = [list(x) for x in df["tokens"]]
         want = [_bpe_merge_ref(s, a, b, 90) for s in seqs]
         assert got == want, (a, b)
+
+
+def _bpe_train_ref(seqs, n_merges, vocab_size):
+    """Sequential BPE with the engine's tie-break (count desc, smaller
+    packed key a*V+b, V = vocab_size + n_merges)."""
+    from collections import Counter
+
+    V = vocab_size + n_merges
+    merges = []
+    cur = [list(s) for s in seqs]
+    for r in range(n_merges):
+        counts = Counter()
+        for s in cur:
+            for i in range(len(s) - 1):
+                counts[s[i] * V + s[i + 1]] += 1
+        if not counts:
+            break
+        bg, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        a, b = bg // V, bg % V
+        new_id = vocab_size + r
+        cur = [_bpe_merge_ref(s, a, b, new_id) for s in cur]
+        merges.append((r, a, b, new_id, n))
+    return merges, cur
+
+
+def test_bpe_train_matches_sequential(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.tokens import bpe_train
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 5, rng.integers(2, 30)).tolist()
+            for _ in range(80)]
+    t = pa.table({"doc": pa.array(range(80), pa.int64()),
+                  "tokens": pa.array(seqs, type=pa.list_(pa.int32()))})
+    merges, final_ds = bpe_train(ray.data.from_arrow(t), n_merges=6,
+                                 vocab_size=5, num_partitions=4)
+    want_merges, want_final = _bpe_train_ref(seqs, 6, 5)
+    got = [(r["round"], r["a"], r["b"], r["new_id"], r["n"])
+           for r in merges.to_pylist()]
+    assert got == want_merges
+    df = final_ds.to_pandas().sort_values("doc")
+    assert [list(x) for x in df["tokens"]] == want_final
