@@ -33,12 +33,19 @@ def _ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # under `ray job submit` the cluster address from the job env wins;
+        # standalone (no MEX_RAY_ADDRESS/RAY_JOB_ID) we pin local mode with
+        # a bounded CPU count so benches and tests are reproducible
+        if os.environ.get("RAY_JOB_ID") or os.environ.get("MEX_RAY_ADDRESS"):
+            ray.init(address=os.environ.get("MEX_RAY_ADDRESS", "auto"),
+                     logging_level="ERROR")
+        else:
+            ray.init(
+                address="local",
+                num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
