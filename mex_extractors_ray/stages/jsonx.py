@@ -76,7 +76,13 @@ def json_fields(ds, col: str, fields: dict[str, str]):
                 outs[out].append(cur)
         res = t
         for out, vals in outs.items():
-            res = res.append_column(out, pa.array(vals))
+            try:
+                arr = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # mixed scalar types across rows: degrade to string
+                arr = pa.array([None if v is None else str(v)
+                                for v in vals], pa.string())
+            res = res.append_column(out, arr)
         return res
 
     return ds.map_batches(extract, batch_format="pyarrow")

@@ -122,3 +122,15 @@ def test_bpe_train_matches_sequential(ray_session):
     assert got == want_merges
     df = final_ds.to_pandas().sort_values("doc")
     assert [list(x) for x in df["tokens"]] == want_final
+
+
+def test_json_fields_mixed_types_degrade_to_string(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mex_extractors_ray.stages.jsonx import json_fields
+
+    t = pa.table({"p": ['{"v": 1}', '{"v": "x"}', '{"v": null}']})
+    df = json_fields(ray.data.from_arrow(t), "p", {"v": "v"}).to_pandas()
+    vals = df["v"].tolist()
+    assert vals[0] == "1" and vals[1] == "x" and pd.isna(vals[2])
