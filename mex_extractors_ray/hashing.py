@@ -242,3 +242,27 @@ def rolling_fingerprints(arr: pa.Array | pa.ChunkedArray, window: int = 16) -> n
     out = full.copy()
     np.minimum.at(out, row_of, wh)
     return out
+
+
+def composite_gkey(t: pa.Table, cols: list[str]) -> pa.Array:
+    """INJECTIVE string encoding of a composite key: each part is
+    ``V<len>:<value>`` (null → ``N``), parts joined by ``|``. The length
+    prefix makes the encoding prefix-free, so values containing the
+    separator (or the literal null marker) can never collide across
+    column boundaries — unlike a plain ``join(cast(col), sep)``, which
+    fabricates equality for adversarial strings. All vectorized Arrow
+    kernels; one output string per row."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        s = pc.cast(t[c], pa.string())
+        enc = pc.binary_join_element_wise(
+            pa.scalar("V"), pc.cast(pc.binary_length(s), pa.string()),
+            pa.scalar(":"), pc.if_else(pc.is_valid(s), s, ""),
+            pa.scalar(""))
+        parts.append(pc.if_else(pc.is_valid(s), enc, pa.scalar("N")))
+    gkey = parts[0]
+    for p in parts[1:]:
+        gkey = pc.binary_join_element_wise(gkey, p, pa.scalar("|"))
+    return gkey

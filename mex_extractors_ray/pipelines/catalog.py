@@ -4072,12 +4072,15 @@ def q_props_value_stats(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         # map-side combiner: per-batch (event_type) partials so the
-        # exchange ships one row per type per batch, not raw events
+        # exchange ships one row per type per batch, not raw events.
+        # count_all (not count) mirrors the oracle's COUNT(*): a props
+        # object WITHOUT 'k' still counts in n (its k extracts to null)
         g = t.group_by("event_type").aggregate([("k", "sum"),
-                                                ("k", "count")])
+                                                ([], "count_all")])
         return pa.table({"event_type": g["event_type"],
-                         "sum_k": pc.cast(g["k_sum"], pa.int64()),
-                         "n": pc.cast(g["k_count"], pa.int64())})
+                         "sum_k": pc.cast(pc.fill_null(g["k_sum"], 0),
+                                          pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     parts = ex.map_batches(partial, batch_format="pyarrow")
     out = aggregates.keyed_sums(parts, ["event_type"], ["sum_k", "n"],

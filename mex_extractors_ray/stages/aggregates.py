@@ -37,10 +37,9 @@ def grouped_distinct_count(ds, key: str, value: str,
         p = pa.table({key: t[key], value: t[value]})
         p = p.filter(pc.is_valid(p[value]))
         p = p.group_by([key, value]).aggregate([])
-        pair = pc.binary_join_element_wise(
-            pc.fill_null(pc.cast(p[key], pa.string()), "\x00N"),
-            pc.cast(p[value], pa.string()), "\x00")
-        return p.append_column("_pair", pair)
+        from mex_extractors_ray.hashing import composite_gkey
+
+        return p.append_column("_pair", composite_gkey(p, [key, value]))
 
     def block(g: pa.Table) -> pa.Table:
         kt = g[key].type
@@ -340,19 +339,13 @@ def grouping_sets_sum_count(ds, keys: list[str], sets: list[tuple[str, ...]],
         return pa.table(cols)
 
     def add_gkey(t: pa.Table) -> pa.Table:
+        from mex_extractors_ray.hashing import composite_gkey
+
         # one composite string shuffle key over (gid, keys...) — a single
-        # coarse exchange routes every grouping set at once
-        parts_ = [pc.cast(t["_gid"], pa.string())]
-        for c in keys:
-            # input-null key values are a group of their own (SQL ROLLUP
-            # semantics); an unfilled null would null the whole join and
-            # collapse every null-key row across levels into one run
-            parts_.append(pc.fill_null(pc.cast(t[c], pa.string()), "\x00N"))
-        sep = pa.scalar("\x1f")
-        gkey = parts_[0]
-        for p in parts_[1:]:
-            gkey = pc.binary_join_element_wise(gkey, p, sep)
-        return t.append_column("_gkey", gkey)
+        # coarse exchange routes every grouping set at once; the
+        # length-prefixed encoding keeps null-key groups distinct (SQL
+        # ROLLUP semantics) AND is injective for adversarial strings
+        return t.append_column("_gkey", composite_gkey(t, ["_gid"] + keys))
 
     partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         add_gkey, batch_format="pyarrow")
@@ -402,11 +395,11 @@ def keyed_sums(ds, keys: list[str], value_cols: list[str],
         _require_integer_col(_types.get(v), v, "keyed_sums")
 
     def add_gkey(t: pa.Table) -> pa.Table:
-        parts_ = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00N") for c in keys]
-        gkey = parts_[0]
-        for p in parts_[1:]:
-            gkey = pc.binary_join_element_wise(gkey, p, pa.scalar("\x1f"))
-        return t.append_column("_gkey", gkey)
+        from mex_extractors_ray.hashing import composite_gkey
+
+        # injective (length-prefixed) so separator bytes inside string
+        # keys can't merge two distinct groups
+        return t.append_column("_gkey", composite_gkey(t, keys))
 
     def merge(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

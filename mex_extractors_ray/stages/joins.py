@@ -392,12 +392,12 @@ def _distinct_setop(left, right, cols: list[str], keep: str,
 
     def project(side: int):
         def _p(t: pa.Table) -> pa.Table:
-            parts = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00N")
-                     for c in cols]
-            gkey = parts[0]
-            for p in parts[1:]:
-                gkey = pc.binary_join_element_wise(gkey, p, pa.scalar("\x1f"))
-            out = t.select(cols).append_column("_gkey", gkey)
+            from mex_extractors_ray.hashing import composite_gkey
+
+            # injective encoding: length-prefixed parts, so separator
+            # bytes inside values can't fabricate set-op membership
+            out = t.select(cols).append_column(
+                "_gkey", composite_gkey(t, cols))
             return out.append_column(
                 "_side", pa.array(np.full(t.num_rows, side, np.int8)))
         return _p

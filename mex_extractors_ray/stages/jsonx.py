@@ -34,9 +34,15 @@ def json_scalar_field(ds, col: str, key: str, out_col: str,
     doesn't match, same as SQL ``json_extract`` on a miss). Use
     :func:`json_fields` when values can be nested or escaped."""
     kq = re.escape(key)
-    if out_type in ("int64", "float64"):
+    if out_type == "int64":
+        # integer literals only: anchor on the JSON delimiter so "5.5"
+        # yields null (a non-integer literal is a miss, not a crash);
+        # RE2 has no lookahead, but a JSON scalar always ends at , or }
+        pat = f'"{kq}"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}}]'
+        typ = pa.int64()
+    elif out_type == "float64":
         pat = f'"{kq}"\\s*:\\s*(?P<v>{_NUM_RE})'
-        typ = pa.int64() if out_type == "int64" else pa.float64()
+        typ = pa.float64()
     elif out_type == "string":
         pat = f'"{kq}"\\s*:\\s*"(?P<v>[^"\\\\]*)"'
         typ = pa.string()

@@ -100,25 +100,25 @@ def _salted_sides(left, right, key: str, left_ts: str, right_ts: str,
     from mex_extractors_ray.stages.sessions import _epoch_us
     from mex_extractors_ray.stages.shuffle import fmix64
 
-    sep = pa.scalar("\x1f")
+    from mex_extractors_ray.hashing import composite_gkey
+
+    def _skey_of(t: pa.Table, s: np.ndarray) -> pa.Array:
+        # injective (length-prefixed) so a key containing the separator
+        # can't alias another (key, salt) routing bucket
+        tmp = pa.table({key: t[key], "_salt": pa.array(s)})
+        return composite_gkey(tmp, [key, "_salt"])
 
     def r_salt(t: pa.Table) -> pa.Table:
         us = _epoch_us(t[right_ts])
         s = (fmix64(us.astype(np.uint64)) % np.uint64(salt)).astype(np.int64)
-        sk = pc.binary_join_element_wise(
-            pc.fill_null(pc.cast(t[key], pa.string()), "\x00N"),
-            pc.cast(pa.array(s), pa.string()), sep)
-        return t.append_column("_skey", sk)
+        return t.append_column("_skey", _skey_of(t, s))
 
     def l_fan(t: pa.Table) -> pa.Table:
         n = t.num_rows
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
         out = t.take(idx)
         s = np.tile(np.arange(salt, dtype=np.int64), n)
-        sk = pc.binary_join_element_wise(
-            pc.fill_null(pc.cast(out[key], pa.string()), "\x00N"),
-            pc.cast(pa.array(s), pa.string()), sep)
-        return out.append_column("_skey", sk)
+        return out.append_column("_skey", _skey_of(out, s))
 
     return (left.map_batches(l_fan, batch_format="pyarrow"),
             right.map_batches(r_salt, batch_format="pyarrow"))

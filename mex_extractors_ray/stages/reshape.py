@@ -36,7 +36,8 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         # row i repeats k times; variable cycles in value_cols order
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
         cols = {c: t[c].take(idx) for c in id_cols}
-        cols[var_col] = pa.array(np.tile(np.array(value_cols, dtype=object), n))
+        cols[var_col] = pa.array(
+            np.tile(np.array(value_cols, dtype=object), n), pa.string())
         def one_chunk(col: pa.ChunkedArray | pa.Array) -> pa.Array:
             if isinstance(col, pa.ChunkedArray):
                 c = col.combine_chunks()
@@ -98,10 +99,22 @@ def union_by_name(datasets: list):
     zero-copy streaming."""
     if not datasets:
         raise ValueError("union_by_name: no inputs")
+
+    def _arrow_type(t):
+        # Dataset.schema() reports python classes for pandas-backed
+        # blocks; normalize so null-padding and the conflict check work
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
     unified: dict[str, pa.DataType] = {}
     for ds in datasets:
         sch = ds.schema()
         for name, typ in zip(sch.names, sch.types):
+            typ = _arrow_type(typ)
             if name in unified and unified[name] != typ:
                 raise TypeError(
                     f"union_by_name: column {name!r} has conflicting types "

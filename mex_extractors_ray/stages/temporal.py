@@ -95,6 +95,11 @@ def fill_daily_gaps(ds, key: str, ts_col: str, value_col: str,
             raise TypeError(
                 f"fill_daily_gaps: {value_col} is {col.type}; integer "
                 "columns only (scale floats to cents first)")
+        if col.null_count:
+            # np.asarray would turn nulls into NaN and the int64 scatter
+            # would silently write INT64_MIN — fail loudly instead
+            raise ValueError(
+                f"fill_daily_gaps: null {value_col} values — fill first")
         ts = g[ts_col].combine_chunks().cast(pa.timestamp("us"))
         day = pa.array(np.asarray(ts.cast(pa.int64())) // US_PER_DAY)
         t = (g.select([key, value_col]).append_column("_day", day)

@@ -18,6 +18,12 @@ def _bigram_keys(col: pa.ListArray, vocab_size: int) -> np.ndarray:
     """int64 keys ``t_i·V + t_{i+1}`` of every WITHIN-ROW adjacent token
     pair in one list column — one subtraction mask, no row loop."""
     values = np.asarray(col.flatten(), dtype=np.int64)
+    if len(values) and (values.min() < 0 or values.max() >= vocab_size):
+        # out-of-range ids would silently alias packed keys (and decode
+        # to pairs that never existed) — refuse loudly, like
+        # token_histogram does
+        raise ValueError(
+            f"_bigram_keys: token ids outside [0, {vocab_size})")
     if len(values) < 2:
         return values[:0]
     offsets = np.asarray(col.offsets, dtype=np.int64)
@@ -193,7 +199,9 @@ def apply_bpe_merge(ds, pair: tuple[int, int], new_id: int,
             m = match.astype(np.int64)
             starts = np.flatnonzero(np.diff(np.concatenate(([0], m))) == 1)
             idx = np.arange(len(m), dtype=np.int64)
-            run_id = np.cumsum(np.isin(idx, starts))
+            is_start = np.zeros(len(m), dtype=np.int64)
+            is_start[starts] = 1
+            run_id = np.cumsum(is_start)
             run_base = starts[run_id - 1] if len(starts) else idx
             keep_alt = ((idx - run_base) % 2 == 0)
             match &= keep_alt

@@ -134,3 +134,33 @@ def test_json_fields_mixed_types_degrade_to_string(ray_session):
     df = json_fields(ray.data.from_arrow(t), "p", {"v": "v"}).to_pandas()
     vals = df["v"].tolist()
     assert vals[0] == "1" and vals[1] == "x" and pd.isna(vals[2])
+
+
+def test_json_scalar_field_int_rejects_float_literal(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mex_extractors_ray.stages.jsonx import json_scalar_field
+
+    t = pa.table({"p": ['{"k": 5.5}', '{"k": 1e5}', '{"k": 7}',
+                        '{"k": -2, "z": 1}']})
+    got = json_scalar_field(ray.data.from_arrow(t), "p", "k", "k") \
+        .to_pandas()["k"].tolist()
+    assert pd.isna(got[0]) and pd.isna(got[1])
+    assert got[2] == 7 and got[3] == -2
+
+
+def test_setops_adversarial_separator_strings(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.joins import intersect_distinct
+
+    # values containing the old separator / null-marker bytes must NOT
+    # fabricate set membership (injective length-prefixed encoding)
+    left = ray.data.from_arrow(pa.table({"a": ["p\x1fq"], "b": ["r"]}))
+    right = ray.data.from_arrow(pa.table({"a": ["p"], "b": ["q\x1fr"]}))
+    assert intersect_distinct(left, right, ["a", "b"],
+                              num_partitions=2).count() == 0
+    l2 = ray.data.from_arrow(pa.table({"a": ["\x00N"]}))
+    r2 = ray.data.from_arrow(pa.table({"a": pa.array([None], pa.string())}))
+    assert intersect_distinct(l2, r2, ["a"], num_partitions=2).count() == 0
