@@ -4240,6 +4240,54 @@ def q_cust_status_string(sf_dir: str):
     return out.to_pandas()
 
 
+def q_order_cume_dist(sf_dir: str):
+    """``CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)``
+    — tie-run end arithmetic on exact ints, one float division
+    (``aggregates.keyed_cume_dist``)."""
+    o = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return aggregates.keyed_cume_dist(o, "o_custkey", "o_totalprice",
+                                      num_partitions=16).to_pandas()
+
+
+def q_nation_weighted_price(sf_dir: str):
+    """Exact grouped WEIGHTED AVERAGE components: per nation,
+    Σ(qty·price_cents) and Σqty as exact int64 — the weighted-mean
+    numerator/denominator a mixture scheduler wants, kept integral so
+    the oracle matches bit-for-bit (the float ratio is one division away
+    for any consumer). Partials per batch → ``keyed_sums``; the
+    supplier→nation dim broadcasts under ``DIM_BROADCAST_MAX_ROWS``
+    (footer-measured — the auto-select discipline; above it, route
+    through ``joins.bucketed_join`` like ``orders_above_cust_avg``)."""
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_suppkey", "l_quantity", "l_extendedprice"])
+    n_sup = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    if n_sup > DIM_BROADCAST_MAX_ROWS:  # pragma: no cover - sf >> bench
+        raise NotImplementedError(
+            "supplier dim above broadcast ceiling: use bucketed_join here")
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    withn = joins.broadcast_lookup(
+        li, sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy(),
+        key_col="l_suppkey", out_col="n_key", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        w = pc.multiply(qty, cents)
+        g = (pa.table({"n_key": t["n_key"], "wsum": w, "qty": qty})
+             .group_by("n_key").aggregate([("wsum", "sum"), ("qty", "sum")]))
+        return pa.table({"n_key": g["n_key"],
+                         "wsum_c": pc.cast(g["wsum_sum"], pa.int64()),
+                         "qty_sum": pc.cast(g["qty_sum"], pa.int64())})
+
+    out = aggregates.keyed_sums(
+        withn.map_batches(partial, batch_format="pyarrow"),
+        ["n_key"], ["wsum_c", "qty_sum"], num_partitions=8)
+    return out.to_pandas()
+
+
 def q_doc_word_positions(sf_dir: str):
     """LATERAL unnest WITH ORDINALITY: split each doc's text on spaces
     and explode to (doc_id, idx, word) rows — ``reshape.split_explode``,
@@ -4555,6 +4603,8 @@ _QUERY_FNS = {
         "order_percent_rank": q_order_percent_rank,
         "doc_word_positions": q_doc_word_positions,
         "value_histogram": q_value_histogram,
+        "order_cume_dist": q_order_cume_dist,
+        "nation_weighted_price": q_nation_weighted_price,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -5345,6 +5395,21 @@ SELECT o_orderkey, o_custkey, o_totalprice,
        PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
            AS pct_rank
 FROM orders
+""",
+        "order_cume_dist": """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+           AS cume_dist
+FROM orders
+""",
+        "nation_weighted_price": """
+SELECT s_nationkey AS n_key,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS wsum_c,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
 """,
         "doc_word_positions": """
 SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx, parts[u.i] AS word

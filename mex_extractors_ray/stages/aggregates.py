@@ -188,6 +188,37 @@ def keyed_percent_rank(ds, key: str, value_col: str,
     return _keyed_blocks(ds, key, block, num_partitions)
 
 
+def keyed_cume_dist(ds, key: str, value_col: str,
+                    out_col: str = "cume_dist", num_partitions: int = 64):
+    """``cume_dist()`` window function per key over ``value_col``
+    ascending: (number of rows with value ≤ this row's value) / n — SQL
+    ``CUME_DIST() OVER (PARTITION BY key ORDER BY value_col)``. The
+    numerator is the END of this value's tie run (exact int), the
+    division one float op — deterministic across engines. Same
+    one-shuffle run-boundary shape as :func:`keyed_percent_rank`."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        t = g.sort_by([(key, "ascending"), (value_col, "ascending")])
+        new_key = _run_starts(t[key])
+        key_starts = np.flatnonzero(new_key)
+        key_counts = np.diff(np.append(key_starts, n))
+        run_start = np.repeat(key_starts, key_counts)
+        new_val = new_key | _run_starts(t[value_col])
+        val_starts = np.flatnonzero(new_val)
+        val_counts = np.diff(np.append(val_starts, n))
+        # last 0-based ordinal of this value's tie run, +1 = ≤-count
+        val_end = np.repeat(val_starts + val_counts, val_counts)
+        le_count = val_end - run_start
+        denom = np.repeat(key_counts, key_counts)
+        return t.append_column(out_col, pa.array(le_count / denom))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def grouped_count(ds, keys: list[str] | str, alias: str = "n"):
     """Count per key with per-batch partials (never ships raw rows)."""
     from ray.data.aggregate import Sum

@@ -72,3 +72,17 @@ def test_keyed_percent_rank_ties(ray_session):
     # ranks over n=4: 1,2,2,4 -> (r-1)/3 = 0, 1/3, 1/3, 1
     assert a == [0.0, 1 / 3, 1 / 3, 1.0]
     assert out[out["k"] == "b"]["pct_rank"].tolist() == [0.0]
+
+
+def test_keyed_cume_dist_ties(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.aggregates import keyed_cume_dist
+
+    t = pa.table({"k": ["a"] * 4 + ["b"], "v": [10, 20, 20, 30, 5]})
+    out = keyed_cume_dist(ray.data.from_arrow(t), "k", "v",
+                          num_partitions=2).to_pandas()
+    a = sorted(out[out["k"] == "a"]["cume_dist"].tolist())
+    # <=-counts over n=4: 1,3,3,4 -> .25, .75, .75, 1.0
+    assert a == [0.25, 0.75, 0.75, 1.0]
+    assert out[out["k"] == "b"]["cume_dist"].tolist() == [1.0]
