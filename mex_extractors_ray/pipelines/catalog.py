@@ -4288,6 +4288,19 @@ def q_nation_weighted_price(sf_dir: str):
     return out.to_pandas()
 
 
+def q_weekly_active_users(sf_dir: str):
+    """Sliding-window distinct count (7-day active users,
+    ``windows.sliding_distinct_count``): distinct isn't decomposable, so
+    each distinct (user, day) pair explodes to the 7 window-end days it
+    covers and ONE coarse end-day shuffle counts distinct users per
+    block — cost ∝ active pairs × window, never raw events."""
+    from mex_extractors_ray.stages.windows import sliding_distinct_count
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sliding_distinct_count(ev, "user_id", "ts", window_days=7,
+                                  num_partitions=8).to_pandas()
+
+
 def q_doc_word_positions(sf_dir: str):
     """LATERAL unnest WITH ORDINALITY: split each doc's text on spaces
     and explode to (doc_id, idx, word) rows — ``reshape.split_explode``,
@@ -4605,6 +4618,7 @@ _QUERY_FNS = {
         "value_histogram": q_value_histogram,
         "order_cume_dist": q_order_cume_dist,
         "nation_weighted_price": q_nation_weighted_price,
+        "weekly_active_users": q_weekly_active_users,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -5410,6 +5424,15 @@ SELECT s_nationkey AS n_key,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
+""",
+        "weekly_active_users": """
+WITH p AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events),
+e AS (SELECT user_id, d + CAST(u.i AS INTEGER) AS de
+      FROM p, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) u)
+SELECT strftime(de, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+FROM e GROUP BY 1
 """,
         "doc_word_positions": """
 SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx, parts[u.i] AS word

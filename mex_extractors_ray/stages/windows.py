@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -131,3 +132,62 @@ def hopping_window(ds, ts_col: str, value_col: str, width_s: int, hop_s: int,
         .groupby("window_start")
         .aggregate(Sum(out_value, alias_name=out_value), Sum("n", alias_name="n"))
     )
+
+
+def sliding_distinct_count(ds, key_col: str, ts_col: str,
+                           window_days: int = 7,
+                           out_day: str = "day", out_n: str = "n",
+                           num_partitions: int = 32):
+    """Sliding-window DISTINCT count (e.g. 7-day active users): for every
+    window-END day, how many distinct keys were active in the
+    ``window_days`` days ending there. Distinct is not decomposable, so
+    the windowed form can't come from partial sums — instead each
+    distinct (key, activity-day) pair EXPLODES to the ``window_days``
+    window-end days it covers, and one coarse shuffle on the end day
+    counts distinct keys per block (all of a day's pairs co-locate).
+
+    Cost: pairs × window_days rows through ONE exchange — ∝ active
+    (key, day) pairs, never raw events (per-batch distinct combiner
+    first), and bounded by the window length, never the corpus. Output:
+    ``(out_day: 'YYYY-MM-DD', out_n: int64)`` for every window-end day
+    covered by any activity."""
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    US_PER_DAY = 86_400_000_000
+    w = int(window_days)
+    if w < 1:
+        raise ValueError(f"sliding_distinct_count: window_days={w} < 1")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+        day = np.asarray(ts.cast(pa.int64())) // US_PER_DAY
+        p = (pa.table({key_col: t[key_col]})
+             .append_column("_day", pa.array(day))
+             .group_by([key_col, "_day"]).aggregate([]))  # batch distinct
+        n = p.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), w))
+        ends = (np.repeat(np.asarray(p["_day"].combine_chunks()), w)
+                + np.tile(np.arange(w, dtype=np.int64), n))
+        return pa.table({key_col: p[key_col].take(idx),
+                         "_end": pa.array(ends)})
+
+    def count_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({out_day: pa.array([], pa.string()),
+                             out_n: pa.array([], pa.int64())})
+        t = g.sort_by([("_end", "ascending"), (key_col, "ascending")])
+        new_end = _run_starts(t["_end"])
+        # distinct (end, key) pair boundaries within the sorted block
+        pair = new_end | _run_starts(t[key_col])
+        eidx = np.flatnonzero(new_end)
+        # distinct pairs per end-day run: reduceat over the pair mask
+        n_distinct = np.add.reduceat(pair.astype(np.int64), eidx)
+        ends = np.asarray(t["_end"].combine_chunks())[eidx]
+        day_str = pc.strftime(
+            pa.array(ends * US_PER_DAY).cast(pa.timestamp("us")),
+            format="%Y-%m-%d")
+        return pa.table({out_day: day_str,
+                         out_n: pa.array(n_distinct.astype(np.int64))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return _keyed_blocks(exploded, "_end", count_block, num_partitions)

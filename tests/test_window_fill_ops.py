@@ -86,3 +86,25 @@ def test_keyed_cume_dist_ties(ray_session):
     # <=-counts over n=4: 1,3,3,4 -> .25, .75, .75, 1.0
     assert a == [0.25, 0.75, 0.75, 1.0]
     assert out[out["k"] == "b"]["cume_dist"].tolist() == [1.0]
+
+
+def test_sliding_distinct_count_window(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.windows import sliding_distinct_count
+
+    day = 86_400_000_000
+    ts = pa.array(np.array([0, 0, day, 3 * day], dtype=np.int64)) \
+        .cast(pa.timestamp("us"))
+    # u1 active d0 and d0 (dup), u2 active d1, u1 active d3
+    t = pa.table({"u": ["u1", "u1", "u2", "u1"], "ts": ts})
+    out = sliding_distinct_count(ray.data.from_arrow(t), "u", "ts",
+                                 window_days=2, num_partitions=2) \
+        .to_pandas().set_index("day")["n"]
+    # window ends: d0:{u1}, d1:{u1,u2}, d2:{u2}, d3:{u1}, d4:{u1}
+    assert out.loc["1970-01-01"] == 1
+    assert out.loc["1970-01-02"] == 2
+    assert out.loc["1970-01-03"] == 1
+    assert out.loc["1970-01-04"] == 1
+    assert out.loc["1970-01-05"] == 1
+    assert len(out) == 5
