@@ -4207,6 +4207,29 @@ def q_user_value_moving_sum3(sf_dir: str):
         batch_format="pyarrow").to_pandas()
 
 
+def q_user_value_moving_max3(sf_dir: str):
+    """ROWS-frame moving MAX (``sessions.keyed_moving_extreme``): per
+    user, the max of the last 3 event values (exact cents) in
+    (ts, event_id) order — the sliding-window-view kernel with cross-run
+    sentinel masking."""
+    from mex_extractors_ray.stages.sessions import keyed_moving_extreme
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("v_c", c)
+
+    out = keyed_moving_extreme(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ("ts", "event_id"), "v_c", k=3, mode="max",
+        out_col="moving_max", num_partitions=16)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "moving_max"]),
+        batch_format="pyarrow").to_pandas()
+
+
 def q_user_daily_value_filled(sf_dir: str):
     """Date-spine gap filling (``temporal.fill_daily_gaps``): per user one
     row per calendar day between their first and last event, daily value
@@ -4611,6 +4634,7 @@ _QUERY_FNS = {
         "orders_above_cust_avg": q_orders_above_cust_avg,
         "orders_above_cust_avg_bucketed": q_orders_above_cust_avg_bucketed,
         "user_value_moving_sum3": q_user_value_moving_sum3,
+        "user_value_moving_max3": q_user_value_moving_max3,
         "user_daily_value_filled": q_user_daily_value_filled,
         "cust_status_string": q_cust_status_string,
         "order_percent_rank": q_order_percent_rank,
@@ -5383,6 +5407,13 @@ SELECT event_id, user_id,
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS moving_sum
+FROM events
+""",
+        "user_value_moving_max3": """
+SELECT event_id, user_id,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_max
 FROM events
 """,
         "user_daily_value_filled": """

@@ -216,6 +216,63 @@ def keyed_moving_sum(ds, key: str, order_cols: tuple[str, ...],
     return _keyed_blocks(ds, key, block, num_partitions)
 
 
+def keyed_moving_extreme(ds, key: str, order_cols: tuple[str, ...],
+                         value_col: str, k: int, mode: str = "max",
+                         out_col: str | None = None,
+                         num_partitions: int = 64):
+    """ROWS-frame moving MAX/MIN: per row, the extreme of ``value_col``
+    over the SAME key's last ``k`` rows in ``order_cols`` order — SQL
+    ``MAX|MIN(v) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    k−1 PRECEDING AND CURRENT ROW)``. Integer values only.
+
+    Vectorization: one sorted pass builds a k-wide sliding window over
+    the whole block (``sliding_window_view``); positions reaching across
+    a key-run boundary are first masked to ∓INT64 extremes, so the
+    cross-run cells can never win — no per-key dispatch, no Python loop.
+    Memory is the block × k view (a stride trick — no copy)."""
+    if k < 1:
+        raise ValueError(f"keyed_moving_extreme: k={k} must be >= 1")
+    if mode not in ("max", "min"):
+        raise ValueError(f"keyed_moving_extreme: mode={mode!r}")
+    out_col = out_col or f"moving_{mode}"
+    order_cols = tuple(order_cols)
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        t = g.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        col = t[value_col].combine_chunks()
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"keyed_moving_extreme: {value_col} is {col.type}; "
+                "integer columns only")
+        if col.null_count:
+            raise ValueError(
+                f"keyed_moving_extreme: null {value_col} values — fill first")
+        vals = np.asarray(col.cast(pa.int64()))
+        sentinel = np.iinfo(np.int64).min if mode == "max" \
+            else np.iinfo(np.int64).max
+        new_key = _run_starts(t[key])
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, counts)
+        # pad k-1 sentinels in front, then mask any window cell that
+        # belongs to an earlier key run
+        padded = np.concatenate(
+            (np.full(k - 1, sentinel, np.int64), vals))
+        win = np.lib.stride_tricks.sliding_window_view(padded, k)
+        # cell j of row i holds original index i-k+1+j; mask < run_start
+        orig = (np.arange(n, dtype=np.int64)[:, None]
+                + np.arange(k, dtype=np.int64)[None, :] - (k - 1))
+        masked = np.where(orig >= run_start[:, None], win, sentinel)
+        ext = masked.max(axis=1) if mode == "max" else masked.min(axis=1)
+        return t.append_column(out_col, pa.array(ext))
+
+    return _keyed_blocks(ds, key, block, num_partitions)
+
+
 def keyed_transitions(ds, key: str, ts_col: str, type_col: str,
                       order_cols: tuple[str, ...] = (),
                       from_col: str = "from_type", to_col: str = "to_type",

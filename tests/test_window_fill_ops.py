@@ -108,3 +108,24 @@ def test_sliding_distinct_count_window(ray_session):
     assert out.loc["1970-01-04"] == 1
     assert out.loc["1970-01-05"] == 1
     assert len(out) == 5
+
+
+def test_keyed_moving_extreme_masks_runs(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.sessions import keyed_moving_extreme
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "o": [1, 2, 3, 1, 2],
+        "v": [5, 1, 9, 100, 2],
+    })
+    mx = keyed_moving_extreme(ray.data.from_arrow(t), "k", ("o",), "v",
+                              k=2, mode="max", num_partitions=2) \
+        .to_pandas().sort_values(["k", "o"])
+    # a: [5], [5,1], [1,9]; b: [100], [100,2] — no bleed across keys
+    assert mx["moving_max"].tolist() == [5, 5, 9, 100, 100]
+    mn = keyed_moving_extreme(ray.data.from_arrow(t), "k", ("o",), "v",
+                              k=2, mode="min", num_partitions=2) \
+        .to_pandas().sort_values(["k", "o"])
+    assert mn["moving_min"].tolist() == [5, 1, 1, 100, 2]
