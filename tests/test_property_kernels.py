@@ -158,3 +158,39 @@ def test_spread2_roundtrip_bits(x):
     assert back == x
     # odd bit positions are all zero
     assert out & 0xAAAAAAAAAAAAAAAA == 0
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(
+    st.tuples(st.one_of(st.none(),
+                        st.text(alphabet="ab|:VN\x00\x1f", max_size=6)),
+              st.one_of(st.none(),
+                        st.text(alphabet="ab|:VN\x00\x1f", max_size=6))),
+    min_size=1, max_size=30))
+def test_composite_gkey_injective(rows):
+    """The length-prefixed composite encoding is injective: two rows get
+    the same gkey iff their (a, b) tuples are equal — even for values
+    built from the separator/marker alphabet itself."""
+    from mex_extractors_ray.hashing import composite_gkey
+
+    t = pa.table({
+        "a": pa.array([a for a, _ in rows], pa.string()),
+        "b": pa.array([b for _, b in rows], pa.string()),
+    })
+    keys = composite_gkey(t, ["a", "b"]).to_pylist()
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            assert (keys[i] == keys[j]) == (rows[i] == rows[j]), (
+                rows[i], rows[j], keys[i], keys[j])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 9), max_size=8), max_size=10))
+def test_bigram_keys_match_bruteforce(lists):
+    from mex_extractors_ray.stages.tokens import _bigram_keys
+
+    col = pa.array(lists, type=pa.list_(pa.int32()))
+    got = sorted(_bigram_keys(col, 10).tolist())
+    want = sorted(a * 10 + b for s in lists
+                  for a, b in zip(s, s[1:]))
+    assert got == want
