@@ -357,3 +357,111 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
         batch_size=4096,
     )
     return finalize_topk(partials.to_pandas(), k, key_col)
+
+
+class PQCodebooks:
+    """Product quantization — the MEMORY-scale ANN path: each normalized
+    vector is split into ``m`` subspaces and each subvector replaced by
+    the id of its nearest per-subspace k-means centroid, so the corpus
+    lives as ``m`` bytes/vector (+ codebooks of ``m·ksub·dsub`` floats,
+    broadcast once) instead of ``4d`` — at 10^10 vectors the difference
+    between fitting in cluster RAM and not. Scores come from the ADC
+    (asymmetric distance computation) trick: a per-query lookup table of
+    subvector·centroid dot products, summed by code gather — no float
+    reconstruction per corpus vector.
+
+    Training is a pure function of the seeded sample (the ``IVFIndex``
+    determinism discipline): per-subspace Lloyd with first-k seeded init,
+    fixed iteration count — every actor derives identical codebooks."""
+
+    def __init__(self, sample: np.ndarray, m: int = 8, ksub: int = 16,
+                 iters: int = 10, seed: int = 42):
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        n, d = x.shape
+        if d % m:
+            raise ValueError(f"PQCodebooks: dim {d} not divisible by m={m}")
+        if ksub > 256:
+            raise ValueError("PQCodebooks: ksub > 256 breaks uint8 codes")
+        self.m, self.dsub = m, d // m
+        rng = np.random.default_rng(seed)
+        books = []
+        for s in range(m):
+            xs = x[:, s * self.dsub:(s + 1) * self.dsub]
+            k = min(ksub, n)
+            idx = rng.choice(n, size=k, replace=False)
+            c = xs[np.sort(idx)].copy()
+            for _ in range(iters):
+                d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for j in range(len(c)):
+                    members = xs[assign == j]
+                    if len(members):
+                        c[j] = members.mean(axis=0)
+            books.append(c)
+        self.books = books  # m arrays of (ksub, dsub)
+
+    def encode(self, mtx: np.ndarray) -> np.ndarray:
+        """(n, d) normalized matrix → (n, m) uint8 codes."""
+        n = len(mtx)
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for s, c in enumerate(self.books):
+            xs = mtx[:, s * self.dsub:(s + 1) * self.dsub]
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return codes
+
+    def lut(self, queries: np.ndarray) -> np.ndarray:
+        """(nq, d) normalized queries → (nq, m, ksub) inner-product LUT."""
+        nq = len(queries)
+        out = np.empty((nq, self.m, len(self.books[0])), dtype=np.float64)
+        for s, c in enumerate(self.books):
+            qs = queries[:, s * self.dsub:(s + 1) * self.dsub]
+            out[:, s, :] = qs @ c.T
+        return out
+
+
+class PQScanTopK(BruteForceTopK):
+    """map_batches actor: encode the batch with the broadcast codebooks
+    and score every query via LUT gather — ADC, never a reconstructed
+    float matrix."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding",
+                 key_col: str = "vec_id"):
+        super().__init__(queries_ref, k, vec_col, key_col)
+        import ray as _r
+
+        q = _r.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
+        self.pq: PQCodebooks = q["pq"]
+        self.luts = self.pq.lut(self.qmat)  # (nq, m, ksub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mtx = _normalize(_to_matrix(batch[self.vec_col]))
+        codes = self.pq.encode(mtx)  # (nb, m)
+        nq = len(self.qids)
+        sims = np.zeros((nq, len(mtx)), dtype=np.float64)
+        for s in range(self.pq.m):
+            sims += self.luts[:, s, codes[:, s]]
+        return self._emit(sims, np.asarray(batch[self.key_col]))
+
+
+def pq_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
+            k: int = 10, m: int = 8, ksub: int = 16,
+            sample_size: int = 2048, vec_col: str = "embedding",
+            key_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate distributed top-k via product quantization: train the
+    codebooks on a seeded bounded sample (driver-side, tiny), then one
+    streaming encode+ADC-scan pass with per-batch partial top-k. With
+    ``ksub >= distinct subvectors`` the quantization is lossless and the
+    result converges to :func:`ann_topk`'s exact ranking."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    pq_ = PQCodebooks(np.stack(sample.to_numpy()), m=m, ksub=ksub)
+    qref = ray.put({"query_id": query_ids, "matrix": query_matrix,
+                    "pq": pq_})
+    partials = ds.map_batches(
+        _rt.stateless(PQScanTopK, qref, k, vec_col, key_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return finalize_topk(partials.to_pandas(), k, key_col)
