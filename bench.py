@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "mixture_upsampled_docs",
     "cdc_token_chunks",
     "events_unpivot",
+    "weekly_active_users",
+    "cdc_mlm_masked",
     "finished_never_open_custs",
     "props_value_stats",
     "orders_above_cust_avg",

@@ -4423,6 +4423,54 @@ def q_cdc_token_chunks(sf_dir: str):
                               num_buckets=16).to_pandas()
 
 
+MLM_RATE_PCT = 15
+MLM_MASK_ID = 50_001
+MLM_SEED = 0
+
+
+def q_cdc_mlm_masked(sf_dir: str):
+    """Deterministic MLM corpus prep over the LIVE lake
+    (``tokens.mlm_mask_checksums``): position i of doc d masked iff
+    fmix64(docnum·2^20 + i) % 100 < 15 — a pure function of (doc,
+    position, seed), so the oracle recomputes the identical mask via
+    ``epoch_shuffle_sql``'s split-multiply arithmetic and the
+    order-sensitive wsum pins every masked position's value AND place."""
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.stages.tokens import mlm_mask_checksums
+
+    ds = read_lake(build_cdc_lake(sf_dir), columns=["doc_id", "tokens"])
+    out = mlm_mask_checksums(ds, rate_pct=MLM_RATE_PCT, seed=MLM_SEED,
+                             mask_id=MLM_MASK_ID)
+    return out.to_pandas()
+
+
+def _mlm_sql() -> str:
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    base_tbl = (
+        "(" + _CDC_RANKED_SQL
+        + " SELECT doc_id, user_id, 8 + (lsn % 120) AS n_tok "
+          "FROM ranked WHERE rn = 1 AND op <> 'delete')"
+    )
+    pos_tbl = f"""(
+SELECT doc_id, user_id, CAST(u.i AS BIGINT) AS i,
+       CAST(user_id AS UBIGINT) * 1048576 + CAST(u.i AS UBIGINT) AS _mbase
+FROM {base_tbl} live,
+LATERAL (SELECT unnest(range(0, CAST(n_tok AS INT))) AS i) u)"""
+    keyed = epoch_shuffle_sql(pos_tbl, "_mbase", MLM_SEED, 0,
+                              out_col="_mk")
+    return f"""
+SELECT doc_id,
+       CAST(SUM((i + 1) * CASE WHEN _mk % 100 < {MLM_RATE_PCT}
+                THEN {MLM_MASK_ID}
+                ELSE (user_id * 2654435761 + i * 40503) % 50000 END)
+            AS BIGINT) AS mlm_wsum,
+       CAST(SUM(CASE WHEN _mk % 100 < {MLM_RATE_PCT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_masked
+FROM {keyed} GROUP BY doc_id
+"""
+
+
 GATE_NTOK_MAX = 96
 GATE_RULES = [{"name": "toolong", "column": "n_tok", "op": ">",
                "value": GATE_NTOK_MAX}]
@@ -4658,6 +4706,7 @@ _QUERY_FNS = {
         "multi_entity_etl": q_multi_entity_etl,
         "cdc_vocab_remap": q_cdc_vocab_remap,
         "cdc_token_chunks": q_cdc_token_chunks,
+        "cdc_mlm_masked": q_cdc_mlm_masked,
         "events_unpivot": q_events_unpivot,
         "finished_and_open_custs": q_finished_and_open_custs,
         "finished_never_open_custs": q_finished_never_open_custs,
@@ -5326,6 +5375,7 @@ GROUP BY occ.doc_id
 """,
         "mixture_upsampled_docs": _mixture_oracle(),
         "cdc_gated_state": _gated_final_sql(),
+        "cdc_mlm_masked": _mlm_sql(),
         "cdc_token_chunks": _CDC_RANKED_SQL + f"""
 , live AS (SELECT doc_id, user_id, lsn,
                   'src' || CAST(user_id % 6 AS VARCHAR) AS source,

@@ -267,3 +267,57 @@ def bpe_train(ds, n_merges: int, vocab_size: int,
         ("round", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
         ("new_id", pa.int64()), ("n", pa.int64())]))
     return merges, cur
+
+
+def mlm_mask_checksums(ds, key_col: str = "doc_id",
+                       list_col: str = "tokens", rate_pct: int = 15,
+                       seed: int = 0, mask_id: int = 50_001,
+                       key_prefix: str = "doc-"):
+    """Deterministic MLM corpus prep: token position ``i`` of doc ``d``
+    is replaced by ``mask_id`` iff ``fmix64(docnum·2^20 + i, seed) % 100
+    < rate_pct`` — a pure function of (doc, position, seed), so the
+    masked corpus is exactly reproducible (and exactly SQL-mirrorable
+    via ``epoch_shuffle_sql``'s split-multiply arithmetic), unlike an
+    RNG-state masker. Emits the ORDER-SENSITIVE checksum pair per doc —
+    ``mlm_wsum = Σ (i+1)·tok'_i`` and ``n_masked`` — the ``vocab_remap``
+    discipline: every masked position's identity and value is pinned
+    without shipping the rewritten lists (the list-emitting variant is
+    the same kernel with a ``ListArray.from_arrays`` tail).
+
+    One streaming ``map_batches``; all offsets/`fmix64` arithmetic is
+    vectorized numpy. ``docnum`` parses from ``key_prefix + int`` ids;
+    ``n_tok`` must stay below 2^20 (the position field width)."""
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+    def mask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t[list_col].combine_chunks()
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        if lens.size and int(lens.max()) >= (1 << 20):
+            raise ValueError("mlm_mask_checksums: n_tok >= 2^20")
+        docnum = np.asarray(pc.cast(pc.utf8_slice_codeunits(
+            t[key_col], len(key_prefix), 1 << 30), pa.int64()))
+        n = len(lens)
+        pos = (np.arange(offs[-1], dtype=np.int64)
+               - np.repeat(offs[:-1], lens))
+        base = np.repeat(docnum, lens) * (1 << 20) + pos
+        keys = shuffle_keys(base, seed, 0)
+        masked = (keys % np.uint64(100)) < np.uint64(rate_pct)
+        tokp = np.where(masked, np.int64(mask_id), vals)
+        wsum = np.zeros(n, dtype=np.int64)
+        n_masked = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if len(vals):
+            starts = offs[:-1][nonempty]
+            wsum[nonempty] = np.add.reduceat(tokp * (pos + 1), starts)
+            n_masked[nonempty] = np.add.reduceat(
+                masked.astype(np.int64), starts)
+        return pa.table({key_col: t[key_col],
+                         "mlm_wsum": pa.array(wsum),
+                         "n_masked": pa.array(n_masked)})
+
+    return ds.map_batches(mask, batch_format="pyarrow")

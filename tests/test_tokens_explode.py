@@ -164,3 +164,25 @@ def test_setops_adversarial_separator_strings(ray_session):
     l2 = ray.data.from_arrow(pa.table({"a": ["\x00N"]}))
     r2 = ray.data.from_arrow(pa.table({"a": pa.array([None], pa.string())}))
     assert intersect_distinct(l2, r2, ["a"], num_partitions=2).count() == 0
+
+
+def test_mlm_mask_checksums_deterministic(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+    from mex_extractors_ray.stages.tokens import mlm_mask_checksums
+
+    toks = [[5, 6, 7, 8, 9], [1, 2], []]
+    t = pa.table({"doc_id": ["doc-3", "doc-11", "doc-2"],
+                  "tokens": pa.array(toks, type=pa.list_(pa.int32()))})
+    df = mlm_mask_checksums(ray.data.from_arrow(t), rate_pct=50, seed=7,
+                            mask_id=99).to_pandas().set_index("doc_id")
+    for did, seq in zip(["doc-3", "doc-11", "doc-2"], toks):
+        dn = int(did[4:])
+        base = np.array([dn * (1 << 20) + i for i in range(len(seq))],
+                        dtype=np.int64)
+        masked = (shuffle_keys(base, 7, 0) % np.uint64(100)) < np.uint64(50)
+        tokp = [99 if m else v for v, m in zip(seq, masked)]
+        assert df.loc[did, "mlm_wsum"] == sum(
+            (i + 1) * v for i, v in enumerate(tokp))
+        assert df.loc[did, "n_masked"] == int(masked.sum())
