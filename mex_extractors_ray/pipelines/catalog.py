@@ -4471,6 +4471,77 @@ FROM {keyed} GROUP BY doc_id
 """
 
 
+SPAN_START_PERMILLE = 50
+SPAN_LEN = 3
+SPAN_SENTINEL = 50_002
+
+
+def q_cdc_span_corrupted(sf_dir: str):
+    """T5-style span corruption over the LIVE lake
+    (``tokens.span_corrupt_checksums``): deterministic span starts
+    (fmix64 permille), ``span_len``-wide dilation, masked runs collapsed
+    to one sentinel; the order-sensitive wsum pins every survivor's NEW
+    position in the collapsed sequence."""
+    from mex_extractors_ray.cdc.apply import read_lake
+    from mex_extractors_ray.stages.tokens import span_corrupt_checksums
+
+    ds = read_lake(build_cdc_lake(sf_dir), columns=["doc_id", "tokens"])
+    out = span_corrupt_checksums(
+        ds, start_permille=SPAN_START_PERMILLE, span_len=SPAN_LEN,
+        seed=MLM_SEED, sentinel_id=SPAN_SENTINEL)
+    return out.to_pandas()
+
+
+def _span_sql() -> str:
+    from mex_extractors_ray.stages.shuffle import epoch_shuffle_sql
+
+    base_tbl = (
+        "(" + _CDC_RANKED_SQL
+        + " SELECT doc_id, user_id, 8 + (lsn % 120) AS n_tok "
+          "FROM ranked WHERE rn = 1 AND op <> 'delete')"
+    )
+    pos_tbl = f"""(
+SELECT doc_id, user_id, CAST(u.i AS BIGINT) AS i,
+       CAST(user_id AS UBIGINT) * 1048576 + CAST(u.i AS UBIGINT) AS _mbase
+FROM {base_tbl} live,
+LATERAL (SELECT unnest(range(0, CAST(n_tok AS INT))) AS i) u)"""
+    keyed = epoch_shuffle_sql(pos_tbl, "_mbase", MLM_SEED, 0,
+                              out_col="_mk")
+    return f"""
+WITH pos AS (
+  SELECT doc_id, user_id, i,
+         CASE WHEN _mk % 1000 < {SPAN_START_PERMILLE} THEN 1 ELSE 0 END
+             AS is_start
+  FROM {keyed}),
+dil AS (
+  SELECT *, MAX(is_start) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN {SPAN_LEN - 1} PRECEDING AND CURRENT ROW)
+             AS is_masked
+  FROM pos),
+runs AS (
+  SELECT *,
+         CASE WHEN is_masked = 1 AND COALESCE(LAG(is_masked) OVER (
+              PARTITION BY doc_id ORDER BY i), 0) = 0
+              THEN 1 ELSE 0 END AS run_start
+  FROM dil),
+items AS (
+  SELECT *,
+         CASE WHEN is_masked = 0 OR run_start = 1 THEN 1 ELSE 0 END
+             AS present,
+         CASE WHEN run_start = 1 THEN {SPAN_SENTINEL}
+              ELSE (user_id * 2654435761 + i * 40503) % 50000 END AS item,
+         SUM(CASE WHEN is_masked = 0 OR run_start = 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS newpos
+  FROM runs)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN present = 1 THEN newpos * item ELSE 0 END)
+            AS BIGINT) AS span_wsum,
+       CAST(SUM(run_start) AS BIGINT) AS n_spans
+FROM items GROUP BY doc_id
+"""
+
+
 GATE_NTOK_MAX = 96
 GATE_RULES = [{"name": "toolong", "column": "n_tok", "op": ">",
                "value": GATE_NTOK_MAX}]
@@ -4707,6 +4778,7 @@ _QUERY_FNS = {
         "cdc_vocab_remap": q_cdc_vocab_remap,
         "cdc_token_chunks": q_cdc_token_chunks,
         "cdc_mlm_masked": q_cdc_mlm_masked,
+        "cdc_span_corrupted": q_cdc_span_corrupted,
         "events_unpivot": q_events_unpivot,
         "finished_and_open_custs": q_finished_and_open_custs,
         "finished_never_open_custs": q_finished_never_open_custs,
@@ -5376,6 +5448,7 @@ GROUP BY occ.doc_id
         "mixture_upsampled_docs": _mixture_oracle(),
         "cdc_gated_state": _gated_final_sql(),
         "cdc_mlm_masked": _mlm_sql(),
+        "cdc_span_corrupted": _span_sql(),
         "cdc_token_chunks": _CDC_RANKED_SQL + f"""
 , live AS (SELECT doc_id, user_id, lsn,
                   'src' || CAST(user_id % 6 AS VARCHAR) AS source,

@@ -321,3 +321,82 @@ def mlm_mask_checksums(ds, key_col: str = "doc_id",
                          "n_masked": pa.array(n_masked)})
 
     return ds.map_batches(mask, batch_format="pyarrow")
+
+
+def span_corrupt_checksums(ds, key_col: str = "doc_id",
+                           list_col: str = "tokens",
+                           start_permille: int = 50, span_len: int = 3,
+                           seed: int = 0, sentinel_id: int = 50_002,
+                           key_prefix: str = "doc-"):
+    """T5-style SPAN CORRUPTION prep: position i starts a span iff
+    ``fmix64(docnum·2^20 + i, seed) % 1000 < start_permille``; a span
+    masks ``span_len`` positions (overlaps union); each masked RUN
+    collapses to ONE ``sentinel_id`` in the output sequence — the real
+    encoder-input shape, not per-position masking. Deterministic like
+    :func:`mlm_mask_checksums`, so the collapsed sequence is exactly
+    SQL-mirrorable (window MAX for the dilation, LAG for run starts,
+    running SUM for the collapsed positions).
+
+    Emits per doc: ``span_wsum = Σ newpos·item`` over the COLLAPSED
+    sequence (order-sensitive — pins every survivor's new position) and
+    ``n_spans`` (collapsed runs). Vectorized: ``span_len`` shifted ORs
+    for the dilation, global-cumsum-rebase for per-doc positions."""
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+
+    L = int(span_len)
+    if L < 1:
+        raise ValueError(f"span_corrupt_checksums: span_len={L} < 1")
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t[list_col].combine_chunks()
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        if lens.size and int(lens.max()) >= (1 << 20):
+            raise ValueError("span_corrupt_checksums: n_tok >= 2^20")
+        docnum = np.asarray(pc.cast(pc.utf8_slice_codeunits(
+            t[key_col], len(key_prefix), 1 << 30), pa.int64()))
+        n = len(lens)
+        total = int(offs[-1])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs[:-1], lens))
+        base = np.repeat(docnum, lens) * (1 << 20) + pos
+        start = ((shuffle_keys(base, seed, 0) % np.uint64(1000))
+                 < np.uint64(start_permille))
+        # dilation: masked[i] = any start in [i-L+1, i] within the doc
+        masked = start.copy()
+        for s in range(1, L):
+            shifted = np.zeros(total, dtype=bool)
+            shifted[s:] = start[:-s]
+            shifted &= pos >= s  # don't reach across the doc boundary
+            masked |= shifted
+        prev = np.zeros(total, dtype=bool)
+        prev[1:] = masked[:-1]
+        prev &= pos > 0
+        run_start = masked & ~prev
+        present = (~masked) | run_start
+        item = np.where(run_start, np.int64(sentinel_id), vals)
+        # collapsed position: per-doc running count of present items;
+        # rebase with the EXCLUSIVE prefix sum at each doc start (safe
+        # for empty trailing docs whose start offset == total)
+        cs = np.cumsum(present.astype(np.int64))
+        ex_cs = np.concatenate(([0], cs))
+        doc_base = np.repeat(ex_cs[offs[:-1]], lens)
+        newpos = cs - doc_base  # 1-based at present items
+        contrib = np.where(present, newpos * item, 0)
+        wsum = np.zeros(n, dtype=np.int64)
+        n_spans = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if total:
+            starts_idx = offs[:-1][nonempty]
+            wsum[nonempty] = np.add.reduceat(contrib, starts_idx)
+            n_spans[nonempty] = np.add.reduceat(
+                run_start.astype(np.int64), starts_idx)
+        return pa.table({key_col: t[key_col],
+                         "span_wsum": pa.array(wsum),
+                         "n_spans": pa.array(n_spans)})
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")

@@ -186,3 +186,35 @@ def test_mlm_mask_checksums_deterministic(ray_session):
         assert df.loc[did, "mlm_wsum"] == sum(
             (i + 1) * v for i, v in enumerate(tokp))
         assert df.loc[did, "n_masked"] == int(masked.sum())
+
+
+def test_span_corrupt_collapses_runs(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.shuffle import shuffle_keys
+    from mex_extractors_ray.stages.tokens import span_corrupt_checksums
+
+    toks = [[10, 11, 12, 13, 14, 15, 16, 17], [3], []]
+    dids = ["doc-5", "doc-9", "doc-1"]
+    t = pa.table({"doc_id": dids,
+                  "tokens": pa.array(toks, type=pa.list_(pa.int32()))})
+    df = span_corrupt_checksums(
+        ray.data.from_arrow(t), start_permille=300, span_len=2, seed=4,
+        sentinel_id=77).to_pandas().set_index("doc_id")
+    for did, seq in zip(dids, toks):
+        dn = int(did[4:])
+        base = np.array([dn * (1 << 20) + i for i in range(len(seq))],
+                        dtype=np.int64)
+        start = (shuffle_keys(base, 4, 0) % np.uint64(1000)) < np.uint64(300)
+        # sequential reference: dilate, collapse runs
+        masked = [bool(start[max(0, i - 1):i + 1].any())
+                  for i in range(len(seq))]
+        out, spans = [], 0
+        for i, v in enumerate(seq):
+            if masked[i] and (i == 0 or not masked[i - 1]):
+                out.append(77); spans += 1
+            elif not masked[i]:
+                out.append(v)
+        assert df.loc[did, "span_wsum"] == sum(
+            (j + 1) * v for j, v in enumerate(out)), did
+        assert df.loc[did, "n_spans"] == spans, did
