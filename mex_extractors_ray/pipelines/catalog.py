@@ -2265,6 +2265,69 @@ def q_jaccard_pairs(sf_dir: str):
     return out.map_batches(scale, batch_format="pyarrow").to_pandas()
 
 
+MINHASH_RECALL_MIN = 0.8
+EMB_RECALL_MIN = 0.6
+
+
+def q_minhash_recall(sf_dir: str):
+    """Recall SLA of the MinHash+LSH path vs exact ground truth on the
+    bounded subset (the round-3 verdict's last rows-only gap): truth =
+    ALL-pairs trigram Jaccard ≥ 0.5 (the hash-checked ``jaccard_pairs``
+    machinery), found = the LSH pipeline at the production parameters
+    (k=3, 64 perms, 16 bands — measured recall 1.0 at both SFs; the
+    floor 0.8 fails loudly on any banding/salting regression). Returns
+    a constant verdict row, the ``ann_topk_ivf_recall`` convention."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    sub = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], JACCARD_SUBSET)),
+        batch_format="pyarrow")
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"],
+                      filters=[("doc_id", "<", JACCARD_SUBSET)])["doc_id"]
+        .to_numpy())
+    a, b = np.triu_indices(len(ids), k=1)
+    cand = _rd().from_arrow(pa.table({
+        "a": pa.array(ids[a].astype(np.int64)),
+        "b": pa.array(ids[b].astype(np.int64))}))
+    truth = dedup.jaccard_verify_distributed(
+        cand, sub, "text", "doc_id", k=3, threshold=0.5
+    ).select_columns(["a", "b"]).to_pandas()
+    tset = set(map(tuple, truth.itertuples(index=False)))
+    mh = dedup.minhash_candidate_pairs(sub, "text", "doc_id", k=3,
+                                       num_perm=64, bands=16)
+    found = dedup.jaccard_verify_distributed(
+        mh, sub, "text", "doc_id", k=3, threshold=0.5
+    ).select_columns(["a", "b"]).to_pandas()
+    fset = set(map(tuple, found.itertuples(index=False)))
+    recall = (len(fset & tset) / len(tset)) if tset else 1.0
+    assert recall >= MINHASH_RECALL_MIN, \
+        f"minhash recall {recall:.2f} < {MINHASH_RECALL_MIN}"
+    return pd.DataFrame({"metric": ["minhash_recall"], "ok": [True]})
+
+
+def q_embedding_near_dups_recall(sf_dir: str):
+    """Recall SLA of the hyperplane-LSH embedding near-dup path vs the
+    exact mode (n_bits=0) on the bounded subset: at (n_bits=3,
+    n_tables=16) measured recall is 1.0 at both SFs (floor 0.6 —
+    granular truth sets of 5-8 pairs make finer floors noise)."""
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet").filter(
+        expr="vec_id < 200")
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])["embedding"][0])
+    truth = similarity.embedding_near_duplicates(
+        emb, dim=dim, threshold=0.4, n_bits=0, n_tables=2).to_pandas()
+    tset = set(map(tuple, truth[["a", "b"]].itertuples(index=False)))
+    approx = similarity.embedding_near_duplicates(
+        emb, dim=dim, threshold=0.4, n_bits=3, n_tables=16).to_pandas()
+    aset = set(map(tuple, approx[["a", "b"]].itertuples(index=False)))
+    recall = (len(aset & tset) / len(tset)) if tset else 1.0
+    assert recall >= EMB_RECALL_MIN, \
+        f"embedding near-dup recall {recall:.2f} < {EMB_RECALL_MIN}"
+    return pd.DataFrame({"metric": ["embedding_near_dups_recall"],
+                         "ok": [True]})
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """KMV (k-minimum-values) approximate COUNT(DISTINCT) — HASH-CHECKED
     at k ≫ per-key cardinality, where the sketch degenerates to the exact
@@ -4722,6 +4785,8 @@ _QUERY_FNS = {
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ann_topk_ivf_recall": q_ann_topk_ivf_recall,
         "ann_topk_pq_recall": q_ann_topk_pq_recall,
+        "minhash_recall": q_minhash_recall,
+        "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "media_features": q_media_features,
@@ -4961,6 +5026,10 @@ SELECT doc_id, lsn AS last_lsn FROM ranked WHERE rn = 1 AND op = 'delete'
         "ann_topk_pq_recall": (
             "SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 4"
+        ),
+        "minhash_recall": "SELECT 'minhash_recall' AS metric, TRUE AS ok",
+        "embedding_near_dups_recall": (
+            "SELECT 'embedding_near_dups_recall' AS metric, TRUE AS ok"
         ),
         # the split is a pure physical re-layout: same oracle as final state
         "cdc_split_state": _CDC_FINAL_SQL,
