@@ -218,3 +218,35 @@ def test_span_corrupt_collapses_runs(ray_session):
         assert df.loc[did, "span_wsum"] == sum(
             (j + 1) * v for j, v in enumerate(out)), did
         assert df.loc[did, "n_spans"] == spans, did
+
+
+def test_simhash_banding_pigeonhole_complete(ray_session):
+    """max_dist < n_tables guarantees banding finds EVERY pair within the
+    Hamming budget (<= max_dist differing bits can dirty at most max_dist
+    of the n_tables bands, so one band must match exactly) — banded
+    output == exact all-pairs on a small corpus."""
+    import itertools
+
+    import ray.data
+
+    from mex_extractors_ray.stages.dedup import (SimHashBands,
+                                                 simhash_near_duplicates)
+
+    texts = ["the quick brown fox jumps", "the quick brown fox jumped",
+             "a completely different sentence here", "the quick brown cat jumps",
+             "unrelated words entirely now", "the quick brown fox jumps"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    got = simhash_near_duplicates(ray.data.from_arrow(t), "text", "doc_id",
+                                  k=2, max_dist=6, n_tables=8).to_pandas()
+    gset = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+    # exact truth: all-pairs Hamming over the same 64-bit fingerprints
+    out = SimHashBands("text", "doc_id", 2, 8)(t)
+    fp = {did: sim & 0xFFFFFFFFFFFFFFFF
+          for did, sim in zip(out["doc_id"].to_pylist(),
+                              out["sim"].to_pylist())}
+    want = set()
+    for a, b in itertools.combinations(sorted(fp), 2):
+        if bin(fp[a] ^ fp[b]).count("1") <= 6:
+            want.add((a, b))
+    assert gset == want
