@@ -1,9 +1,11 @@
 """Semi-structured (JSON string column) field extraction.
 
 The reference's transforms read dict fields freely off parsed API
-payloads (every ``transform_*`` walks ``record["..."]``); a columnar
-engine needs the extraction as an explicit operator over a ``string``
-JSON column. Two paths:
+payloads — ``mex/extractors/blueant/models/source.py`` and
+``mex/extractors/confluence_vvt/extract.py:40-80`` walk
+``record["..."]`` paths from REST JSON; a columnar engine needs the
+extraction as an explicit operator over a ``string`` JSON column. Two
+paths:
 
 - :func:`json_scalar_field` — VECTORIZED ``pyarrow.compute.extract_regex``
   for FLAT objects with scalar values (the overwhelmingly common

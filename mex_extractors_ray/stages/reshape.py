@@ -1,11 +1,18 @@
 """Wide-to-long reshaping (UNPIVOT / melt) — the inverse of
 ``aggregates.pivot_counts``.
 
-The reference reshapes per-record dicts freely in Python (every
-``transform_*`` builds a different record shape); a columnar engine needs
-the reshape as an explicit vectorized operator. Melt is embarrassingly
-parallel — one streaming ``map_batches``, no shuffle: each output long
-row is a pure function of one input wide row.
+The reference reshapes per-record dicts freely in Python — every
+``transform_*`` builds a different record shape (e.g.
+``mex/extractors/synopse/transform.py:150-220`` flattens study rows
+into several entity shapes, ``mex/extractors/sumo/transform.py``
+re-keys nested payloads), and ``mex/extractors/ff_projects/extract.py``
+explodes multi-value cells to rows; a columnar engine needs those
+reshapes as explicit vectorized operators. Melt and split-explode are
+embarrassingly parallel — one streaming ``map_batches``, no shuffle:
+each output row is a pure function of one input row. ``union_by_name``
+is the reference's implicit "models with optional fields collate into
+one sink" discipline made explicit (missing columns → typed nulls,
+conflicting types refused).
 """
 
 from __future__ import annotations
