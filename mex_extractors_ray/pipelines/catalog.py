@@ -4421,6 +4421,31 @@ def q_weekly_active_users(sf_dir: str):
                                   num_partitions=8).to_pandas()
 
 
+def q_user_daily_ohlc(sf_dir: str):
+    """Grouped FIRST/LAST-by-order + MIN/MAX (``aggregates.keyed_ohlc``):
+    per (user, day), the opening, high, low and closing event value in
+    exact cents under the (ts, event_id) total order — the arg_min/
+    arg_max-with-composite-order aggregate SQL needs a ROW_NUMBER window
+    to express."""
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "ts": t["ts"], "event_id": t["event_id"],
+            "v_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                           pa.int64()),
+        })
+
+    out = aggregates.keyed_ohlc(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id", "day"], order_cols=["ts", "event_id"],
+        value_col="v_c", num_partitions=16)
+    return out.to_pandas()
+
+
 def q_doc_word_positions(sf_dir: str):
     """LATERAL unnest WITH ORDINALITY: split each doc's text on spaces
     and explode to (doc_id, idx, word) rows — ``reshape.split_explode``,
@@ -4864,6 +4889,7 @@ _QUERY_FNS = {
         "order_cume_dist": q_order_cume_dist,
         "nation_weighted_price": q_nation_weighted_price,
         "weekly_active_users": q_weekly_active_users,
+        "user_daily_ohlc": q_user_daily_ohlc,
         "cdc_gated_state": q_cdc_gated_state,
         "cdc_gate_rejects": q_cdc_gate_rejects,
         "mixture_upsampled_docs": q_mixture_upsampled_docs,
@@ -5686,6 +5712,21 @@ SELECT s_nationkey AS n_key,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
+""",
+        "user_daily_ohlc": """
+WITH e AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  ts, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                   ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, day) AS n
+      FROM e)
+SELECT user_id, day,
+       MAX(CASE WHEN rn = 1 THEN c END) AS open_c,
+       MAX(c) AS high_c, MIN(c) AS low_c,
+       MAX(CASE WHEN rn = n THEN c END) AS close_c
+FROM r GROUP BY user_id, day
 """,
         "weekly_active_users": """
 WITH p AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d

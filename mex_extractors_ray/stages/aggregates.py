@@ -983,3 +983,55 @@ def keyed_quantile_cont(ds, key: str, value_col: str,
         return pa.concat_tables(outs)
 
     return _keyed_blocks(ds, key, block, num_partitions)
+
+
+def keyed_ohlc(ds, keys: list[str], order_cols: list[str], value_col: str,
+               num_partitions: int = 64):
+    """Grouped FIRST/LAST by explicit order plus MIN/MAX — the OHLC
+    (open/high/low/close) aggregate every per-entity daily rollup wants,
+    and the general form of "arg_min/arg_max with a deterministic
+    composite order" (SQL needs a ROW_NUMBER window + conditional MAX to
+    say the same thing). ``order_cols`` must totally order rows within a
+    key or first/last are nondeterministic. Integer values only.
+
+    ONE coarse shuffle on the injective composite key, per block one
+    Arrow sort + run-boundary picks and ``reduceat`` extremes — no
+    per-key dispatch. Output: ``keys`` + (open/high/low/close)_c."""
+    from mex_extractors_ray.hashing import composite_gkey
+    from mex_extractors_ray.stages.dedup import _keyed_blocks, _run_starts
+
+    keys, order_cols = list(keys), list(order_cols)
+
+    def add_gkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_gkey", composite_gkey(t, keys))
+
+    def block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        kt = {c: g[c].type for c in keys}
+        empty = pa.table(
+            {**{c: pa.array([], kt[c]) for c in keys},
+             **{o: pa.array([], pa.int64())
+                for o in ("open_c", "high_c", "low_c", "close_c")}})
+        if n == 0:
+            return empty
+        col = g[value_col].combine_chunks()
+        if not pa.types.is_integer(col.type):
+            raise TypeError(f"keyed_ohlc: {value_col} is {col.type}; "
+                            "integer columns only")
+        if col.null_count:
+            raise ValueError(f"keyed_ohlc: null {value_col} values")
+        t = g.sort_by([("_gkey", "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        vals = np.asarray(t[value_col].combine_chunks().cast(pa.int64()))
+        starts = np.flatnonzero(_run_starts(t["_gkey"]))
+        counts = np.diff(np.append(starts, n))
+        heads = pa.array(starts)
+        return pa.table(
+            {**{c: t[c].take(heads) for c in keys},
+             "open_c": pa.array(vals[starts]),
+             "high_c": pa.array(np.maximum.reduceat(vals, starts)),
+             "low_c": pa.array(np.minimum.reduceat(vals, starts)),
+             "close_c": pa.array(vals[starts + counts - 1])})
+
+    tagged = ds.map_batches(add_gkey, batch_format="pyarrow")
+    return _keyed_blocks(tagged, "_gkey", block, num_partitions)

@@ -129,3 +129,23 @@ def test_keyed_moving_extreme_masks_runs(ray_session):
                               k=2, mode="min", num_partitions=2) \
         .to_pandas().sort_values(["k", "o"])
     assert mn["moving_min"].tolist() == [5, 1, 1, 100, 2]
+
+
+def test_keyed_ohlc_order_and_extremes(ray_session):
+    import ray.data
+
+    from mex_extractors_ray.stages.aggregates import keyed_ohlc
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "d": ["x", "x", "x", "x"],
+        "o": [2, 1, 3, 1],
+        "v": [50, 10, 30, 7],
+    })
+    out = keyed_ohlc(ray.data.from_arrow(t), ["k", "d"], ["o"], "v",
+                     num_partitions=2).to_pandas().set_index("k")
+    a = out.loc["a"]
+    # order by o: values 10 (o=1), 50 (o=2), 30 (o=3)
+    assert (a.open_c, a.high_c, a.low_c, a.close_c) == (10, 50, 10, 30)
+    b = out.loc["b"]
+    assert (b.open_c, b.high_c, b.low_c, b.close_c) == (7, 7, 7, 7)
