@@ -4118,14 +4118,12 @@ def q_finished_never_open_custs(sf_dir: str):
     no open order — the row-level generalization of the keyed anti join."""
     from mex_extractors_ray.stages.joins import except_distinct
 
-    df = except_distinct(_status_custs(sf_dir, "F"),
-                         _status_custs(sf_dir, "O"),
-                         ["o_custkey"], num_partitions=16).to_pandas()
-    if df.empty and "o_custkey" not in df.columns:
-        # map_groups drops all-empty output blocks, losing the schema —
-        # keep the column typed when the difference is empty
-        df = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64")})
-    return df
+    from mex_extractors_ray.runtime import typed_to_pandas
+
+    # typed_to_pandas: an all-empty EXCEPT result keeps its typed column
+    return typed_to_pandas(except_distinct(
+        _status_custs(sf_dir, "F"), _status_custs(sf_dir, "O"),
+        ["o_custkey"], num_partitions=16))
 
 
 def q_cust_status_intersect_all(sf_dir: str):
@@ -4144,12 +4142,11 @@ def q_cust_status_except_all(sf_dir: str):
     max(#finished − #open, 0) times."""
     from mex_extractors_ray.stages.joins import except_all
 
-    df = except_all(_status_custs(sf_dir, "F"),
-                    _status_custs(sf_dir, "O"),
-                    ["o_custkey"], num_partitions=16).to_pandas()
-    if df.empty and "o_custkey" not in df.columns:
-        df = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64")})
-    return df
+    from mex_extractors_ray.runtime import typed_to_pandas
+
+    return typed_to_pandas(except_all(
+        _status_custs(sf_dir, "F"), _status_custs(sf_dir, "O"),
+        ["o_custkey"], num_partitions=16))
 
 
 def q_props_value_stats(sf_dir: str):

@@ -103,6 +103,25 @@ def auto_pool(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     return (lo, max(lo, hi))
 
 
+def typed_to_pandas(ds):
+    """``Dataset.to_pandas`` that survives an ALL-EMPTY dataset: Ray's
+    conversion drops every column when no block has rows, even when the
+    blocks are typed (verified against ray 2.49.2). Rebuild the empty
+    frame from ``ds.schema()`` instead so callers always see stable,
+    typed columns. Zero extra cost on the non-empty path."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0 and len(df) == 0:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if base is not None and len(base.names) > 0:
+            import pyarrow as pa
+
+            empty = pa.table(
+                {f.name: pa.nulls(0, f.type) for f in base})
+            return empty.to_pandas()
+    return df
+
+
 def read_parquet_clean(path, columns=None, **kw):
     """``read_parquet`` with the schema's ``b'pandas'`` metadata stripped.
 

@@ -439,7 +439,18 @@ def _distinct_setop(left, right, cols: list[str], keep: str,
             idx = np.repeat(idx, reps)
         return t.take(pa.array(idx)).drop_columns(["_gkey", "_side"])
 
-    return _keyed_blocks(both, "_gkey", block, num_partitions)
+    res = _keyed_blocks(both, "_gkey", block, num_partitions)
+    # map_groups drops all-empty output blocks, so an empty set-op result
+    # would lose its schema downstream. Prepend one zero-row TYPED block
+    # (the left input's cols types) so every caller sees stable columns.
+    try:
+        base = left.schema().base_schema
+        empty = pa.table({c: pa.nulls(0, base.field(c).type) for c in cols})
+    except AttributeError:
+        return res  # non-Arrow schema: caller must pad (pandas-backed)
+    import ray
+
+    return ray.data.from_arrow(empty).union(res)
 
 
 def intersect_distinct(left, right, cols: list[str],

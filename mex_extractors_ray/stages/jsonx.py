@@ -43,10 +43,12 @@ def json_scalar_field(ds, col: str, key: str, out_col: str,
         pat = f'"{kq}"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}}]'
         typ = pa.int64()
     elif out_type == "float64":
-        pat = f'"{kq}"\\s*:\\s*(?P<v>{_NUM_RE})'
+        # same delimiter anchor as the int64 branch: "1.2.3" / "5x" are
+        # malformed literals and must be misses, not numeric prefixes
+        pat = f'"{kq}"\\s*:\\s*(?P<v>{_NUM_RE})\\s*[,}}]'
         typ = pa.float64()
     elif out_type == "string":
-        pat = f'"{kq}"\\s*:\\s*"(?P<v>[^"\\\\]*)"'
+        pat = f'"{kq}"\\s*:\\s*"(?P<v>[^"\\\\]*)"\\s*[,}}]'
         typ = pa.string()
     else:
         raise ValueError(f"json_scalar_field: unsupported out_type {out_type}")

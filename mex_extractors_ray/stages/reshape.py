@@ -115,7 +115,12 @@ def union_by_name(datasets: list):
         try:
             return pa.from_numpy_dtype(np.dtype(t))
         except (TypeError, pa.ArrowNotImplementedError):
-            return pa.string()
+            # refuse-on-conflict discipline: an unmappable dtype must not
+            # silently alias to string (wrong null-pad type, and two
+            # distinct unmappable types would pass the conflict check)
+            raise TypeError(
+                f"union_by_name: cannot map schema type {t!r} to an Arrow "
+                f"type; cast the column upstream") from None
 
     unified: dict[str, pa.DataType] = {}
     for ds in datasets:

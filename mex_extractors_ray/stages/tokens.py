@@ -218,9 +218,17 @@ def apply_bpe_merge(ds, pair: tuple[int, int], new_id: int,
         removed = np.bincount(owner, minlength=len(offsets) - 1)
         new_counts = np.diff(offsets) - removed
         new_offsets = np.concatenate(([0], np.cumsum(new_counts)))
-        merged = pa.ListArray.from_arrays(
-            pa.array(new_offsets, pa.int32()),
-            pa.array(out_vals[~drop], col.type.value_type))
+        # preserve the input offset width: a large_list column must stay
+        # large_list (schema drift across batches) and its int64 offsets
+        # must not be narrowed through int32
+        if pa.types.is_large_list(col.type):
+            merged = pa.LargeListArray.from_arrays(
+                pa.array(new_offsets, pa.int64()),
+                pa.array(out_vals[~drop], col.type.value_type))
+        else:
+            merged = pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()),
+                pa.array(out_vals[~drop], col.type.value_type))
         return t.set_column(t.schema.get_field_index(list_col), list_col,
                             merged)
 
