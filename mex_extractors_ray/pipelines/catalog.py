@@ -3056,6 +3056,194 @@ FROM documents
 """
 
 
+def q_media_stats_png(sf_dir: str):
+    """PNG codec family, oracle-checked end to end: per doc_id an 8-bit
+    PNG (gray / RGB / RGBA by ``doc_id % 3``) is built with the pure-
+    stdlib encoder using CYCLING scanline filters (row r uses filter
+    r % 5 — one image exercises None/Sub/Up/Average/Paeth), pixel values
+    are a base+ramp gradient so every filter produces non-trivial
+    deltas, then MediaStats DECODES (zlib inflate + unfilter) and emits
+    exact pixel sums the DuckDB oracle computes in closed form. Any bug
+    in chunk CRC framing, inflate plumbing, or any of the five unfilter
+    paths breaks the hash."""
+    from mex_extractors_ray.stages import multimodal as mm
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build_payloads(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()
+                         if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"],
+                         dtype=np.int64)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            w, h = 4 + i % 5, 3 + i % 4
+            ramp = np.arange(w * h, dtype=np.int64).reshape(h, w)
+            if i % 3 == 0:
+                img = (i * 7 % 200) + ramp
+            else:
+                chans = [(i * kc % 200) + ramp for kc in (7, 13, 29)]
+                if i % 3 == 2:
+                    chans.append(np.full((h, w), 255, np.int64))
+                img = np.stack(chans, axis=-1)
+            payloads.append(mm.encode_png(img.astype(np.uint8),
+                                          filter_type="cycle"))
+        return pa.table({
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["image/png"] * len(ids)),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(build_payloads, batch_format="pyarrow")
+    return mm.media_stats(media, concurrency=_rt.auto_pool()).to_pandas()
+
+
+_MEDIA_STATS_PNG_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         (4 + doc_id % 5) * (3 + doc_id % 4) AS n
+  FROM documents
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(n * ((doc_id * 7) % 200) + n * (n - 1) // 2 AS BIGINT) AS sum_r,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 ELSE n * ((doc_id * 13) % 200) + n * (n - 1) // 2 END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 ELSE n * ((doc_id * 29) % 200) + n * (n - 1) // 2 END AS BIGINT) AS sum_b,
+       CAST(0 AS BIGINT) AS n_samples,
+       CAST(0 AS BIGINT) AS duration_ms,
+       CAST(0 AS BIGINT) AS peak_int16
+FROM g
+"""
+
+
+def q_media_features_digest(sf_dir: str):
+    """MediaFeatures (the generic actor-pool feature stage) on REAL
+    codecs, reduced to an exactly-checkable digest: constant-value gray
+    images (PPM for ``doc_id % 3 == 0``, PNG for ``% 3 == 1``) make every
+    non-empty feature chunk mean EXACTLY the pixel value in float32
+    (integer sums < 2^24, exact divides), and all-zero WAVs (``% 3 ==
+    2``) make them exactly 0 while varying n_samples below FEATURE_DIM —
+    the empty-chunk branch. The DuckDB oracle computes the feature SUM in
+    closed form: ``least(n_raw, 16) * value``. Converts the plumbing
+    entry ``media_features`` into an oracle-checked one without faking
+    the decode."""
+    from mex_extractors_ray.stages import multimodal as mm
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build_payloads(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()
+                         if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"],
+                         dtype=np.int64)
+        payloads, types = [], []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 2:
+                payloads.append(mm.encode_wav(
+                    np.zeros(2 + i % 30, np.int16), rate=8000))
+                types.append("audio/wav")
+            else:
+                w, h = 4 + i % 5, 3 + i % 4
+                img = np.full((h, w), (i * 11) % 251, np.uint8)
+                if i % 3 == 0:
+                    payloads.append(mm.encode_ppm(img))
+                    types.append("image/x-portable-graymap")
+                else:
+                    payloads.append(mm.encode_png(img, filter_type="cycle"))
+                    types.append("image/png")
+        return pa.table({
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(build_payloads, batch_format="pyarrow")
+    feats = mm.extract_media_features(
+        media, codec=mm.StdlibCodec(), concurrency=_rt.auto_pool())
+
+    def digest(t: pa.Table) -> pa.Table:
+        col = t["features"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.zeros(0)
+        sums[np.diff(offs) == 0] = 0.0
+        return pa.table({
+            "media_id": t["media_id"],
+            "n_feat": pa.array(np.diff(offs)),
+            "f_sum": pa.array(sums),
+        })
+
+    return feats.map_batches(digest, batch_format="pyarrow").to_pandas()
+
+
+_MEDIA_FEATURES_DIGEST_SQL = """
+SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_feat,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                 ELSE LEAST((4 + doc_id % 5) * (3 + doc_id % 4), 16)
+                      * ((doc_id * 11) % 251) END AS DOUBLE) AS f_sum
+FROM documents
+"""
+
+
+KMEANS_SAMPLE = 512
+
+
+def q_kmeans_train_check(sf_dir: str):
+    """Trainability SLA for the distributed Lloyd loop (the recall-SLA
+    discipline applied to ``kmeans_train``): on the same bounded seeded
+    sample (``vec_id < 512`` — predicate-pushed, the documented
+    bounded-sample training shape), the DISTRIBUTED 3-iteration train
+    must (a) match a driver-side numpy Lloyd reference to float64
+    round-off (the map-side partials differ only in summation order) and
+    (b) report non-increasing per-iteration inertia. Returns one row of
+    exact integers the DuckDB oracle mirrors — a failed SLA breaks the
+    hash."""
+    from mex_extractors_ray.stages import clustering
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+    sample = emb.filter(expr=f"vec_id < {KMEANS_SAMPLE}")
+    c_dist, inertia = clustering.kmeans_train(
+        sample, KMEANS_K, n_iter=3, return_history=True)
+
+    # driver-side reference Lloyd on the SAME sample (bounded: ≤512 rows)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], KMEANS_SAMPLE)).sort_by("vec_id")
+    v = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(t.num_rows, -1)
+    c_ref = v[:KMEANS_K].copy()
+    for _ in range(3):
+        d2 = ((v[:, None, :] - c_ref[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(KMEANS_K):
+            m = assign == j
+            if m.any():
+                c_ref[j] = v[m].mean(axis=0)
+    match = bool(np.allclose(c_dist, c_ref, rtol=1e-9, atol=1e-12))
+    mono = bool(all(b <= a * (1 + 1e-12) + 1e-12
+                    for a, b in zip(inertia, inertia[1:])))
+    return pd.DataFrame({
+        "k": pd.Series([KMEANS_K], dtype="int64"),
+        "n_iter": pd.Series([3], dtype="int64"),
+        "n_sample": pd.Series([t.num_rows], dtype="int64"),
+        "centroids_match": pd.Series([int(match)], dtype="int64"),
+        "inertia_monotone": pd.Series([int(mono)], dtype="int64"),
+    })
+
+
+_KMEANS_TRAIN_CHECK_SQL = f"""
+SELECT CAST({{k}} AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_iter,
+       CAST(COUNT(*) AS BIGINT) AS n_sample,
+       CAST(1 AS BIGINT) AS centroids_match,
+       CAST(1 AS BIGINT) AS inertia_monotone
+FROM embeddings WHERE vec_id < {KMEANS_SAMPLE}
+"""
+
+
 EPOCH_SEED, EPOCH_N, EPOCH_HEAD = 17, 3, 200
 
 
@@ -4812,6 +5000,9 @@ _QUERY_FNS = {
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "media_features": q_media_features,
+        "media_features_digest": q_media_features_digest,
+        "media_stats_png": q_media_stats_png,
+        "kmeans_train_check": q_kmeans_train_check,
         "user_sessions": q_user_sessions,
         "top_orders_per_customer": q_top_orders_per_customer,
         "source_quota": q_source_quota,
@@ -5465,6 +5656,9 @@ WHERE doc_id % (CASE lang WHEN 'en' THEN {SAMPLE_RATES['en'][1]}
         + text.redact_sql("documents", REDACT_PATTERNS) + ")",
         "repetition_quality": text.repetition_sql(),
         "media_stats": _MEDIA_STATS_SQL,
+        "media_stats_png": _MEDIA_STATS_PNG_SQL,
+        "media_features_digest": _MEDIA_FEATURES_DIGEST_SQL,
+        "kmeans_train_check": _KMEANS_TRAIN_CHECK_SQL.format(k=KMEANS_K),
         "quantity_brackets": f"""
 SELECT b.bracket, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c100

@@ -97,12 +97,17 @@ def seed_centroids(ds, k: int, vec_col: str = "embedding",
 
 
 def kmeans_train(ds, k: int, n_iter: int = 5, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> np.ndarray:
+                 id_col: str = "vec_id", return_history: bool = False):
     """Lloyd's iterations. Each pass streams the corpus once; per-batch
-    output is ONE row of constant size (k×d sums + k counts), so the
-    driver-side reduce handles O(batches) tiny rows, never the corpus."""
+    output is ONE row of constant size (k×d sums + k counts + an inertia
+    double), so the driver-side reduce handles O(batches) tiny rows,
+    never the corpus. With ``return_history`` also returns the
+    per-iteration inertia (Σ min‖v−c‖² under that iteration's
+    assignment centroids) — Lloyd's guarantees it non-increasing, the
+    trainability SLA the ``kmeans_train_check`` oracle pins."""
     c = seed_centroids(ds, k, vec_col, id_col)
     d = c.shape[1]
+    history: list[float] = []
 
     for _ in range(n_iter):
         c_sq = (c * c).sum(axis=1)
@@ -110,25 +115,34 @@ def kmeans_train(ds, k: int, n_iter: int = 5, vec_col: str = "embedding",
 
         def partials(t: pa.Table) -> pa.Table:
             v = _vecs(t[vec_col])
-            assign = np.argmin(c_sq[None, :] - 2.0 * (v @ c_mat.T), axis=1)
+            scores = c_sq[None, :] - 2.0 * (v @ c_mat.T)
+            assign = np.argmin(scores, axis=1)
+            dmin = (scores[np.arange(len(v)), assign]
+                    + (v * v).sum(axis=1))
             sums = np.zeros((k, d))
             np.add.at(sums, assign, v)
             counts = np.bincount(assign, minlength=k).astype(np.int64)
             return pa.table({
                 "sums": pa.array([sums.ravel()]),
                 "counts": pa.array([counts]),
+                "inertia": pa.array([float(dmin.sum())]),
             })
 
         acc_s = np.zeros((k, d))
         acc_n = np.zeros(k, dtype=np.int64)
+        acc_i = 0.0
         for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow"):
             for row in range(b.num_rows):
                 acc_s += np.asarray(b["sums"][row].as_py()).reshape(k, d)
                 acc_n += np.asarray(b["counts"][row].as_py(), dtype=np.int64)
+                acc_i += b["inertia"][row].as_py()
+        history.append(acc_i)
         nz = acc_n > 0
         c = c.copy()
         c[nz] = acc_s[nz] / acc_n[nz, None]
+    if return_history:
+        return c, history
     return c
 
 

@@ -89,6 +89,98 @@ def test_stdlib_codec_dispatch_and_honest_stub():
     wav = encode_wav(np.array([100], dtype=np.int16))
     assert c.decode(wav, "audio/wav").shape == (1,)
     with pytest.raises(NotImplementedError):
-        c.decode(b"\x89PNG", "image/png")  # PIL absent in this container
+        c.decode(b"\xff\xd8\xff", "image/jpeg")  # PIL absent in this container
     with pytest.raises(NotImplementedError):
         c.decode(b"x", "video/mp4")
+
+
+# --- PNG (round 5: pure-stdlib zlib + five filters) ----------------------
+
+
+def _png_mods():
+    from mex_extractors_ray.stages.multimodal import (
+        _png_chunk, _PNG_SIG, decode_png, encode_png,
+    )
+    return _png_chunk, _PNG_SIG, decode_png, encode_png
+
+
+def test_png_roundtrip_all_shapes_and_filters():
+    _, _, decode_png, encode_png = _png_mods()
+    rng = np.random.default_rng(3)
+    for shape in [(7, 5), (6, 4, 2), (9, 3, 3), (5, 8, 4), (1, 1), (3, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for f in [0, 1, 2, 3, 4, "cycle"]:
+            out = decode_png(encode_png(img, f))
+            assert out.shape == img.shape and np.array_equal(out, img), (shape, f)
+
+
+def test_png_palette_decode():
+    import zlib
+
+    _png_chunk, _PNG_SIG, decode_png, _ = _png_mods()
+    idx = np.array([[0, 1], [2, 1]], np.uint8)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    png = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + _png_chunk(b"PLTE", plte)
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 0].tolist() == [0, 0, 255]
+    assert out[0, 1].tolist() == [0, 255, 0]
+
+
+def test_png_crc_tamper_and_refusals():
+    import zlib
+
+    _png_chunk, _PNG_SIG, decode_png, encode_png = _png_mods()
+    bad = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    # Adam7 interlace: honest refusal
+    png_i = (_PNG_SIG
+             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(png_i)
+    # 16-bit depth: refusal
+    png_16 = (_PNG_SIG
+              + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+              + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+              + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(png_16)
+
+
+def test_stdlib_codec_dispatches_png():
+    _, _, _, encode_png = _png_mods()
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    out = StdlibCodec().decode(encode_png(img, "cycle"), "image/png")
+    assert np.array_equal(out, img)
+
+
+def test_kmeans_train_history_monotone(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from mex_extractors_ray.stages.clustering import kmeans_train
+
+    rng = np.random.default_rng(5)
+    vecs = np.concatenate([rng.normal(c, 0.3, size=(30, 4))
+                           for c in (0.0, 5.0, 10.0)])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    })
+    c, hist = kmeans_train(ray.data.from_arrow(t), k=3, n_iter=4,
+                           return_history=True)
+    assert c.shape == (3, 4)
+    assert len(hist) == 4
+    assert all(b <= a * (1 + 1e-12) + 1e-12 for a, b in zip(hist, hist[1:]))
