@@ -975,6 +975,9 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
     are deterministic in (pid, last_lsn) and the manifest commit is an atomic
     rename, so task retries and whole-run replays are idempotent no-ops.
     """
+    from mex_extractors_ray.state.chaos import maybe_kill
+
+    maybe_kill("apply_partition")  # no-op unless a chaos test armed it
     registry = SchemaRegistry.from_json(registry_json)
     latest = registry.latest
     pid = int(group["pid"][0].as_py())
@@ -1154,6 +1157,11 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         pq.write_table(tbl, tmp, compression="snappy")
         os.replace(tmp, pdir / name)
     # phase 2: atomic manifest commit (+ GC of superseded files)
+    from mex_extractors_ray.state.chaos import maybe_kill as _maybe_kill
+
+    # harshest failpoint: data files already renamed into place, manifest
+    # not yet committed — a retry must treat them as orphans and redo
+    _maybe_kill("apply_commit")
     digest = sha256_file(pdir / data_name)
     checksums = old_checksums + [digest] if write_delta else [digest]
     commit_manifest(

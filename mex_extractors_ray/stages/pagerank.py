@@ -53,7 +53,8 @@ _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.i
 def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
                  node_col: str = "node", iters: int = 5,
                  damping_pct: int = 85, scale: int = 10**9,
-                 num_partitions: int = 64, static_edges: bool = True):
+                 num_partitions: int = 64, static_edges: bool = True,
+                 _chaos_hook=None):
     """PageRank over the UNDIRECTED (a, b) edge list (each pair walks both
     ways), every row of ``nodes`` ranked (isolated nodes settle at the
     teleport base). Returns int64 columns ``(node, rank)`` after exactly
@@ -210,48 +211,55 @@ def pagerank_int(edges, nodes, a: str = "a", b: str = "b",
             "rank": pa.array(sums + base),
         })
 
+    def stock_round(rk):
+        tagged = rk.map_batches(tag_ranks, batch_format="pyarrow").union(
+            edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
+        msg = _keyed_blocks(tagged, "src", contribs, parts)
+        # second exchange: co-partition the per-block partials on dst
+        # and reduce with the vectorized run-boundary kernel; output
+        # blocks stay bounded at `parts` (the CC input-block-count
+        # lesson)
+        return _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+
     if static_edges:
         ranks = _static_edge_loop(
-            edges_deg, ranks, parts, iters, damping_pct, reduce_ranks)
+            edges_deg, ranks, parts, iters, damping_pct, reduce_ranks,
+            stock_round=stock_round, _chaos_hook=_chaos_hook)
     else:
         for _ in range(iters):
-            tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow").union(
-                edges_deg.map_batches(tag_edges, batch_format="pyarrow"))
-            msg = _keyed_blocks(tagged, "src", contribs, parts)
-            # second exchange: co-partition the per-block partials on dst
-            # and reduce with the vectorized run-boundary kernel; output
-            # blocks stay bounded at `parts` (the CC input-block-count
-            # lesson)
-            ranks = _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+            ranks = stock_round(ranks)
     return ranks.union(isolated)
 
 
-def _static_edge_loop(edges_deg, ranks, parts: int, iters: int,
-                      damping_pct: int, reduce_ranks):
-    """Pregel-style rounds: pin each src-hash edge bucket in the object
-    store ONCE (``ray.put`` inside the grouping task — the driver only ever
-    holds the bucket→ref map, O(parts)); per round, shuffle ONLY the rank
-    rows to their bucket and fetch the pinned edges inside the task. Ray's
-    object store serves repeat fetches from the node-local cache, so edge
-    bytes cross the network at most once per node for the whole run."""
+def _is_object_loss(e: BaseException) -> bool:
+    """True iff the exception (or anything in its cause chain) is a lost /
+    freed / owner-died object error — the failure mode of a pinned ref
+    whose storing worker or node went away. RayTaskError stringifies the
+    remote exception, so a textual match backstops the isinstance walk."""
+    import ray.exceptions as rex
+
+    seen = set()
+    cur: BaseException | None = e
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        if isinstance(cur, rex.ObjectLostError):
+            return True
+        cur = getattr(cur, "cause", None) or cur.__cause__ or cur.__context__
+    return any(name in repr(e) for name in (
+        "ObjectLostError", "ObjectFreedError", "OwnerDiedError",
+        "ObjectFetchTimedOutError", "ObjectReconstructionFailedError"))
+
+
+def _pin_buckets(edges_deg, tag_bucket, parts: int):
+    """Group edges to (at most) one block per src-hash bucket, MATERIALIZE,
+    and take the block refs through Ray Data's own channel (to_arrow_refs —
+    ownership stays with the dataset; a hand-rolled ray.put inside the
+    grouping task would hand out refs whose owner Ray can't resolve once
+    pickled through an Arrow column). Each block's bucket identity is
+    probed by a tiny remote task (worker-local, zero-copy fetch). Returns
+    ``(binned, pinned)`` — keep ``binned`` referenced or the refs die."""
     import ray
-    import ray.data
 
-    from mex_extractors_ray.hashing import assign_partitions, shard_tags
-
-    def tag_bucket(col: str):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_eb", shard_tags(assign_partitions(t[col], parts), parts))
-
-        return _f
-
-    # pin: group edges to (at most) one block per bucket, MATERIALIZE, and
-    # take the block refs through Ray Data's own channel (to_arrow_refs —
-    # ownership stays with the dataset; a hand-rolled ray.put inside the
-    # grouping task would hand out refs whose owner Ray can't resolve once
-    # pickled through an Arrow column). Each block's bucket identity is
-    # probed by a tiny remote task (worker-local, zero-copy fetch).
     tagged = edges_deg.map_batches(tag_bucket("src"), batch_format="pyarrow")
     try:
         grouped = tagged.groupby("_eb", num_partitions=parts)
@@ -272,37 +280,98 @@ def _static_edge_loop(edges_deg, ranks, parts: int, iters: int,
     for ref, labels in zip(refs, ray.get([_block_buckets.remote(r) for r in refs])):
         for lbl in labels:
             pinned.setdefault(lbl, []).append(ref)
+    return binned, pinned
 
-    def contrib(g: pa.Table) -> pa.Table:
-        eb = g["_eb"][0].as_py()
-        refs = pinned.get(eb, [])
-        if not refs or g.num_rows == 0:
-            return pa.table({"dst": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64())})
-        tabs = [ray.get(r) for r in refs]
-        e = pa.concat_tables(
-            [t.filter(pc.equal(t["_eb"], eb)) for t in tabs]
-        ).drop_columns(["_eb"])
-        pos = pc.index_in(e["src"], g["node"].combine_chunks())
-        rv = np.asarray(g["rank"].combine_chunks(), dtype=np.int64)
-        ridx = np.asarray(pos.combine_chunks(), dtype=np.int64)
-        deg = np.asarray(e["deg"].combine_chunks(), dtype=np.int64)
-        c = (rv[ridx] * damping_pct) // (100 * deg)
-        return (
-            pa.table({"dst": e["dst"], "c": pa.array(c)})
-            .group_by("dst").aggregate([("c", "sum")])
-            .rename_columns(["dst", "c"])
-        )
 
-    for _ in range(iters):
-        rt = ranks.map_batches(tag_bucket("node"), batch_format="pyarrow")
+def _static_edge_loop(edges_deg, ranks, parts: int, iters: int,
+                      damping_pct: int, reduce_ranks,
+                      stock_round=None, _chaos_hook=None):
+    """Pregel-style rounds: pin each src-hash edge bucket in the object
+    store ONCE (see :func:`_pin_buckets`); per round, shuffle ONLY the
+    rank rows to their bucket and fetch the pinned edges inside the task.
+    Ray's object store serves repeat fetches from the node-local cache, so
+    edge bytes cross the network at most once per node for the whole run.
+
+    Fault tolerance: the pinned refs have NO lineage — on a real cluster a
+    lost worker/node takes its buckets with it and the round's tasks raise
+    object-loss errors. The loop catches those, RE-MATERIALIZES the pins
+    (they're a deterministic function of ``edges_deg``) and retries the
+    round; if the retry ALSO hits object loss it degrades to
+    ``stock_round`` (the re-co-partitioning loop, bit-identical
+    arithmetic) for the remaining rounds instead of dying hours into a
+    run. ``_chaos_hook(round_idx, pinned)`` is the chaos-test injection
+    point (called after each completed round)."""
+    import ray  # noqa: F401 — workers resolve the pinned refs
+
+    from mex_extractors_ray.hashing import assign_partitions, shard_tags
+
+    def tag_bucket(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_eb", shard_tags(assign_partitions(t[col], parts), parts))
+
+        return _f
+
+    def make_contrib(pinned: dict):
+        def contrib(g: pa.Table) -> pa.Table:
+            import ray
+
+            eb = g["_eb"][0].as_py()
+            refs = pinned.get(eb, [])
+            if not refs or g.num_rows == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            tabs = [ray.get(r) for r in refs]
+            e = pa.concat_tables(
+                [t.filter(pc.equal(t["_eb"], eb)) for t in tabs]
+            ).drop_columns(["_eb"])
+            pos = pc.index_in(e["src"], g["node"].combine_chunks())
+            rv = np.asarray(g["rank"].combine_chunks(), dtype=np.int64)
+            ridx = np.asarray(pos.combine_chunks(), dtype=np.int64)
+            deg = np.asarray(e["deg"].combine_chunks(), dtype=np.int64)
+            c = (rv[ridx] * damping_pct) // (100 * deg)
+            return (
+                pa.table({"dst": e["dst"], "c": pa.array(c)})
+                .group_by("dst").aggregate([("c", "sum")])
+                .rename_columns(["dst", "c"])
+            )
+
+        return contrib
+
+    binned, pinned = _pin_buckets(edges_deg, tag_bucket, parts)
+
+    def run_round(rk, pinned):
+        rt = rk.map_batches(tag_bucket("node"), batch_format="pyarrow")
         try:
             rg = rt.groupby("_eb", num_partitions=parts)
         except TypeError:
             rg = rt.groupby("_eb")
-        msg = rg.map_groups(
-            lambda g: contrib(g), batch_format="pyarrow")
-        ranks = _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+        msg = rg.map_groups(make_contrib(pinned), batch_format="pyarrow")
+        return _keyed_blocks(msg, "dst", reduce_ranks, parts).materialize()
+
+    r = 0
+    while r < iters:
+        try:
+            new_ranks = run_round(ranks, pinned)
+        except Exception as e:
+            if not _is_object_loss(e):
+                raise
+            # a pinned bucket died with its worker: rebuild the pins from
+            # the still-live edges_deg dataset and retry this round once
+            binned, pinned = _pin_buckets(edges_deg, tag_bucket, parts)
+            try:
+                new_ranks = run_round(ranks, pinned)
+            except Exception as e2:
+                if not _is_object_loss(e2) or stock_round is None:
+                    raise
+                # repeated loss: finish on the stock loop (bit-identical)
+                for _ in range(r, iters):
+                    ranks = stock_round(ranks)
+                return ranks
+        ranks = new_ranks
+        r += 1
+        if _chaos_hook is not None:
+            _chaos_hook(r, pinned)
     return ranks
 
 
