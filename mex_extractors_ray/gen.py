@@ -203,6 +203,7 @@ def synth_change_log(
     hot_key_update_share: float = 0.2,
     schema_mix: bool = True,
     lsn_start: int = 0,
+    zipf_alpha: float | None = None,
 ) -> list[str]:
     """Write a seeded synthetic change log as sharded Parquet; returns paths.
 
@@ -227,12 +228,18 @@ def synth_change_log(
         lsn_base = int(lsn[-1])
         r = rng.random(rows)
         op = np.where(r < 0.6, "insert", np.where(r < 0.9, "update", "delete"))
-        hot = rng.random(rows) < hot_key_update_share
-        uid = np.where(
-            hot,
-            rng.integers(0, n_hot, size=rows),
-            rng.integers(0, n_docs, size=rows),
-        ).astype(np.int64)
+        if zipf_alpha is not None:
+            # heavy-tail regime (the skew rehearsal): doc draws follow
+            # Zipf(alpha) folded into the doc space — at alpha~1.1 the top
+            # key alone takes ~1/zeta(alpha) of ALL events
+            uid = ((rng.zipf(zipf_alpha, size=rows) - 1) % n_docs).astype(np.int64)
+        else:
+            hot = rng.random(rows) < hot_key_update_share
+            uid = np.where(
+                hot,
+                rng.integers(0, n_hot, size=rows),
+                rng.integers(0, n_docs, size=rows),
+            ).astype(np.int64)
         is_del = op == "delete"
         n_tok = (8 + (lsn % 120)).astype(np.int64)
         tokens = _tokens_list_array(uid, np.where(is_del, 0, n_tok))

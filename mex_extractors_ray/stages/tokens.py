@@ -236,7 +236,8 @@ def apply_bpe_merge(ds, pair: tuple[int, int], new_id: int,
 
 
 def bpe_train(ds, n_merges: int, vocab_size: int,
-              list_col: str = "tokens", num_partitions: int = 32):
+              list_col: str = "tokens", num_partitions: int = 32,
+              on_round=None):
     """Iterative BPE TRAINING over a tokenized corpus: each round counts
     adjacent pairs (:func:`token_bigram_topk`, k=1, ties → smaller packed
     key), mints ``new_id = vocab_size + round`` and applies the merge
@@ -271,6 +272,8 @@ def bpe_train(ds, n_merges: int, vocab_size: int,
                               list_col=list_col).materialize()
         rounds.append({"round": r, "a": a, "b": b,
                        "new_id": new_id, "n": n})
+        if on_round is not None:
+            on_round(rounds[-1])  # per-round observer (timing/telemetry)
     merges = pa.Table.from_pylist(rounds, schema=pa.schema([
         ("round", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
         ("new_id", pa.int64()), ("n", pa.int64())]))

@@ -33,6 +33,11 @@ if os.environ.get("MALLOC_MMAP_THRESHOLD_") != _TUNABLES["MALLOC_MMAP_THRESHOLD_
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# round-5 verdict item #2: cap the plasma store (GB) to prove the ingest
+# degrades gracefully (spill, not OOM) when bytes-in-flight can't ride a
+# box-sized object store — the "bytes in flight ∝ window, not lake" bar
+OBJ_STORE_GB = float(os.environ.get("MEX_DRESS_OBJ_STORE_GB", "0"))
+OUT_NAME = os.environ.get("MEX_DRESS_OUT", "DRESS_r5.json")
 ROOT = Path("/tmp/mex_ray_dress")
 N_EVENTS = int(os.environ.get("MEX_DRESS_EVENTS", str(20_000_000)))
 N_DOCS = int(os.environ.get("MEX_DRESS_DOCS", str(2_000_000)))
@@ -115,8 +120,11 @@ def tenx_docs(out: Path) -> str:
 def main() -> dict:
     import ray
 
+    init_kw = {}
+    if OBJ_STORE_GB > 0:
+        init_kw["object_store_memory"] = int(OBJ_STORE_GB * (1 << 30))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", **init_kw)
     import ray.data
 
     from mex_extractors_ray.runtime import silence_empty_block_schema_warnings
@@ -131,7 +139,8 @@ def main() -> dict:
 
     ROOT.mkdir(parents=True, exist_ok=True)
     report: dict = {"metric": "dress_rehearsal_10x", "num_cpus": NUM_CPUS,
-                    "events": N_EVENTS, "docs_space": N_DOCS}
+                    "events": N_EVENTS, "docs_space": N_DOCS,
+                    "object_store_cap_gb": OBJ_STORE_GB or None}
 
     # ---- input (cached across reruns; generation is not part of the run)
     log_dir = ROOT / f"log-{N_EVENTS}-{N_DOCS}"
@@ -307,5 +316,5 @@ def main() -> dict:
 
 if __name__ == "__main__":
     out = main()
-    Path("DRESS_r4.json").write_text(json.dumps(out, indent=2))
+    Path(OUT_NAME).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
