@@ -79,7 +79,24 @@ class RssSampler(threading.Thread):
 
 
 def spilled_bytes() -> int:
-    """Object-store spill total, parsed from Ray's own memory summary."""
+    """Object-store spill total: Ray's memory summary when available
+    (needs grpc, absent in some sandboxes), else the on-disk byte count
+    of THIS session's spill directory."""
+    try:
+        import ray
+
+        session = ray._private.worker._global_node.get_session_dir_path()
+        total = 0
+        for root, _dirs, files in os.walk(
+                os.path.join(session, "ray_spilled_objects")):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    except Exception:
+        pass
     try:
         from ray._private.internal_api import memory_summary
 
