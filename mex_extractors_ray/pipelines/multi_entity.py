@@ -216,11 +216,20 @@ def checked_load(entity, out_dir: str | Path, name: str, run_id: str,
 def multi_entity_etl(sf_dir: str, out_dir: str | Path | None = None, *,
                      run_id: str = "r001",
                      check_rules: list[dict] | None = None,
-                     blocking: bool = True) -> pa.Table:
+                     blocking: bool = True,
+                     summary_only: bool = False) -> pa.Table:
     """Run the full chain; returns the normalized union of the three entity
     tables (entity_type, entity_id, parent_id, entity_class, n) — one table so a
     single DuckDB oracle hash-checks all three loads AND the cross-entity
-    id wiring at once."""
+    id wiring at once.
+
+    ``summary_only=True`` is the PRODUCTION return path at scale: the
+    entity tables still stream to parquet via ``checked_load`` (pass
+    ``out_dir``), but the return value is a 3-row per-entity summary
+    (row count + order-insensitive content digest, reduced from
+    constant-size per-batch partials) instead of collecting the
+    normalized union driver-side — the driver never holds a row of
+    entity data. The full-union mode stays for the oracle harness."""
     import pyarrow.parquet as pq
 
     rules = DEFAULT_CHECK_RULES if check_rules is None else check_rules
@@ -280,6 +289,47 @@ def multi_entity_etl(sf_dir: str, out_dir: str | Path | None = None, *,
         .union(res.map_batches(norm_res, batch_format="pyarrow"))
         .union(vgs.map_batches(norm_vg, batch_format="pyarrow"))
     )
+    if summary_only:
+        import numpy as np
+
+        from mex_extractors_ray.hashing import hash_string_array
+
+        def partial(b: pa.Table) -> pa.Table:
+            # one constant-size row per (batch, entity_type): count + a
+            # commutative content digest (uint64 sum of per-row hashes —
+            # order-independent, so the driver reduce is exact)
+            h = (hash_string_array(b["entity_id"])
+                 ^ hash_string_array(b["parent_id"]) * np.uint64(3)
+                 ^ hash_string_array(b["entity_class"]) * np.uint64(5)
+                 ^ np.asarray(b["n"].combine_chunks(),
+                              dtype=np.int64).view(np.uint64) * np.uint64(7))
+            out_rows = []
+            et = b["entity_type"].to_pylist()
+            ets = np.asarray(et)
+            for e in np.unique(ets):
+                m = ets == e
+                out_rows.append({"entity_type": str(e),
+                                 "n_rows": int(m.sum()),
+                                 "digest": int(h[m].sum(dtype=np.uint64)
+                                               .view(np.int64))})
+            return pa.Table.from_pylist(out_rows, schema=pa.schema(
+                [("entity_type", pa.string()), ("n_rows", pa.int64()),
+                 ("digest", pa.int64())]))
+
+        M = 1 << 64
+        parts = union.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg: dict[str, tuple[int, int]] = {}
+        for _, r in parts.iterrows():
+            c, d = agg.get(r["entity_type"], (0, 0))
+            agg[r["entity_type"]] = (
+                c + int(r["n_rows"]), (d + int(r["digest"])) % M)
+        return pa.table({
+            "entity_type": pa.array(sorted(agg)),
+            "n_rows": pa.array([agg[k][0] for k in sorted(agg)], pa.int64()),
+            "digest": pa.array(
+                [agg[k][1] - M if agg[k][1] >= (1 << 63) else agg[k][1]
+                 for k in sorted(agg)], pa.int64()),
+        })
     t = pa.Table.from_pandas(union.to_pandas(), preserve_index=False)
     return t.replace_schema_metadata(None).sort_by(
         [("entity_type", "ascending"), ("entity_id", "ascending")]

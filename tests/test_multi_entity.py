@@ -85,3 +85,32 @@ def test_mint_determinism_across_runs(ray_session):
     a1 = me.extract_activities(SF).to_pandas().sort_values("o_orderkey")
     a2 = me.extract_activities(SF).to_pandas().sort_values("o_orderkey")
     assert a1.activity_id.tolist() == a2.activity_id.tolist()
+
+
+def test_summary_only_matches_full_union(etl_result, ray_session):
+    """The production-scale return path: 3 rows of (count, commutative
+    digest) must equal the same reduction computed locally from the
+    full-union table — no entity row ever reaches the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mex_extractors_ray.hashing import hash_string_array
+
+    full, _ = etl_result
+    s = me.multi_entity_etl(SF, None, run_id="r002", summary_only=True)
+    assert s.column_names == ["entity_type", "n_rows", "digest"]
+    assert s.num_rows == 3
+
+    h = (hash_string_array(full["entity_id"])
+         ^ hash_string_array(full["parent_id"]) * np.uint64(3)
+         ^ hash_string_array(full["entity_class"]) * np.uint64(5)
+         ^ np.asarray(full["n"].combine_chunks(),
+                      dtype=np.int64).view(np.uint64) * np.uint64(7))
+    ets = np.asarray(full["entity_type"].to_pylist())
+    got = {r["entity_type"]: (r["n_rows"], r["digest"]) for r in s.to_pylist()}
+    M = 1 << 64
+    for e in np.unique(ets):
+        m = ets == e
+        want = int(h[m].sum(dtype=np.uint64))
+        want = want - M if want >= (1 << 63) else want
+        assert got[str(e)] == (int(m.sum()), want), e
