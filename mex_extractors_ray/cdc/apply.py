@@ -1156,12 +1156,10 @@ def apply_partition(group: pa.Table, lake_dir: str, registry_json: str,
         tmp = pdir / f".tmp-{uuid.uuid4().hex}"
         pq.write_table(tbl, tmp, compression="snappy")
         os.replace(tmp, pdir / name)
-    # phase 2: atomic manifest commit (+ GC of superseded files)
-    from mex_extractors_ray.state.chaos import maybe_kill as _maybe_kill
-
-    # harshest failpoint: data files already renamed into place, manifest
+    # phase 2: atomic manifest commit (+ GC of superseded files).
+    # Harshest failpoint: data files already renamed into place, manifest
     # not yet committed — a retry must treat them as orphans and redo
-    _maybe_kill("apply_commit")
+    maybe_kill("apply_commit")
     digest = sha256_file(pdir / data_name)
     checksums = old_checksums + [digest] if write_delta else [digest]
     commit_manifest(

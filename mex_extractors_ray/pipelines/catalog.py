@@ -3217,8 +3217,11 @@ def q_kmeans_train_check(sf_dir: str):
                    dtype=np.float64).reshape(t.num_rows, -1)
     c_ref = v[:KMEANS_K].copy()
     for _ in range(3):
-        d2 = ((v[:, None, :] - c_ref[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)
+        # SAME score expansion as the distributed kernel (c_sq - 2 v.c):
+        # the (v-c)^2 expansion rounds differently and can flip near-tie
+        # assignments by 1 ulp, flaking centroids_match
+        c_sq = (c_ref * c_ref).sum(axis=1)
+        assign = np.argmin(c_sq[None, :] - 2.0 * (v @ c_ref.T), axis=1)
         for j in range(KMEANS_K):
             m = assign == j
             if m.any():

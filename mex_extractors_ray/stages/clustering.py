@@ -117,16 +117,17 @@ def kmeans_train(ds, k: int, n_iter: int = 5, vec_col: str = "embedding",
             v = _vecs(t[vec_col])
             scores = c_sq[None, :] - 2.0 * (v @ c_mat.T)
             assign = np.argmin(scores, axis=1)
-            dmin = (scores[np.arange(len(v)), assign]
-                    + (v * v).sum(axis=1))
             sums = np.zeros((k, d))
             np.add.at(sums, assign, v)
             counts = np.bincount(assign, minlength=k).astype(np.int64)
-            return pa.table({
-                "sums": pa.array([sums.ravel()]),
-                "counts": pa.array([counts]),
-                "inertia": pa.array([float(dmin.sum())]),
-            })
+            cols = {"sums": pa.array([sums.ravel()]),
+                    "counts": pa.array([counts])}
+            if return_history:  # inertia terms only when asked: the
+                # ||v||^2 + gather is a per-row tax plain trains skip
+                dmin = (scores[np.arange(len(v)), assign]
+                        + (v * v).sum(axis=1))
+                cols["inertia"] = pa.array([float(dmin.sum())])
+            return pa.table(cols)
 
         acc_s = np.zeros((k, d))
         acc_n = np.zeros(k, dtype=np.int64)
@@ -136,7 +137,8 @@ def kmeans_train(ds, k: int, n_iter: int = 5, vec_col: str = "embedding",
             for row in range(b.num_rows):
                 acc_s += np.asarray(b["sums"][row].as_py()).reshape(k, d)
                 acc_n += np.asarray(b["counts"][row].as_py(), dtype=np.int64)
-                acc_i += b["inertia"][row].as_py()
+                if return_history:
+                    acc_i += b["inertia"][row].as_py()
         history.append(acc_i)
         nz = acc_n > 0
         c = c.copy()

@@ -228,6 +228,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(payload):
         length, cid = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"decode_png: truncated {cid!r} chunk")
         data = payload[pos + 8:pos + 8 + length]
         crc, = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(cid + data) != crc:
@@ -392,8 +394,10 @@ class MediaStats:
                 if img.ndim == 2:
                     img = img[:, :, None]
                 s = img.reshape(-1, img.shape[2]).sum(axis=0, dtype=np.int64)
-                # color channels only: a 4th (alpha) channel is excluded
-                sums[i, : min(len(s), 3)] = s[:3]
+                # color channels only, alpha excluded: gray(+alpha) has 1
+                # color channel, RGB(A) has 3
+                nc = 1 if img.shape[2] <= 2 else 3
+                sums[i, :nc] = s[:nc]
             elif t in ("audio/wav", "audio/x-wav"):
                 pcm, rate = decode_wav_pcm16(p)
                 kinds.append("audio")

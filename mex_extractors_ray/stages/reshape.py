@@ -113,11 +113,21 @@ def union_by_name(datasets: list):
         if isinstance(t, pa.DataType):
             return t
         try:
-            return pa.from_numpy_dtype(np.dtype(t))
+            dt = np.dtype(t)
+        except TypeError:
+            raise TypeError(
+                f"union_by_name: cannot map schema type {t!r} to an Arrow "
+                f"type; cast the column upstream") from None
+        if dt == np.dtype(object):
+            # pandas-backed blocks report plain str columns as dtype('O')
+            # — the one unmappable dtype with an established convention
+            return pa.string()
+        try:
+            return pa.from_numpy_dtype(dt)
         except (TypeError, pa.ArrowNotImplementedError):
-            # refuse-on-conflict discipline: an unmappable dtype must not
-            # silently alias to string (wrong null-pad type, and two
-            # distinct unmappable types would pass the conflict check)
+            # refuse-on-conflict discipline: any OTHER unmappable dtype
+            # must not silently alias to string (wrong null-pad type, and
+            # two distinct unmappable types would pass the conflict check)
             raise TypeError(
                 f"union_by_name: cannot map schema type {t!r} to an Arrow "
                 f"type; cast the column upstream") from None

@@ -184,3 +184,32 @@ def test_kmeans_train_history_monotone(ray_session):
     assert c.shape == (3, 4)
     assert len(hist) == 4
     assert all(b <= a * (1 + 1e-12) + 1e-12 for a, b in zip(hist, hist[1:]))
+
+
+def test_png_truncated_chunk_raises_valueerror():
+    _, _, decode_png, encode_png = _png_mods()
+    full = encode_png(np.full((16, 16), 7, np.uint8))
+    idat = full.index(b"IDAT")
+    # cut mid-IDAT: the header still parses, the declared length overruns
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(full[:idat + 10])
+
+
+def test_media_stats_gray_alpha_png_excludes_alpha(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from mex_extractors_ray.stages import multimodal as mm
+
+    img = np.zeros((3, 5, 2), np.uint8)
+    img[..., 0] = 10   # gray channel: sum = 150
+    img[..., 1] = 255  # alpha: must NOT leak into sum_g
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["image/png"]),
+        "payload": pa.array([mm.encode_png(img)], pa.binary()),
+    })
+    out = mm.media_stats(ray.data.from_arrow(t), concurrency=(1, 2)).to_pandas()
+    r = out.iloc[0]
+    assert (r["width"], r["height"]) == (5, 3)
+    assert r["sum_r"] == 150 and r["sum_g"] == 0 and r["sum_b"] == 0

@@ -85,7 +85,7 @@ def test_union_by_name_refuses_unmappable_dtype(ray_session):
 
     class FakeSchema:
         names = ["a"]
-        types = [object]  # from_numpy_dtype(object) is unmappable
+        types = [np.dtype([("x", "i4")])]  # structured dtype: unmappable
 
     class FakeDs:
         def schema(self):
@@ -93,6 +93,20 @@ def test_union_by_name_refuses_unmappable_dtype(ray_session):
 
     with pytest.raises(TypeError, match="cannot map schema type"):
         union_by_name([FakeDs()])
+
+
+def test_union_by_name_maps_object_dtype_to_string(ray_session):
+    # pandas-backed blocks report str columns as dtype('O') — must keep
+    # unioning as string (the established pandas convention), not refuse
+    import ray
+
+    from mex_extractors_ray.stages.reshape import union_by_name
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": ["c"], "v": [1]}))
+    out = union_by_name([left, right]).to_pandas()
+    assert sorted(out["k"]) == ["a", "b", "c"]
+    assert out["v"].isna().sum() == 2
 
 
 # --- joins: typed empty set-op result ------------------------------------

@@ -53,6 +53,11 @@ class RssSampler(threading.Thread):
         super().__init__(daemon=True)
         self.interval = interval
         self.peak_bytes = 0
+        # spill files are deleted as their objects are freed, so an
+        # end-of-run directory scan can report a false 0 — sample the
+        # spill dir's size during the run and keep the PEAK
+        self.spill_dir: str | None = None
+        self.peak_spill_bytes = 0
         self._stop = threading.Event()
 
     @staticmethod
@@ -68,9 +73,23 @@ class RssSampler(threading.Thread):
                 continue
         return total * os.sysconf("SC_PAGE_SIZE")
 
+    def _spill_now(self) -> int:
+        if not self.spill_dir:
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(self.spill_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
     def run(self):
         while not self._stop.is_set():
             self.peak_bytes = max(self.peak_bytes, self._total_rss())
+            self.peak_spill_bytes = max(self.peak_spill_bytes,
+                                        self._spill_now())
             self._stop.wait(self.interval)
 
     def stop(self) -> int:
@@ -174,6 +193,12 @@ def main() -> dict:
     report["log_bytes"] = log_bytes
 
     sampler = RssSampler()
+    try:
+        sampler.spill_dir = os.path.join(
+            ray._private.worker._global_node.get_session_dir_path(),
+            "ray_spilled_objects")
+    except Exception:
+        pass
     sampler.start()
 
     # ---- 0. warmup: 10% of the shards through a scratch lake, untimed —
@@ -326,7 +351,9 @@ def main() -> dict:
 
     # ---- stats
     report["peak_rss_bytes"] = sampler.stop()
-    report["spilled_bytes"] = spilled_bytes()
+    # peak observed during the run beats the end-of-run scan (spill files
+    # are GC'd with their objects — a final scan can false-zero)
+    report["spilled_bytes"] = max(spilled_bytes(), sampler.peak_spill_bytes)
     ray.shutdown()
     return report
 
