@@ -1382,6 +1382,12 @@ def _locked_ingest(log_paths, lake_dir, num_partitions, registry,
         # record — the signal repartition_lake uses to detect a partial
         # commit (per-partition watermarks legitimately differ even when
         # fully committed: each is the max LSN of its OWN events).
+        from mex_extractors_ray.state.chaos import maybe_kill
+
+        # driver-side failpoint: every partition committed, lake-level
+        # completion record NOT yet written — the flock lease dies with
+        # the process (kernel-released) and a full re-run must converge
+        maybe_kill("ingest_state_commit")
         mx = pc.max(metrics["last_lsn"]).as_py()
         prior = read_ingest_state(lake_dir)
         completed = max(int(mx if mx is not None else -1), prior)

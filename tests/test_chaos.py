@@ -13,7 +13,7 @@ from mex_extractors_ray.cdc.apply import read_lake_arrow
 from mex_extractors_ray.gen import synth_change_log
 from mex_extractors_ray.state import chaos
 
-SITES = ("apply_partition", "apply_commit")
+SITES = ("apply_partition", "apply_commit", "ingest_state_commit")
 
 
 @pytest.fixture(autouse=True)
@@ -145,3 +145,42 @@ def test_is_object_loss_classifier():
     assert not _is_object_loss(ValueError("plain"))
     # textual backstop: RayTaskError-style stringified remote exception
     assert _is_object_loss(RuntimeError("RayTaskError(ObjectFreedError): ..."))
+
+
+def test_driver_sigkill_mid_ingest_then_resume(tmp_path, ray_session):
+    """The DRIVER process (not a worker) is SIGKILLed after every
+    partition committed but before the lake-level completion record —
+    the stale-ingest-state crash shape. The flock writer lease dies
+    with the process (kernel-released), and a plain full re-run in a
+    fresh driver must acquire it and converge to the byte-identical
+    state with a current completion record."""
+    import subprocess
+    import sys
+
+    from mex_extractors_ray.cdc.apply import read_ingest_state
+
+    paths = synth_change_log(tmp_path / "log", n_events=6000, n_docs=600,
+                             seed=41, shard_rows=2000)
+    lake = str(tmp_path / "lake")
+    chaos.disarm("ingest_state_commit")
+    chaos.arm("ingest_state_commit")
+    script = (
+        "import ray; ray.init(address='local', num_cpus=4, "
+        "include_dashboard=False, logging_level='ERROR')\n"
+        "from mex_extractors_ray.cdc import ingest_change_log\n"
+        f"ingest_change_log({[str(p) for p in paths]!r}, {lake!r}, "
+        "num_partitions=8)\n"
+    )
+    p = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=420,
+                       env={**__import__('os').environ,
+                            "PYTHONPATH": "/root/repo"})
+    assert p.returncode == -9, (p.returncode, p.stderr[-500:])
+    assert chaos.fired("ingest_state_commit")
+    # partitions committed, completion record missing: the crash shape
+    assert read_ingest_state(lake) == -1
+    chaos.disarm("ingest_state_commit")
+
+    ingest_change_log(paths, lake, num_partitions=8)
+    assert read_lake_arrow(lake).equals(_expected(paths))
+    assert read_ingest_state(lake) > -1
