@@ -48,6 +48,23 @@ def sh(cmd: list[str]) -> str:
     return r.stdout
 
 
+def raylet_pid_for_node(node_id: str) -> int | None:
+    """The raylet process serving ray NodeID ``node_id`` (two raylets
+    share this host; each carries --node_id=<hex> in its cmdline)."""
+    needle = f"--node_id={node_id}".encode()
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        if cmd.split(b"\0", 1)[0].endswith(b"raylet") and needle in cmd:
+            return int(p)
+    return None
+
+
 def main() -> dict:
     os.environ.pop("RAY_ADDRESS", None)  # the preset 'local' would shadow
     sh(["ray", "stop", "--force"])
@@ -148,6 +165,50 @@ def main() -> dict:
             "pin_locations_per_round": locations,
         }
         assert bit_identical, "static-edge != stock on the 2-node cluster"
+
+        # ---- leg 3: NODE LOSS mid-run — SIGKILL the worker node's raylet
+        # after round 1 of a fresh static-edge run. The pinned buckets on
+        # that node die with it; the loop must take its recovery path
+        # (re-pin on the surviving node, or stock fallback) and finish
+        # with ranks bit-identical to the undisturbed run.
+        import signal as _signal
+
+        # the raylet to kill is the one on the node the DRIVER is NOT
+        # attached to (killing the driver's own raylet kills the driver)
+        my_node = ray.get_runtime_context().get_node_id()
+        other = [n for n in ray.nodes()
+                 if n["Alive"] and n["NodeID"] != my_node]
+        victim_pid = (raylet_pid_for_node(other[0]["NodeID"])
+                      if other else None)
+        state = {"killed": False, "pin_ids": []}
+
+        def kill_node(round_idx, pinned):
+            state["pin_ids"].append(id(pinned))
+            if round_idx == 1 and not state["killed"]:
+                state["killed"] = True
+                if victim_pid is not None:
+                    try:
+                        os.kill(victim_pid, _signal.SIGKILL)
+                    except OSError:
+                        pass
+
+        t0 = time.time()
+        survived = pagerank_int(
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes),
+            iters=4, num_partitions=16, static_edges=True,
+            _chaos_hook=kill_node).to_pandas()
+        node_loss_sec = time.time() - t0
+        s3 = survived.sort_values("node").reset_index(drop=True)
+        node_loss_identical = s3.equals(s2)
+        report["pagerank_node_loss"] = {
+            "victim_raylet_found": victim_pid is not None,
+            "sec": round(node_loss_sec, 2),
+            "bit_identical_to_stock": node_loss_identical,
+            "repinned": len(set(state["pin_ids"])) > 1,
+            "nodes_alive_after": len(
+                [n for n in ray.nodes() if n["Alive"]]),
+        }
+        assert node_loss_identical, "node-loss run diverged"
         ray.shutdown()
     finally:
         subprocess.run(["ray", "stop", "--force"], capture_output=True)
